@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Per-query wall time includes plan + execution + a count() materialization
+(no driver-side data transfer beyond the count), mirroring how a
+reporting layer would consume the results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from geo_big_data_analysis_spark.plans.registry import REGISTRY  # noqa: E402
+from geo_big_data_analysis_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_customers",
+    "region_nation_rollup",
+    "user_sessions",
+    "high_density_hours",
+    "session_drilldown",
+    "dow_eventtype_pivot",
+    "geo_grid_density",
+    "haversine_stats",
+    "pareto_user_share",
+    "exact_dedup_docs",
+    "token_stats_docs",
+    "quality_score_docs",
+    "knn_embeddings",
+    "embedding_label_centroids",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark("bench")
+    # warm the session (JVM + codegen paths) outside the timed region
+    spark.range(10).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""KNN join (J10) — k nearest neighbors per query point.
+
+Reference uses sklearn NearestNeighbors / libpysal KNN on in-memory
+coords (test.py:101-106 k-distance curve; lab4 nb cell 21 LISA weights).
+
+Two strategies:
+- ``knn_join_bruteforce``: query×base cross product → per-query top-k
+  via row_number window. Exact; right when one side is small (the
+  reference's workloads) or as the refinement step.
+- ``knn_join_grid``: grid-bucket both sides, search the 3×3 neighbor
+  cells, refine exactly. Equi-join on cell id → scales; exact as long as
+  the k-th neighbor distance < cell size (choose cell ≈ expected kth-NN
+  distance; fall back to widening rings for sparse cells).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sq_dist(x1, y1, x2, y2):
+    return (F.col(x1) - F.col(x2)) ** 2 + (F.col(y1) - F.col(y2)) ** 2
+
+
+def knn_join_bruteforce(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    q_id: str = "id",
+    b_id: str = "id",
+    q_xy: tuple[str, str] = ("x", "y"),
+    b_xy: tuple[str, str] = ("x", "y"),
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact KNN: broadcast the smaller base side, rank by distance.
+
+    Output: (query_id, neighbor_id, dist, knn_rank). Ties broken by
+    neighbor id for determinism.
+    """
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_xy[0]).alias("_qx"), F.col(q_xy[1]).alias("_qy"))
+    b = base.select(F.col(b_id).alias("neighbor_id"), F.col(b_xy[0]).alias("_bx"), F.col(b_xy[1]).alias("_by"))
+    pairs = q.crossJoin(F.broadcast(b))
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    pairs = pairs.withColumn(
+        "dist", F.sqrt(_sq_dist("_qx", "_qy", "_bx", "_by"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "knn_rank")
+    )
+
+
+def knn_join_grid(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    cell: float,
+    q_id: str = "id",
+    b_id: str = "id",
+    q_xy: tuple[str, str] = ("x", "y"),
+    b_xy: tuple[str, str] = ("x", "y"),
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Grid-bucketed KNN: each query point probes its 3×3 neighborhood of
+    cells of side ``cell``. Exact iff the true k-th neighbor lies within
+    one cell ring (guaranteed when cell ≥ expected kth-NN distance).
+
+    Plan shape: explode queries ×9 (cheap, integer math) → hash
+    equi-join on cell id → per-query top-k window. The shuffle key is
+    the integer cell id — uniform, salt-free when the grid is sized so
+    cells hold O(100) points.
+    """
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_xy[0]).alias("_qx"),
+        F.col(q_xy[1]).alias("_qy"),
+        F.floor(F.col(q_xy[0]) / cell).cast("bigint").alias("_qcx"),
+        F.floor(F.col(q_xy[1]) / cell).cast("bigint").alias("_qcy"),
+    )
+    offsets = F.expr("explode(arrays_zip(array(-1,-1,-1,0,0,0,1,1,1), array(-1,0,1,-1,0,1,-1,0,1)))")
+    q9 = q.select("*", offsets.alias("_off")).select(
+        "query_id", "_qx", "_qy",
+        (F.col("_qcx") + F.col("_off")["0"]).alias("cx"),
+        (F.col("_qcy") + F.col("_off")["1"]).alias("cy"),
+    )
+    b = base.select(
+        F.col(b_id).alias("neighbor_id"),
+        F.col(b_xy[0]).alias("_bx"),
+        F.col(b_xy[1]).alias("_by"),
+        F.floor(F.col(b_xy[0]) / cell).cast("bigint").alias("cx"),
+        F.floor(F.col(b_xy[1]) / cell).cast("bigint").alias("cy"),
+    )
+    pairs = q9.join(b, ["cx", "cy"], "inner")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    pairs = pairs.withColumn("dist", F.sqrt(_sq_dist("_qx", "_qy", "_bx", "_by")))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "knn_rank")
+    )
+
+
+def kth_nn_distance(points: DataFrame, k: int, id_col: str, x: str, y: str) -> DataFrame:
+    """M2 — per-point k-th-NN distance (eps-tuning k-distance curve,
+    test.py:69-146). Self-KNN with the grid strategy, keep rank k."""
+    knn = knn_join_bruteforce(points, points, k, id_col, id_col, (x, y), (x, y))
+    return knn.filter(F.col("knn_rank") == k).select(
+        F.col("query_id").alias(id_col), F.col("dist").alias("kth_dist")
+    )

@@ -1,0 +1,800 @@
+"""Driver-facing query registry.
+
+Each entry is one implemented operator (or operator composition) from
+SURVEY.md §2, run against the driver's parquet tables, paired with the
+ANSI-SQL oracle DuckDB runs side-by-side (CORRECTNESS gate). Column
+names and float rounding are aligned on both sides; genuinely
+non-SQL-expressible ops register ``oracle=None`` (rows-only check).
+
+Float policy: aggregates that sum many doubles are rounded so the
+rounding unit exceeds worst-case fp reassociation error (sums → 2dp,
+averages/ratios → 6dp); pure per-row arithmetic matches bit-exactly and
+is rounded only for readability.
+
+Derived coordinates convention (both sides, identical op order):
+    lon = -74.3 + (event_id % 1000) / 1000.0 * 0.6
+    lat = 40.5 + ((event_id * 7) % 1000) / 1000.0 * 0.5
+This plants a deterministic NYC-bbox point per event row so the
+reference's geospatial operator suite (bbox filter / grid / haversine /
+spatial join) is oracle-checkable on the driver's relational fixtures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import temporal, text as tx
+from ..functions.stats import linregress_aggs
+from ..functions.geo import grid_cell, haversine_km, in_bbox
+from ..operators import sessionize as sz
+from ..operators.similarity import cosine_topk_bruteforce
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanos type, so
+# the loader reads them as long (legacy conf) and truncates to microseconds,
+# matching what DuckDB does natively when it reads TIMESTAMP_NS.
+_NANO_TS_COLS = {
+    "events": ["ts"],
+    "lineitem": ["l_shipdate"],
+    "orders": ["o_orderdate"],
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANO_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def _derived_points(events: DataFrame) -> DataFrame:
+    lon = F.lit(-74.3) + (F.col("event_id") % 1000) / F.lit(1000.0) * F.lit(0.6)
+    lat = F.lit(40.5) + ((F.col("event_id") * 7) % 1000) / F.lit(1000.0) * F.lit(0.5)
+    return events.withColumn("lon", lon).withColumn("lat", lat)
+
+
+_DERIVED_POINTS_SQL = """
+    SELECT *,
+           -74.3 + (event_id % 1000) / 1000.0 * 0.6 AS lon,
+           40.5 + ((event_id * 7) % 1000) / 1000.0 * 0.5 AS lat
+    FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational core (SURVEY §2.2-§2.7)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A7 flagship: TPC-H-Q1-shaped pricing summary over lineitem.
+
+    Plan: scan → pushed-down date filter → hash agg (partial+final).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+A+O2: orders⋈customer revenue top-10 (broadcast dim join)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .select("c_custkey", "c_name", "revenue", "n_orders")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+_SQL_TOP_REV = """
+SELECT c_custkey, c_name, revenue, n_orders
+FROM (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue, count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY o_custkey
+) r JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: two broadcast dim joins + grouped agg (region→nation→customer)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+_SQL_REGION_ROLLUP = """
+SELECT r_name, n_name, count(*)::BIGINT AS n_customers, round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — left_semi join (EXISTS semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+_SQL_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/U3 — left_anti join (set-difference semantics)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_orderpriority_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — value_counts (group-count ordered desc, deterministic tiebreak)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("o_orderpriority").asc())
+    )
+
+
+_SQL_VALUE_COUNTS = """
+SELECT o_orderpriority, count(*)::BIGINT AS n FROM orders
+GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority ASC
+"""
+
+
+def q_missing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — per-column missing-value census (single pass)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        *[
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"null_{c}")
+            for c in orders.columns
+        ]
+    )
+
+
+def _sql_missing(cols):
+    exprs = ", ".join(
+        f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_{c}" for c in cols
+    )
+    return f"SELECT {exprs} FROM orders"
+
+
+_SQL_MISSING = _sql_missing(
+    ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+)
+
+
+def q_histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — fixed-width histogram banding."""
+    li = _t(spark, sf_dir, "lineitem")
+    band = F.floor((F.col("l_quantity") - 1) / 5).cast("bigint")
+    return (
+        li.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("band")
+    )
+
+
+_SQL_HISTOGRAM = """
+SELECT CAST(floor((l_quantity - 1) / 5) AS BIGINT) AS band, count(*)::BIGINT AS n
+FROM lineitem GROUP BY 1 ORDER BY band
+"""
+
+
+def q_linregress_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — correlation + closed-form linear regression."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = linregress_aggs("l_quantity", "l_extendedprice")
+    out = li.agg(*aggs)
+    return out.select(*[F.round(F.col(c), 6).alias(c) for c in out.columns])
+
+
+_SQL_LINREGRESS = """
+WITH s AS (
+  SELECT count(*)::DOUBLE AS n, sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+         sum(l_quantity * l_quantity) AS sxx,
+         sum(l_extendedprice * l_extendedprice) AS syy,
+         sum(l_quantity * l_extendedprice) AS sxy
+  FROM lineitem
+)
+SELECT round((sxy - sx*sy/n) / (sxx - sx*sx/n), 6) AS slope,
+       round((sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx) / n, 6) AS intercept,
+       round((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS r,
+       round(pow((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 2), 6) AS r2
+FROM s
+"""
+
+
+def q_percentile_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17/F18 — exact-percentile threshold filter (two-phase, stays lazy
+    via broadcast cross-join of the 1-row stat)."""
+    orders = _t(spark, sf_dir, "orders")
+    thresh = orders.agg(F.expr("percentile(o_totalprice, 0.95)").alias("_p95"))
+    return (
+        orders.crossJoin(F.broadcast(thresh))
+        .filter(F.col("o_totalprice") > F.col("_p95"))
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_above"),
+        )
+    )
+
+
+_SQL_PERCENTILE = """
+SELECT count(*)::BIGINT AS n_above, round(avg(o_totalprice), 4) AS avg_above
+FROM orders WHERE o_totalprice > (SELECT quantile_cont(o_totalprice, 0.95) FROM orders)
+"""
+
+
+def q_union_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U4 — vertical union of two projections + distinct count."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_partkey").alias("key"))
+    b = li.select(F.col("l_suppkey").alias("key"))
+    return (
+        a.unionByName(b)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_keys"),
+            F.sum("n").alias("n_total"),
+        )
+    )
+
+
+_SQL_UNION = """
+WITH u AS (
+  SELECT l_partkey AS key FROM lineitem UNION ALL SELECT l_suppkey FROM lineitem
+), g AS (SELECT key, count(*)::BIGINT AS n FROM u GROUP BY key)
+SELECT count(*)::BIGINT AS n_distinct_keys, sum(n)::BIGINT AS n_total FROM g
+"""
+
+
+def q_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — rank over global ordering."""
+    sup = _t(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc())
+    return sup.select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 4).alias("acctbal"),
+        F.rank().over(w).alias("bal_rank"),
+    )
+
+
+_SQL_RANK = """
+SELECT s_suppkey, s_name, round(s_acctbal, 4) AS acctbal,
+       rank() OVER (ORDER BY s_acctbal DESC)::BIGINT AS bal_rank
+FROM supplier
+"""
+
+
+def q_pareto_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15/W4 — cumulative contribution share (top-users Pareto audit)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("cum_n") / F.col("_total"), 6).alias("cum_share"),
+        )
+    )
+
+
+_SQL_PARETO = """
+SELECT user_id, n,
+       round(sum(n) OVER (ORDER BY n DESC, user_id ASC ROWS UNBOUNDED PRECEDING)
+             / (SELECT sum(n) FROM (SELECT count(*) AS n FROM events GROUP BY user_id)), 6) AS cum_share
+FROM (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Temporal analytics (SURVEY §2.5, §2.8, lab-1 pipeline)
+# --------------------------------------------------------------------------
+
+def q_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — tumbling 1-hour counts."""
+    ev = _t(spark, sf_dir, "events")
+    return sz.hourly_counts(ev, "ts").orderBy("bucket_ts")
+
+
+_SQL_HOURLY = """
+SELECT date_trunc('hour', ts) AS bucket_ts, count(*)::BIGINT AS n
+FROM events GROUP BY 1 ORDER BY bucket_ts
+"""
+
+
+def q_high_density_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lab-1 anomaly detection: hourly buckets with n > μ+2σ (population σ)."""
+    ev = _t(spark, sf_dir, "events")
+    return sz.anomaly_threshold_filter(sz.hourly_counts(ev, "ts"), sigmas=2.0)
+
+
+_SQL_HIGH_DENSITY = """
+WITH h AS (SELECT date_trunc('hour', ts) AS bucket_ts, count(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+s AS (SELECT avg(n) AS mu, coalesce(stddev_pop(n), 0.0) AS sigma FROM h)
+SELECT bucket_ts, n FROM h, s WHERE n > mu + 2.0 * sigma
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+A4 — gap-based sessionization (30-min gap) + per-session stats."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = sz.sessionize(ev, "ts", gap_minutes=30.0, keys=["user_id"])
+    return sz.session_stats(sessions, "ts", keys=["user_id"])
+
+
+_SQL_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id::BIGINT AS session_id, min(ts) AS session_start,
+       max(ts) AS session_end, count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_session_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — range join of events into high-density periods (broadcast)."""
+    ev = _t(spark, sf_dir, "events")
+    periods = (
+        sz.anomaly_threshold_filter(sz.hourly_counts(ev, "ts"), sigmas=1.0)
+        .select(
+            F.col("bucket_ts").alias("session_start"),
+            (F.col("bucket_ts") + F.expr("INTERVAL 1 HOUR")).alias("session_end"),
+        )
+    )
+    joined = ev.join(
+        F.broadcast(periods),
+        (F.col("ts") >= F.col("session_start")) & (F.col("ts") < F.col("session_end")),
+        "inner",
+    )
+    return (
+        joined.groupBy("session_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+_SQL_DRILLDOWN = """
+WITH h AS (SELECT date_trunc('hour', ts) AS bucket_ts, count(*)::BIGINT AS n
+           FROM events GROUP BY 1),
+s AS (SELECT avg(n) AS mu, coalesce(stddev_pop(n), 0.0) AS sigma FROM h),
+p AS (SELECT bucket_ts AS session_start, bucket_ts + INTERVAL 1 HOUR AS session_end
+      FROM h, s WHERE n > mu + 1.0 * sigma)
+SELECT p.session_start, e.event_type, count(*)::BIGINT AS n, round(sum(e.value), 4) AS sum_value
+FROM events e JOIN p ON e.ts >= p.session_start AND e.ts < p.session_end
+GROUP BY p.session_start, e.event_type
+"""
+
+
+def q_dow_eventtype_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — dow(Monday=0) × event_type pivoted count matrix."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("dow", temporal.dayofweek_monday0("ts"))
+        .groupBy("dow")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0)
+        .orderBy("dow")
+    )
+
+
+_SQL_PIVOT = """
+SELECT (isodow(ts) - 1)::INT AS dow,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+FROM events GROUP BY 1 ORDER BY dow
+"""
+
+
+def q_time_interval_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.8 — rule-based time-of-day bucketing (holiday-aware when chain)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", temporal.time_interval_bucket("ts"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+_SQL_TIME_BUCKETS = """
+SELECT CASE
+         WHEN isodow(ts) <= 5 AND hour(ts) BETWEEN 7 AND 9 THEN 'morning_peak'
+         WHEN isodow(ts) <= 5 AND hour(ts) BETWEEN 17 AND 19 THEN 'evening_peak'
+         WHEN hour(ts) BETWEEN 6 AND 22 THEN 'day'
+         ELSE 'night'
+       END AS bucket,
+       count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+def q_event_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — multi-agg with share-of-group (positive-rate pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 6).alias("std_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+        F.round(F.avg((F.col("value") > 100).cast("double")), 6).alias("high_rate"),
+    )
+
+
+_SQL_VALUE_STATS = """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(avg(value), 6) AS avg_value,
+       round(stddev_samp(value), 6) AS std_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value,
+       round(avg(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END), 6) AS high_rate
+FROM events GROUP BY event_type
+"""
+
+
+def q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-adjacent — JSON field extraction from the props column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("k_mod")
+    )
+
+
+_SQL_JSON = """
+SELECT (json_extract_string(props, '$.k')::BIGINT % 10) AS k_mod,
+       count(*)::BIGINT AS n, sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k
+FROM events GROUP BY 1 ORDER BY k_mod
+"""
+
+
+# --------------------------------------------------------------------------
+# Geospatial (derived points; SURVEY §2.3 J5, §2.8 geo)
+# --------------------------------------------------------------------------
+
+def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 + grid-cell assignment + A13-style 2-D bin density."""
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    pts = pts.filter(in_bbox("lat", "lon", 40.55, 40.95, -74.25, -73.75))
+    gx, gy = grid_cell("lat", "lon", 40.5, -74.3, 0.05)
+    return (
+        pts.withColumn("gx", gx)
+        .withColumn("gy", gy)
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+
+
+_SQL_GRID = f"""
+WITH p AS ({_DERIVED_POINTS_SQL})
+SELECT CAST(floor((lon - (-74.3)) / 0.05) AS BIGINT) AS gx,
+       CAST(floor((lat - 40.5) / 0.05) AS BIGINT) AS gy,
+       count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value
+FROM p
+WHERE lat BETWEEN 40.55 AND 40.95 AND lon BETWEEN -74.25 AND -73.75
+GROUP BY 1, 2
+"""
+
+
+def q_haversine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.8-geo — haversine distance to a fixed center, per event type."""
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    d = haversine_km("lat", "lon", F.lit(40.7580), F.lit(-73.9855))
+    return (
+        pts.withColumn("dist_km", d)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("dist_km"), 6).alias("avg_dist_km"),
+            F.round(F.max("dist_km"), 6).alias("max_dist_km"),
+        )
+    )
+
+
+_SQL_HAVERSINE = f"""
+WITH p AS ({_DERIVED_POINTS_SQL})
+SELECT event_type,
+       round(avg(2 * 6371.0 * asin(sqrt(
+         pow(sin((radians(40.7580) - radians(lat)) / 2), 2)
+         + cos(radians(lat)) * cos(radians(40.7580))
+           * pow(sin((radians(-73.9855) - radians(lon)) / 2), 2)))), 6) AS avg_dist_km,
+       round(max(2 * 6371.0 * asin(sqrt(
+         pow(sin((radians(40.7580) - radians(lat)) / 2), 2)
+         + cos(radians(lat)) * cos(radians(40.7580))
+           * pow(sin((radians(-73.9855) - radians(lon)) / 2), 2)))), 6) AS max_dist_km
+FROM p GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Text / LLM-pipeline operators (documents table)
+# --------------------------------------------------------------------------
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on normalized text (hash-groupBy scale path;
+    oracle groups on the normalized text itself)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", tx.clean_text("text").alias("_ct"))
+        .groupBy("_ct")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+_CLEAN_SQL = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(lower(text),"
+    " 'http\\S+|www\\S+|https\\S+', ' ', 'g'),"
+    " '[^a-zA-Z\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+_SQL_DEDUP = f"""
+SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies
+FROM documents GROUP BY {_CLEAN_SQL}
+"""
+
+
+def q_token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source (whitespace tokens + char length)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", tx.token_count("text"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
+
+
+_SQL_TOKENS = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS total_tokens,
+       round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 6) AS avg_tokens,
+       sum(length(text))::BIGINT AS total_chars
+FROM documents GROUP BY source
+"""
+
+
+def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language-ID heuristic vs the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("pred_lang", tx.lang_id("text"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SQL_LANG = f"""
+SELECT lang, {tx.lang_id_oracle_sql('text')} AS pred_lang, count(*)::BIGINT AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-quality scoring: length/punct/stopword composite per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.quality_score("text").alias("quality"))
+
+
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in tx.STOPWORDS) + "]"
+
+_SQL_QUALITY = f"""
+WITH q AS (
+  SELECT doc_id,
+         least(length(text) / 200.0, 1.0) AS len_score,
+         1.0 - least(((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                      / greatest(length(text), 1)) * 4, 1.0) AS punct_score,
+         (len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                          x -> list_contains({_STOPWORDS_SQL}, x)))::DOUBLE
+          / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1)) AS sw
+  FROM documents
+)
+SELECT doc_id,
+       round((len_score + punct_score
+              + CASE WHEN sw > 0.05 AND sw < 0.6 THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+FROM q
+"""
+
+
+# --------------------------------------------------------------------------
+# Embeddings / similarity search
+# --------------------------------------------------------------------------
+
+def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10/ANN — exact cosine top-5 neighbors for a query subset.
+
+    Rank omitted from the output (returns the top-k *set* with rounded
+    cosine) so fp tie-ordering can't flip rows vs the oracle.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter(F.col("vec_id") < 32)
+    out = cosine_topk_bruteforce(queries, emb, k=5)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+
+_SQL_KNN = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 32),
+pairs AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_dot_product(q.qv::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+  FROM q, embeddings b WHERE b.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM ranked WHERE rn <= 5
+"""
+
+
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: per-label centroid norm + count (the shuffle
+    shape of a KMeans iteration, oracle-checkable)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    # element-wise mean via posexplode → groupBy(label, pos) → collect norm
+    exploded = emb.select("label", F.posexplode(vec).alias("pos", "v"))
+    centroids = exploded.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    return (
+        centroids.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"))
+        .join(
+            emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")),
+            "label",
+        )
+        .orderBy("label")
+    )
+
+
+_SQL_CENTROIDS = """
+WITH e AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings
+), c AS (SELECT label, pos, avg(v) AS c FROM e GROUP BY label, pos)
+SELECT c.label, round(sqrt(sum(c.c * c.c)), 6) AS centroid_norm, n
+FROM c JOIN (SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY label) cnt
+  ON c.label = cnt.label
+GROUP BY c.label, n ORDER BY c.label
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+# name -> (query_fn, oracle_sql or None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "pricing_summary": (q_pricing_summary, _SQL_PRICING),
+    "top_revenue_customers": (q_top_revenue_customers, _SQL_TOP_REV),
+    "region_nation_rollup": (q_region_nation_rollup, _SQL_REGION_ROLLUP),
+    "customers_with_orders": (q_customers_with_orders, _SQL_SEMI),
+    "customers_without_orders": (q_customers_without_orders, _SQL_ANTI),
+    "orderpriority_value_counts": (q_orderpriority_value_counts, _SQL_VALUE_COUNTS),
+    "missing_census": (q_missing_census, _SQL_MISSING),
+    "histogram_quantity": (q_histogram_quantity, _SQL_HISTOGRAM),
+    "linregress_price_qty": (q_linregress_price_qty, _SQL_LINREGRESS),
+    "percentile_filter_orders": (q_percentile_filter_orders, _SQL_PERCENTILE),
+    "union_stack": (q_union_stack, _SQL_UNION),
+    "rank_suppliers": (q_rank_suppliers, _SQL_RANK),
+    "pareto_user_share": (q_pareto_user_share, _SQL_PARETO),
+    "hourly_event_counts": (q_hourly_event_counts, _SQL_HOURLY),
+    "high_density_hours": (q_high_density_hours, _SQL_HIGH_DENSITY),
+    "user_sessions": (q_user_sessions, _SQL_SESSIONS),
+    "session_drilldown": (q_session_drilldown, _SQL_DRILLDOWN),
+    "dow_eventtype_pivot": (q_dow_eventtype_pivot, _SQL_PIVOT),
+    "time_interval_buckets": (q_time_interval_buckets, _SQL_TIME_BUCKETS),
+    "event_value_stats": (q_event_value_stats, _SQL_VALUE_STATS),
+    "json_extract_events": (q_json_extract_events, _SQL_JSON),
+    "geo_grid_density": (q_geo_grid_density, _SQL_GRID),
+    "haversine_stats": (q_haversine_stats, _SQL_HAVERSINE),
+    "exact_dedup_docs": (q_exact_dedup_docs, _SQL_DEDUP),
+    "token_stats_docs": (q_token_stats_docs, _SQL_TOKENS),
+    "lang_id_docs": (q_lang_id_docs, _SQL_LANG),
+    "quality_score_docs": (q_quality_score_docs, _SQL_QUALITY),
+    "knn_embeddings": (q_knn_embeddings, _SQL_KNN),
+    "embedding_label_centroids": (q_embedding_label_centroids, _SQL_CENTROIDS),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

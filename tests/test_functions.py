@@ -1,0 +1,124 @@
+"""Unit tests for the scalar function libraries (temporal/geo/text/stats)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from geo_big_data_analysis_spark.functions import geo, stats, temporal, text as tx
+
+
+def test_dayofweek_monday0(spark):
+    # 2024-01-01 is a Monday, 2024-01-07 a Sunday
+    df = spark.createDataFrame(
+        [("2024-01-01",), ("2024-01-07",), ("2024-01-06",)], ["d"]
+    ).select(temporal.dayofweek_monday0(F.to_timestamp("d")).alias("dow"))
+    assert [r.dow for r in df.collect()] == [0, 6, 5]
+
+
+def test_parse_us_12h(spark):
+    df = spark.createDataFrame([("03/14/2024 05:32:10 PM",)], ["s"]).select(
+        temporal.parse_us_12h("s").alias("ts")
+    )
+    ts = df.first().ts
+    assert (ts.month, ts.day, ts.hour, ts.minute) == (3, 14, 17, 32)
+
+
+def test_is_weekend_and_buckets(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 08:00:00",), ("2024-01-06 08:00:00",), ("2024-01-01 23:30:00",)],
+        ["s"],
+    ).select(
+        temporal.is_weekend(F.to_timestamp("s")).alias("w"),
+        temporal.time_interval_bucket(F.to_timestamp("s")).alias("b"),
+    )
+    rows = df.collect()
+    assert [r.w for r in rows] == [0, 1, 0]
+    assert [r.b for r in rows] == ["morning_peak", "day", "night"]
+
+
+def test_haversine_known_distance(spark):
+    # JFK (40.6413,-73.7781) to LGA (40.7769,-73.8740) ≈ 17.0 km
+    df = spark.range(1).select(
+        geo.haversine_km(
+            F.lit(40.6413), F.lit(-73.7781), F.lit(40.7769), F.lit(-73.8740)
+        ).alias("d")
+    )
+    assert abs(df.first().d - 17.0) < 0.5
+
+
+def test_bearing_cardinal(spark):
+    df = spark.range(1).select(
+        geo.bearing_deg(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(0.0)).alias("north"),
+        geo.bearing_deg(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(1.0)).alias("east"),
+    )
+    r = df.first()
+    assert abs(r.north - 0.0) < 1e-6 and abs(r.east - 90.0) < 1e-6
+
+
+def test_grid_cell_and_bbox(spark):
+    df = spark.createDataFrame([Row(lat=40.76, lon=-73.98)])
+    gx, gy = geo.grid_cell("lat", "lon", 40.5, -74.3, 0.05)
+    r = df.select(gx.alias("gx"), gy.alias("gy"), geo.in_bbox("lat", "lon", 40.5, 41.0, -74.3, -73.7).alias("ok")).first()
+    assert (r.gx, r.gy, r.ok) == (6, 5, True)
+
+
+def test_clean_text_and_tokens(spark):
+    df = spark.createDataFrame(
+        [("Check THIS http://x.co/a out!! 123 ok",)], ["t"]
+    ).select(
+        tx.clean_text("t").alias("c"),
+        tx.token_count("t").alias("n"),
+        tx.lang_id(F.lit("the cat and the dog of them")).alias("lang"),
+    )
+    r = df.first()
+    assert r.c == "check this out ok"
+    assert r.n == 6
+    assert r.lang == "en"
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mn, mx = (
+        docs.select(tx.quality_score("text").alias("q"))
+        .agg(F.min("q"), F.max("q"))
+        .first()
+    )
+    assert 0.0 <= mn <= mx <= 1.0
+
+
+def test_rmsle_zero_when_equal(spark):
+    df = spark.createDataFrame([(1.0, 1.0), (5.0, 5.0)], ["a", "b"])
+    assert df.agg(stats.rmsle("a", "b").alias("m")).first().m == 0.0
+
+
+def test_skewness_pop_matches_numpy(spark):
+    import numpy as np
+
+    vals = [1.0, 2.0, 2.0, 3.0, 9.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = df.agg(stats.skewness_pop("x").alias("s")).first().s
+    arr = np.array(vals)
+    m2 = ((arr - arr.mean()) ** 2).mean()
+    m3 = ((arr - arr.mean()) ** 3).mean()
+    assert abs(got - m3 / m2**1.5) < 1e-9
+
+
+def test_linregress_perfect_line(spark):
+    df = spark.createDataFrame([(float(i), 2.0 * i + 1.0) for i in range(10)], ["x", "y"])
+    r = df.agg(*stats.linregress_aggs("x", "y")).first()
+    assert abs(r.slope - 2.0) < 1e-9 and abs(r.intercept - 1.0) < 1e-9 and abs(r.r2 - 1.0) < 1e-9
+
+
+def test_equirect_consistent_with_haversine(spark):
+    # short distances: planar distance on equirect projection ≈ haversine
+    df = spark.createDataFrame([Row(lat1=40.75, lon1=-73.99, lat2=40.76, lon2=-73.98)])
+    x1, y1 = geo.equirect_xy_m("lat1", "lon1", 40.75)
+    x2, y2 = geo.equirect_xy_m("lat2", "lon2", 40.75)
+    r = df.select(
+        (F.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2) / 1000.0).alias("planar"),
+        geo.haversine_km("lat1", "lon1", "lat2", "lon2").alias("hav"),
+    ).first()
+    assert abs(r.planar - r.hav) / r.hav < 0.01

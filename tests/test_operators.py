@@ -1,0 +1,197 @@
+"""Tests for engine operators: cleaning, sessionize, spatial join, KNN,
+dedup, similarity."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from geo_big_data_analysis_spark.operators import (
+    cleaning,
+    dedup,
+    knn,
+    sessionize as sz,
+    similarity,
+    spatial_join,
+)
+from geo_big_data_analysis_spark.functions.geo import make_grid
+
+
+def test_clean_with_audit(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, None), (3, -5.0)], ["id", "v"])
+    kept, rejected = cleaning.clean_with_audit(df, F.col("v") > 0)
+    assert [r.id for r in kept.collect()] == [1]
+    assert sorted(r.id for r in rejected.collect()) == [2, 3]
+
+
+def test_dedup_by_key_first_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b"), (2, 2, "c")], ["k", "ord", "val"]
+    )
+    out = cleaning.dedup_by_key(df, ["k"], order_col="ord")
+    got = {r.k: r.val for r in out.collect()}
+    assert got == {1: "a", 2: "c"}
+
+
+def test_replace_values(spark):
+    df = spark.createDataFrame([(0,), (7,), (3,)], ["pc"])
+    out = cleaning.replace_values(df, "pc", {0: 1, 7: 6, 8: 6, 9: 6})
+    assert sorted(r.pc for r in out.collect()) == [1, 3, 6]
+
+
+def test_sessionize_known_gaps(spark):
+    rows = [
+        ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-01 10:20:00"),
+        ("u1", "2024-01-01 12:00:00"),  # > 60 min gap → new session
+        ("u2", "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, ["u", "s"]).select(
+        "u", F.to_timestamp("s").alias("ts")
+    )
+    out = sz.sessionize(df, "ts", gap_minutes=60, keys=["u"])
+    sess = {(r.u, str(r.ts)): r.session_id for r in out.collect()}
+    assert sess[("u1", "2024-01-01 10:00:00")] == sess[("u1", "2024-01-01 10:20:00")]
+    assert sess[("u1", "2024-01-01 12:00:00")] == sess[("u1", "2024-01-01 10:00:00")] + 1
+    stats = sz.session_stats(out, "ts", keys=["u"])
+    n = {(r.u, r.session_id): r.n_events for r in stats.collect()}
+    assert n[("u1", 1)] == 2 and n[("u1", 2)] == 1 and n[("u2", 1)] == 1
+
+
+def test_anomaly_threshold(spark):
+    counts = spark.createDataFrame(
+        [(i, 10) for i in range(20)] + [(99, 100)], ["b", "n"]
+    )
+    out = sz.anomaly_threshold_filter(counts, sigmas=2.0)
+    assert [r.b for r in out.collect()] == [99]
+
+
+def test_point_in_rect_join(spark):
+    grid = make_grid(spark, -74.0, 40.0, -73.9, 40.1, 0.05)
+    pts = spark.createDataFrame(
+        [Row(id=1, lat=40.01, lon=-73.99), Row(id=2, lat=40.09, lon=-73.91), Row(id=3, lat=50.0, lon=0.0)]
+    )
+    out = spatial_join.point_in_rect_join(pts, grid)
+    got = {r.id: (r.gx, r.gy) for r in out.collect()}
+    assert got == {1: (0, 0), 2: (1, 1)}
+
+
+def test_point_in_polygon_refine(spark):
+    square = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    pts = spark.createDataFrame(
+        [Row(id=1, lat=1.0, lon=1.0, poly=square), Row(id=2, lat=3.0, lon=1.0, poly=square)]
+    )
+    out = spatial_join.point_in_polygon_refine(pts, "lat", "lon", "poly")
+    assert [r.id for r in out.collect()] == [1]
+
+
+def _brute_knn(points, k):
+    out = {}
+    for pid, px, py in points:
+        ds = sorted(
+            (math.hypot(px - qx, py - qy), qid)
+            for qid, qx, qy in points
+            if qid != pid
+        )[:k]
+        out[pid] = [qid for _, qid in ds]
+    return out
+
+
+def test_knn_grid_matches_bruteforce(spark):
+    import random
+
+    rnd = random.Random(7)
+    pts = [(i, rnd.uniform(0, 10), rnd.uniform(0, 10)) for i in range(60)]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    expected = _brute_knn(pts, 3)
+    got_bf = knn.knn_join_bruteforce(df, df, 3)
+    got_gr = knn.knn_join_grid(df, df, 3, cell=5.0)
+    for out in (got_bf, got_gr):
+        by_q = {}
+        for r in out.collect():
+            by_q.setdefault(r.query_id, []).append((r.knn_rank, r.neighbor_id))
+        for q, nbrs in expected.items():
+            assert [n for _, n in sorted(by_q[q])] == nbrs
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World!"), (2, "hello world"), (3, "different doc")],
+        ["doc_id", "text"],
+    )
+    out = {r.keep_id: r.n_copies for r in dedup.exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_near_dup_finds_planted_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the park"
+    near = base.replace("lazy", "sleepy")
+    other = "completely unrelated content about spark query engines and shuffles everywhere"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    pairs = dedup.minhash_near_dup_pairs(df, "text", "doc_id", jaccard_threshold=0.5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy cat near the river bank"),
+            (3, "astronomy telescopes observe distant quasars through adaptive optics"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = {r.doc_id: r.simhash for r in dedup.simhash64(df, "text", "doc_id").collect()}
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
+
+
+def test_ngram_jaccard_identical_is_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    out = dedup.ngram_jaccard(df, "text", "doc_id", pairs).first()
+    assert out.jaccard == 1.0
+
+
+def test_cosine_topk_self_similarity(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    out = similarity.cosine_topk_bruteforce(
+        emb, emb, k=3, exclude_self=False
+    )
+    top1 = {r.query_id: r.neighbor_id for r in out.filter(F.col("sim_rank") == 1).collect()}
+    # every vector's nearest neighbor (rank 1, self included) is itself
+    assert all(q == n for q, n in top1.items())
+
+
+def test_srp_topk_recall_on_clustered_vectors(spark):
+    # SRP-LSH preserves *high-cosine* neighbors; plant 5 tight clusters so
+    # true neighbors are genuinely similar (random vectors have no
+    # neighbor structure for any LSH to preserve).
+    import random
+
+    rnd = random.Random(3)
+    dim, n_clusters, per = 16, 5, 12
+    centers = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(per):
+            rows.append((ci * per + j, [v + rnd.gauss(0, 0.05) for v in c]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(3)]
+    q = emb.filter(F.col("vec_id") % per == 0)
+    exact = similarity.cosine_topk_bruteforce(q, emb, k=3)
+    approx = similarity.cosine_topk_srp(q, emb, k=3, planes=planes)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall > 0.8  # same-cluster vectors share SRP signs w.h.p.
