@@ -1,0 +1,216 @@
+"""Graph operators: degree, weighted SSSP (with cutoff), isochrone.
+
+Reference semantics:
+- G7 node degree: lab3a nb (cell 20, json 1314) ``dict(G_proj.degree())``
+- G4 weighted shortest path: lab3a nb (cell 8, json 302)
+  ``nx.shortest_path(G, o, d, weight='length')`` (Dijkstra)
+- G6 isochrone/ego-graph: lab3a nb (cell 12, json 520)
+  ``nx.ego_graph(G, node, radius=900, distance='travel_time')`` +
+  convex hull of reachable nodes.
+
+Spark-first: SSSP is iterative Bellman-Ford-style relaxation — each
+round joins the frontier with the edge list (hash join on src) and
+keeps the min distance per node. With a cutoff (isochrone), iteration
+count is bounded by cutoff/min_edge_weight; without, by graph diameter
+in hops. Each round shuffles only the frontier (changed nodes), so work
+decays as the search converges. At cluster scale the edge list is
+pre-partitioned by src so frontier joins are co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """G7 — undirected degree per node (counts parallel edges, matching
+    networkx MultiGraph.degree)."""
+    ends = edges.select(F.col(src).alias("id")).unionByName(
+        edges.select(F.col(dst).alias("id"))
+    )
+    return ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def sssp_distributed(
+    edges: DataFrame,
+    source: int,
+    weight: str = "weight",
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+    cutoff: float | None = None,
+    max_iter: int = 100,
+    check_every: int = 4,
+) -> DataFrame:
+    """G4 scale path — frontier-based distributed relaxation.
+
+    Returns (id, dist) for every reachable node (dist ≤ cutoff if given).
+    Only nodes improved in round k join the edge list in round k+1, so
+    per-round work decays as the search converges. Each round's frontier
+    and distance table are materialized (localCheckpoint) — both are
+    consumed twice by the next round, and leaving them lazy recomputes
+    the whole prefix exponentially. The emptiness check runs every
+    ``check_every`` rounds (it is a separate job; extra no-op rounds
+    after convergence are harmless).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight).cast("double").alias("w"),
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+    e = e.localCheckpoint()
+
+    dist = e.sparkSession.createDataFrame([(source, 0.0)], ["id", "dist"])
+    frontier = dist
+    for it in range(max_iter):
+        cand = (
+            frontier.join(e, frontier["id"] == e["src"], "inner")
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        if cutoff is not None:
+            cand = cand.filter(F.col("nd") <= cutoff)
+        joined = cand.join(dist, "id", "left")
+        improved = joined.filter(
+            F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
+        ).select("id", F.col("nd").alias("dist")).localCheckpoint()
+        dist = (
+            dist.join(improved.select(F.col("id").alias("_iid")), dist["id"] == F.col("_iid"), "left_anti")
+            .unionByName(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+        if (it + 1) % check_every == 0 and frontier.isEmpty():
+            break
+    return dist
+
+
+def _sssp_driver(
+    edges: DataFrame, source: int, weight: str, src: str, dst: str,
+    directed: bool, cutoff: float | None,
+) -> DataFrame:
+    """G4 small-graph path — heap Dijkstra on collected edges.
+
+    Numerically identical to the distributed path; right when the edge
+    list fits the driver (the reference's road networks are ~10⁴ edges —
+    SURVEY §2.10 notes the driver-side fallback explicitly). Result is
+    returned as a DataFrame so downstream plan shape is unchanged.
+    """
+    import heapq
+
+    rows = edges.select(
+        F.col(src).cast("bigint"), F.col(dst).cast("bigint"),
+        F.col(weight).cast("double"),
+    ).collect()
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for u, v, w in rows:
+        adj.setdefault(u, []).append((v, w))
+        if not directed:
+            adj.setdefault(v, []).append((u, w))
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if (cutoff is None or nd <= cutoff) and nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return edges.sparkSession.createDataFrame(
+        sorted(dist.items()), ["id", "dist"]
+    ).select(F.col("id").cast("bigint"), F.col("dist").cast("double"))
+
+
+def sssp(
+    edges: DataFrame,
+    source: int,
+    weight: str = "weight",
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+    cutoff: float | None = None,
+    max_iter: int = 100,
+    driver_threshold: int = 200_000,
+) -> DataFrame:
+    """G4 — single-source shortest paths; size-dispatched physical
+    strategy (same pattern as driver-side Voronoi, SURVEY §2.8): heap
+    Dijkstra when the edge list fits the driver, distributed frontier
+    relaxation otherwise. Both paths return the same (id, dist) table
+    and are cross-verified in tests/test_graph.py."""
+    if edges.count() <= driver_threshold:
+        return _sssp_driver(edges, source, weight, src, dst, directed, cutoff)
+    return sssp_distributed(
+        edges, source, weight, src, dst, directed, cutoff, max_iter
+    )
+
+
+def shortest_path_length(
+    edges: DataFrame, source: int, target: int, weight: str = "weight", **kw
+) -> float | None:
+    """G4 — distance between two nodes (None if unreachable)."""
+    row = sssp(edges, source, weight, **kw).filter(F.col("id") == target).first()
+    return row["dist"] if row else None
+
+
+def isochrone_nodes(
+    edges: DataFrame,
+    nodes: DataFrame,
+    source: int,
+    radius: float,
+    weight: str = "travel_time",
+    **kw,
+) -> DataFrame:
+    """G6 — nodes reachable within ``radius`` (ego-graph by travel time),
+    joined back to node coordinates."""
+    reach = sssp(edges, source, weight=weight, cutoff=radius, **kw)
+    return nodes.join(reach, "id", "inner")
+
+
+def convex_hull(points: DataFrame, x: str = "x", y: str = "y") -> list[tuple[float, float]]:
+    """Convex hull of a (small, already-reduced) node set — Andrew's
+    monotone chain on the collected points. The input here is an
+    isochrone's reachable set (thousands at most after `sssp` bounded by
+    radius), so driver-side is the right cost model; the distributed
+    stand-in at scale is a per-partition hull + final merge (hulls
+    compose associatively)."""
+    pts = sorted((r[0], r[1]) for r in points.select(x, y).collect())
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return lower[:-1] + upper[:-1]
+
+
+def points_in_hull(points: DataFrame, hull: list[tuple[float, float]], x: str = "x", y: str = "y") -> DataFrame:
+    """POI-accessibility refinement (lab3a cell 15): filter points to a
+    convex polygon via a half-plane conjunction — pure column math, no
+    UDF (hull vertices are counter-clockwise)."""
+    pred = F.lit(True)
+    n = len(hull)
+    for i in range(n):
+        x1, y1 = hull[i]
+        x2, y2 = hull[(i + 1) % n]
+        cross = (F.lit(x2 - x1)) * (F.col(y) - F.lit(y1)) - (F.lit(y2 - y1)) * (
+            F.col(x) - F.lit(x1)
+        )
+        pred = pred & (cross >= 0)
+    return points.filter(pred)

@@ -755,6 +755,180 @@ GROUP BY c.label, n ORDER BY c.label
 
 
 # --------------------------------------------------------------------------
+# Graph / clustering / composed pipelines
+# --------------------------------------------------------------------------
+
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7 — node degree over the part–supplier bipartite graph derived
+    from lineitem (part nodes = 2·partkey, supplier nodes = 2·suppkey+1)."""
+    from ..graph.algorithms import degrees
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    return degrees(edges).withColumnRenamed("id", "node_id")
+
+
+_SQL_DEGREE = """
+WITH e AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+ends AS (SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e)
+SELECT node_id::BIGINT AS node_id, count(*)::BIGINT AS degree FROM ends GROUP BY node_id
+"""
+
+
+def q_knn_grid_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — grid-bucketed KNN join on derived 2-D points, exact vs the
+    oracle's brute-force ranking (ties broken by neighbor id)."""
+    from ..operators.knn import knn_join_grid
+
+    pts = _derived_points(_t(spark, sf_dir, "events")).select(
+        F.col("event_id").alias("id"), F.col("lon").alias("x"), F.col("lat").alias("y")
+    )
+    q = pts.filter(F.col("id") < 200)
+    out = knn_join_grid(q, pts, k=5, cell=0.05)
+    return out.select(
+        "query_id", "neighbor_id", F.round("dist", 9).alias("dist"), "knn_rank"
+    )
+
+
+_SQL_KNN_GRID = f"""
+WITH p AS (SELECT event_id AS id,
+                  -74.3 + (event_id % 1000) / 1000.0 * 0.6 AS x,
+                  40.5 + ((event_id * 7) % 1000) / 1000.0 * 0.5 AS y
+           FROM events),
+pairs AS (
+  SELECT q.id AS query_id, b.id AS neighbor_id,
+         sqrt((q.x - b.x) * (q.x - b.x) + (q.y - b.y) * (q.y - b.y)) AS dist
+  FROM p q, p b WHERE q.id < 200 AND b.id <> q.id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS knn_rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(dist, 9) AS dist, knn_rank::BIGINT AS knn_rank
+FROM ranked WHERE knn_rank <= 5
+"""
+
+
+def q_dbscan_event_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — distributed DBSCAN over derived event points in local meters
+    (eps=500 m, min_samples=5). Iterative connected components → no SQL
+    oracle (rows-only); the partition contract is pytest-verified against
+    a pure-python reference (tests/test_dbscan.py)."""
+    from ..functions.geo import equirect_xy_m
+    from ..operators.dbscan import dbscan
+
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    x, y = equirect_xy_m("lat", "lon", 40.75)
+    pts = pts.select(F.col("event_id").alias("id"), x.alias("x"), y.alias("y"))
+    labels = dbscan(pts, eps=500.0, min_samples=5)
+    return (
+        labels.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .orderBy(F.col("n_points").desc(), F.col("cluster").asc())
+    )
+
+
+def q_sssp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — weighted SSSP from node 0 over a deterministic 20×20 grid
+    graph (edge weight = 1 + (src·dst mod 7)). Iterative frontier
+    relaxation → no SQL oracle (rows-only); Dijkstra-parity is
+    pytest-verified (tests/test_graph.py)."""
+    from ..graph.algorithms import sssp
+
+    n = 20
+    ids = spark.range(n * n).select(F.col("id").cast("bigint"))
+    right = ids.filter((F.col("id") % n) < n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    down = ids.filter(F.col("id") < n * (n - 1)).select(
+        F.col("id").alias("src"), (F.col("id") + n).alias("dst")
+    )
+    edges = right.unionByName(down).withColumn(
+        "weight", (F.lit(1) + (F.col("src") * F.col("dst")) % 7).cast("double")
+    )
+    return sssp(edges, 0, directed=False).orderBy("id")
+
+
+def q_lab1_noise_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Lab-1 pipeline (SURVEY §3.1) on the events table:
+    type filter → bbox filter → hourly counts → μ+2σ anomaly → 2-hour-gap
+    sessionization → per-session stats, ordered by peak size.
+    One lazy DAG end-to-end."""
+    ev = _derived_points(_t(spark, sf_dir, "events"))
+    cleaned = ev.filter(
+        (F.col("event_type") == "error")
+        & in_bbox("lat", "lon", 40.55, 40.95, -74.25, -73.75)
+    )
+    hourly = sz.hourly_counts(cleaned, "ts")
+    dense = sz.anomaly_threshold_filter(hourly, sigmas=1.0)
+    sessions = sz.sessionize(dense, "bucket_ts", gap_minutes=120.0)
+    return (
+        sessions.groupBy("session_id")
+        .agg(
+            F.min("bucket_ts").alias("start_time"),
+            F.max("bucket_ts").alias("end_time"),
+            F.max("n").alias("max_count"),
+            F.round(F.avg("n"), 6).alias("avg_count"),
+        )
+        .orderBy(F.col("max_count").desc(), F.col("start_time").asc())
+    )
+
+
+_SQL_LAB1 = """
+WITH pts AS (
+  SELECT *, -74.3 + (event_id % 1000) / 1000.0 * 0.6 AS lon,
+         40.5 + ((event_id * 7) % 1000) / 1000.0 * 0.5 AS lat
+  FROM events
+), cleaned AS (
+  SELECT * FROM pts
+  WHERE event_type = 'error' AND lat BETWEEN 40.55 AND 40.95 AND lon BETWEEN -74.25 AND -73.75
+), h AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, count(*)::BIGINT AS n FROM cleaned GROUP BY 1
+), s AS (SELECT avg(n) AS mu, coalesce(stddev_pop(n), 0.0) AS sigma FROM h),
+dense AS (SELECT bucket_ts, n FROM h, s WHERE n > mu + 1.0 * sigma),
+flags AS (
+  SELECT bucket_ts, n,
+         CASE WHEN lag(bucket_ts) OVER w IS NULL
+                OR bucket_ts > lag(bucket_ts) OVER w + INTERVAL 120 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM dense WINDOW w AS (ORDER BY bucket_ts)
+), sess AS (
+  SELECT bucket_ts, n, sum(new_s) OVER (ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flags
+)
+SELECT session_id::BIGINT AS session_id, min(bucket_ts) AS start_time,
+       max(bucket_ts) AS end_time, max(n)::BIGINT AS max_count, round(avg(n), 6) AS avg_count
+FROM sess GROUP BY session_id
+ORDER BY max_count DESC, start_time ASC
+"""
+
+
+def q_status_remap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+F10 — set-membership filter + value remap (passenger-count
+    remap pattern, lab2 nb cell 5), on order status/priority."""
+    from ..operators.cleaning import replace_values
+
+    orders = _t(spark, sf_dir, "orders")
+    filtered = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")
+    )
+    remapped = replace_values(filtered, "o_orderstatus", {"P": "O"})
+    return remapped.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_SQL_REMAP = """
+SELECT CASE WHEN o_orderstatus = 'P' THEN 'O' ELSE o_orderstatus END AS o_orderstatus,
+       o_orderpriority, count(*)::BIGINT AS n
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -789,6 +963,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_score_docs": (q_quality_score_docs, _SQL_QUALITY),
     "knn_embeddings": (q_knn_embeddings, _SQL_KNN),
     "embedding_label_centroids": (q_embedding_label_centroids, _SQL_CENTROIDS),
+    "graph_degree": (q_graph_degree, _SQL_DEGREE),
+    "knn_grid_points": (q_knn_grid_points, _SQL_KNN_GRID),
+    "dbscan_event_clusters": (q_dbscan_event_clusters, None),
+    "sssp_grid": (q_sssp_grid, None),
+    "lab1_noise_pipeline": (q_lab1_noise_pipeline, _SQL_LAB1),
+    "status_remap_counts": (q_status_remap_counts, _SQL_REMAP),
 }
 
 

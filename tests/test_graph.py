@@ -1,0 +1,131 @@
+"""Graph operator tests vs a pure-python Dijkstra reference on a
+planted Manhattan-like grid (FIXTURES.md §6 shape)."""
+
+from __future__ import annotations
+
+import heapq
+import random
+
+from pyspark.sql import functions as F
+
+from geo_big_data_analysis_spark.graph.algorithms import (
+    convex_hull,
+    degrees,
+    isochrone_nodes,
+    points_in_hull,
+    shortest_path_length,
+    sssp,
+    sssp_distributed,
+)
+
+N = 8  # 8×8 grid
+
+
+def _grid_graph():
+    """Grid with deterministic pseudo-random weights; 4-neighbor edges."""
+    rnd = random.Random(42)
+    nodes = [(r * N + c, float(c) * 100.0, float(r) * 100.0) for r in range(N) for c in range(N)]
+    edges = []
+    for r in range(N):
+        for c in range(N):
+            u = r * N + c
+            if c + 1 < N:
+                edges.append((u, u + 1, 100.0 + rnd.uniform(0, 20)))
+            if r + 1 < N:
+                edges.append((u, u + N, 100.0 + rnd.uniform(0, 20)))
+    return nodes, edges
+
+
+def _dijkstra(edges, source, directed=False):
+    adj = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+        if not directed:
+            adj.setdefault(v, []).append((u, w))
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_degrees_grid_distribution(spark):
+    nodes, edges = _grid_graph()
+    edf = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    deg = {r.id: r.degree for r in degrees(edf).collect()}
+    # closed-form: corners 2, edges 3, interior 4 (FIXTURES.md §6)
+    from collections import Counter
+
+    c = Counter(deg.values())
+    assert c[2] == 4 and c[3] == 4 * (N - 2) and c[4] == (N - 2) ** 2
+
+
+def test_sssp_matches_dijkstra(spark):
+    nodes, edges = _grid_graph()
+    edf = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    ref = _dijkstra(edges, 0)
+    got = {r.id: r.dist for r in sssp(edf, 0, directed=False).collect()}
+    assert set(got) == set(ref)
+    assert all(abs(got[k] - ref[k]) < 1e-9 for k in ref)
+
+
+def test_sssp_distributed_matches_driver_path(spark):
+    # cross-verify the scale path against the driver path on a smaller grid
+    rnd = random.Random(1)
+    n = 5
+    edges = []
+    for r in range(n):
+        for c in range(n):
+            u = r * n + c
+            if c + 1 < n:
+                edges.append((u, u + 1, 1.0 + rnd.uniform(0, 1)))
+            if r + 1 < n:
+                edges.append((u, u + n, 1.0 + rnd.uniform(0, 1)))
+    edf = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    ref = _dijkstra(edges, 0)
+    got = {r.id: r.dist for r in sssp_distributed(edf, 0, directed=False).collect()}
+    assert set(got) == set(ref)
+    assert all(abs(got[k] - ref[k]) < 1e-9 for k in ref)
+
+
+def test_sssp_directed_unreachable(spark):
+    edf = spark.createDataFrame([(0, 1, 1.0), (1, 2, 1.0)], ["src", "dst", "weight"])
+    got = {r.id: r.dist for r in sssp(edf, 2, directed=True).collect()}
+    assert got == {2: 0.0}  # nothing reachable from sink
+
+
+def test_shortest_path_length_corner_to_corner(spark):
+    nodes, edges = _grid_graph()
+    edf = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    ref = _dijkstra(edges, 0)[N * N - 1]
+    got = shortest_path_length(edf, 0, N * N - 1, directed=False)
+    assert abs(got - ref) < 1e-9
+
+
+def test_isochrone_cutoff_set(spark):
+    nodes, edges = _grid_graph()
+    ndf = spark.createDataFrame(nodes, ["id", "x", "y"])
+    edf = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    radius = 350.0
+    ref = {k for k, v in _dijkstra(edges, 0).items() if v <= radius}
+    iso = isochrone_nodes(edf, ndf, 0, radius, weight="weight", directed=False)
+    assert {r.id for r in iso.collect()} == ref
+
+
+def test_convex_hull_and_membership(spark):
+    pts = spark.createDataFrame(
+        [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (2.0, 2.0), (1.0, 3.0)],
+        ["x", "y"],
+    )
+    hull = convex_hull(pts)
+    assert sorted(hull) == [(0.0, 0.0), (0.0, 4.0), (4.0, 0.0), (4.0, 4.0)]
+    probe = spark.createDataFrame([(1, 2.0, 2.0), (2, 5.0, 2.0)], ["id", "x", "y"])
+    inside = points_in_hull(probe, hull)
+    assert [r.id for r in inside.collect()] == [1]
