@@ -18,8 +18,11 @@ from pyspark.sql import functions as F
 
 from ..functions.text import clean_text
 
-# 64-bit Mersenne-ish prime used for minhash permutations
-_P = 2305843009213693951  # 2^61 - 1
+# Mersenne prime 2^31-1: minhash permutations (a*x+b) mod P stay well
+# below 2^63 (a,x < 2^31 → a*x < 2^62), so the arithmetic is exact AND
+# ANSI-safe (no long overflow) — the driver runs queries on a vanilla
+# ANSI-enabled Spark 4 session.
+_P = 2147483647
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -51,17 +54,29 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_hashes: int
     """MinHash signature per document: for permutation j,
     min over shingles of (a_j * xxhash64(shingle) + b_j mod P).
 
-    Entirely built-in expressions: array_min over a transform — no UDF.
+    Shape: explode shingles once, hash each shingle ONCE, then compute
+    all permutations as 64 ``min`` aggregates over that single long —
+    map-side partial aggregation does the heavy lifting, and the
+    shingle/text expressions are never duplicated per permutation
+    (inlining them 64× blows up codegen and recomputes the tokenizer).
     """
-    sh = shingles(text_col, shingle_n)
-    sig_cols = []
-    for j in range(num_hashes):
-        a, b = 2 * j + 1, 1000003 * (j + 1)
-        h = F.array_min(
-            F.transform(sh, lambda s: F.pmod(F.xxhash64(s) * a + b, F.lit(_P)))
-        )
-        sig_cols.append(h.alias(f"mh_{j}"))
-    return df.select(F.col(id_col).alias("doc_id"), F.array(*sig_cols).alias("minhash"))
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(text_col, shingle_n)).alias("_s"),
+    ).select("doc_id", F.pmod(F.xxhash64("_s"), F.lit(_P)).alias("_h"))
+    aggs = [
+        F.min(
+            F.pmod(
+                F.col("_h") * F.lit((2654435761 * (j + 1)) % _P) + F.lit(40503 * (j + 1) % _P),
+                F.lit(_P),
+            )
+        ).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"mh_{j}" for j in range(num_hashes)]).alias("minhash")
+    )
 
 
 def lsh_candidates(signatures: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:

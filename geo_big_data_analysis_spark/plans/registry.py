@@ -29,8 +29,9 @@ from pyspark.sql import functions as F
 from ..functions import temporal, text as tx
 from ..functions.stats import linregress_aggs
 from ..functions.geo import grid_cell, haversine_km, in_bbox
+from ..operators import dedup as dd
 from ..operators import sessionize as sz
-from ..operators.similarity import cosine_topk_bruteforce
+from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_srp, with_cosine
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -689,9 +690,113 @@ FROM q
 """
 
 
+def q_minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection (shingle→minhash→band→bucket-join→
+    exact-Jaccard verify). 64 hashes / 32 bands × 2 rows ⇒ candidate
+    recall ≈ 1-(1-j²)^32 (>1-1e-13 at j=0.8), so the output equals the
+    oracle's brute-force all-pairs Jaccard≥0.8 — LSH is purely the scale
+    path (no cross product; integer band-hash shuffle keys)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.minhash_near_dup_pairs(
+        docs, "text", "doc_id", jaccard_threshold=0.8, num_hashes=64, bands=32
+    )
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SHINGLES_SQL = (
+    "list_distinct([array_to_string(toks[i:i+2], ' ') "
+    "for i in range(1, greatest(len(toks)-2, 1)+1)])"
+)
+
+_SQL_MINHASH_NEAR_DUP = f"""
+WITH docs AS (SELECT doc_id, {_CLEAN_SQL} AS ct FROM documents),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(ct, ' ') AS toks FROM docs)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles))::DOUBLE
+           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.8
+"""
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (64-bit sign-sum over token xxhash64 bits).
+    xxhash64 has no DuckDB twin → rows-only; the hamming-distance
+    contract is pytest-verified (tests/test_operators.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash64(docs, "text", "doc_id")
+
+
 # --------------------------------------------------------------------------
 # Embeddings / similarity search
 # --------------------------------------------------------------------------
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.45), exact baseline.
+
+    Block-nested join over the partitioned base — the exact-answer path;
+    the SRP-bucketed variant (srp_topk_embeddings) is the approximate
+    scale path."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    # compute each vector's norm ONCE before the join — recomputing it
+    # per pair inside the cross join is O(n²·d) wasted work
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v * v))
+    with_norm = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    a = with_norm.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        pairs.withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= 0.45)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+_SQL_EMB_NEAR_DUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM e a, e b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.45
+"""
+
+
+def q_srp_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: signed-random-projection buckets → equi-join →
+    exact rerank. Approximate by design → rows-only; recall vs the exact
+    baseline is pytest-verified."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = 64
+    # deterministic pseudo-random hyperplanes (LCG over plane·dim index)
+    planes = [
+        [(((1103515245 * (p * dim + d) + 12345) % 2147483648) / 2147483648.0) - 0.5
+         for d in range(dim)]
+        for p in range(4)
+    ]
+    queries = emb.filter(F.col("vec_id") < 32)
+    return cosine_topk_srp(queries, emb, k=5, planes=planes).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "sim_rank"
+    )
+
 
 def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10/ANN — exact cosine top-5 neighbors for a query subset.
@@ -958,6 +1063,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "geo_grid_density": (q_geo_grid_density, _SQL_GRID),
     "haversine_stats": (q_haversine_stats, _SQL_HAVERSINE),
     "exact_dedup_docs": (q_exact_dedup_docs, _SQL_DEDUP),
+    "minhash_near_dup_docs": (q_minhash_near_dup_docs, _SQL_MINHASH_NEAR_DUP),
+    "simhash_docs": (q_simhash_docs, None),
+    "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),
+    "srp_topk_embeddings": (q_srp_topk_embeddings, None),
     "token_stats_docs": (q_token_stats_docs, _SQL_TOKENS),
     "lang_id_docs": (q_lang_id_docs, _SQL_LANG),
     "quality_score_docs": (q_quality_score_docs, _SQL_QUALITY),
