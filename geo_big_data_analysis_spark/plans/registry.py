@@ -860,6 +860,195 @@ GROUP BY c.label, n ORDER BY c.label
 
 
 # --------------------------------------------------------------------------
+# ML / feature-engineering (SURVEY §2.9)
+# --------------------------------------------------------------------------
+
+def q_one_hot_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — one-hot dummies (fixed category list, pd.get_dummies parity)
+    summed per dow: proves the dummy columns, not just the counts."""
+    from ..ml.features import one_hot
+
+    ev = _t(spark, sf_dir, "events")
+    d = one_hot(
+        ev.withColumn("dow", temporal.dayofweek_monday0("ts")), "event_type", EVENT_TYPES, "et"
+    )
+    return d.groupBy("dow").agg(
+        *[F.sum(f"et_{c}").alias(f"et_{c}") for c in EVENT_TYPES]
+    ).orderBy("dow")
+
+
+_SQL_ONE_HOT = """
+SELECT (isodow(ts) - 1)::INT AS dow,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS et_click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS et_error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS et_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS et_signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS et_view
+FROM events GROUP BY 1 ORDER BY dow
+"""
+
+
+def q_positional_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 — deterministic positional 70/30 split (np.split parity) by
+    event_id order, summarized per split."""
+    from ..ml.features import positional_split
+
+    ev = _t(spark, sf_dir, "events")
+    s = positional_split(ev, "event_id", 0.7)
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    ).orderBy("split")
+
+
+_SQL_POS_SPLIT = """
+WITH r AS (
+  SELECT *, row_number() OVER (ORDER BY event_id ASC) AS rn,
+         (SELECT count(*) FROM events) AS n_total
+  FROM events
+)
+SELECT (CASE WHEN rn <= floor(n_total * 0.7) THEN 0 ELSE 1 END)::INT AS split,
+       count(*)::BIGINT AS n, min(event_id)::BIGINT AS min_id, max(event_id)::BIGINT AS max_id,
+       round(avg(value), 6) AS avg_value
+FROM r GROUP BY 1 ORDER BY split
+"""
+
+
+def q_scaled_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 — standard scaling with fit/apply artifact split (fit global
+    μ/σ, apply as literals), then per-type stats of the z-scores."""
+    from ..ml.features import apply_standard_scaler, fit_standard_scaler
+
+    ev = _t(spark, sf_dir, "events")
+    stats = fit_standard_scaler(ev, ["value"])
+    z = apply_standard_scaler(ev, stats)
+    return z.groupBy("event_type").agg(
+        F.round(F.avg("value_z"), 6).alias("avg_z"),
+        F.round(F.min("value_z"), 6).alias("min_z"),
+        F.round(F.max("value_z"), 6).alias("max_z"),
+    )
+
+
+_SQL_SCALED = """
+WITH s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd FROM events)
+SELECT event_type,
+       round(avg((value - mu) / sd), 6) AS avg_z,
+       round(min((value - mu) / sd), 6) AS min_z,
+       round(max((value - mu) / sd), 6) AS max_z
+FROM events, s GROUP BY event_type
+"""
+
+
+def q_pca_axis_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — closed-form 2-D PCA (eigenvalues/axis angle of the coord
+    covariance matrix). Cross-checked against ml.feature.PCA in
+    tests/test_ml.py; the closed form is what the oracle can express."""
+    from ..ml.pipeline import pca2d_closed_form
+
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    out = pca2d_closed_form(pts, "lon", "lat")
+    return out.select(*[F.round(F.col(c), 6).alias(c) for c in out.columns])
+
+
+_SQL_PCA = f"""
+WITH p AS ({_DERIVED_POINTS_SQL}),
+a AS (
+  SELECT covar_samp(lon, lat) AS sxy, var_samp(lon) AS sxx, var_samp(lat) AS syy FROM p
+)
+SELECT round((sxx + syy) / 2 + sqrt(pow((sxx - syy) / 2, 2) + pow(sxy, 2)), 6) AS lambda1,
+       round((sxx + syy) / 2 - sqrt(pow((sxx - syy) / 2, 2) + pow(sxy, 2)), 6) AS lambda2,
+       round(((sxx + syy) / 2 + sqrt(pow((sxx - syy) / 2, 2) + pow(sxy, 2)))
+             / (sxx + syy), 6) AS explained_ratio,
+       round(atan2((sxx + syy) / 2 + sqrt(pow((sxx - syy) / 2, 2) + pow(sxy, 2)) - sxx, sxy), 6)
+         AS axis_angle
+FROM a
+"""
+
+
+_VORONOI_CENTERS: list[tuple[float, float]] | None = None
+
+
+def _voronoi_centers() -> list[tuple[float, float]]:
+    global _VORONOI_CENTERS
+    if _VORONOI_CENTERS is None:
+        from ..ml.pipeline import deterministic_centers
+
+        _VORONOI_CENTERS = deterministic_centers(15, -74.3, -73.7, 40.5, 41.0)
+    return _VORONOI_CENTERS
+
+
+def q_voronoi_region_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/M3 composition (lab2 nb cell 20): Voronoi-region assignment =
+    argmin distance to 15 driver-side centers (broadcast literal
+    when-chain — zero shuffle), then per-region mean feature."""
+    from ..ml.pipeline import assign_nearest_center
+
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    r = assign_nearest_center(pts, "lon", "lat", _voronoi_centers())
+    return r.groupBy("region_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    ).orderBy("region_id")
+
+
+def _sql_voronoi() -> str:
+    dists = ", ".join(
+        f"(pow(lon - ({cx!r}), 2) + pow(lat - ({cy!r}), 2))" for cx, cy in _voronoi_centers()
+    )
+    return f"""
+WITH p AS ({_DERIVED_POINTS_SQL}),
+d AS (SELECT *, [{dists}] AS dl FROM p)
+SELECT (list_indexof(dl, list_min(dl)) - 1)::INT AS region_id,
+       count(*)::BIGINT AS n, round(avg(value), 6) AS avg_value
+FROM d GROUP BY 1 ORDER BY region_id
+"""
+
+
+def q_kmeans_event_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 — seeded Spark-ML KMeans (k=8) over derived points; cluster
+    census (sizes + centroid coords). Iterative fit → rows-only; Lloyd
+    convergence properties are pytest-verified (tests/test_ml.py)."""
+    from ..ml.pipeline import kmeans_fit_predict
+
+    pts = _derived_points(_t(spark, sf_dir, "events")).select("event_id", "lon", "lat")
+    labeled, _centers = kmeans_fit_predict(pts, ["lon", "lat"], k=8, seed=42)
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("lon"), 6).alias("c_lon"),
+            F.round(F.avg("lat"), 6).alias("c_lat"),
+        )
+        .orderBy(F.col("n").desc(), F.col("cluster_id").asc())
+    )
+
+
+def q_gbt_value_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7+M9 — GBT regression (LightGBM stand-in) on a log1p target with
+    the Lab-2 shape: feature engineering → seeded 70/30 random split →
+    fit on train → single-pass metric aggregates on the valid split.
+    Stochastic learner → rows-only (metric-band contract, SURVEY §7.3)."""
+    from ..ml.features import log1p_target
+    from ..ml.pipeline import gbt_fit, gbt_predict, regression_metrics
+
+    ev = _derived_points(_t(spark, sf_dir, "events"))
+    feats = (
+        ev.withColumn("hour", F.hour("ts"))
+        .withColumn("dow", temporal.dayofweek_monday0("ts"))
+        .withColumn("dist_km", haversine_km("lat", "lon", F.lit(40.7580), F.lit(-73.9855)))
+    )
+    feats = log1p_target(feats.filter(F.col("value") >= 0), "value")
+    fcols = ["hour", "dow", "lon", "lat", "dist_km"]
+    train, valid = feats.randomSplit([0.7, 0.3], seed=42)
+    model = gbt_fit(train, fcols, "log_value", max_iter=10, max_depth=4)
+    pred = gbt_predict(model, valid, fcols)
+    m = regression_metrics(pred, "log_value", "prediction", log_space=True)
+    return m.select(*[F.round(F.col(c), 4).alias(c) for c in m.columns])
+
+
+# --------------------------------------------------------------------------
 # Graph / clustering / composed pipelines
 # --------------------------------------------------------------------------
 
@@ -1072,6 +1261,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quality_score_docs": (q_quality_score_docs, _SQL_QUALITY),
     "knn_embeddings": (q_knn_embeddings, _SQL_KNN),
     "embedding_label_centroids": (q_embedding_label_centroids, _SQL_CENTROIDS),
+    "one_hot_event_type": (q_one_hot_event_type, _SQL_ONE_HOT),
+    "positional_split_stats": (q_positional_split_stats, _SQL_POS_SPLIT),
+    "scaled_value_stats": (q_scaled_value_stats, _SQL_SCALED),
+    "pca_axis_points": (q_pca_axis_points, _SQL_PCA),
+    "voronoi_region_speed": (q_voronoi_region_speed, _sql_voronoi()),
+    "kmeans_event_clusters": (q_kmeans_event_clusters, None),
+    "gbt_value_metrics": (q_gbt_value_metrics, None),
     "graph_degree": (q_graph_degree, _SQL_DEGREE),
     "knn_grid_points": (q_knn_grid_points, _SQL_KNN_GRID),
     "dbscan_event_clusters": (q_dbscan_event_clusters, None),

@@ -1,0 +1,162 @@
+"""ML layer tests (SURVEY §2.9): feature engineering, closed-form PCA
+vs ml.feature.PCA cross-check, metrics, KMeans determinism, Voronoi
+argmin assignment.
+
+Reference semantics: lab2 nb cells 3/7/16/20/24 (splits, one-hot,
+KMeans/PCA, Voronoi regions), lab4 nb cell 18 (StandardScaler),
+lx_lightgbmTest.py:64-117 (log1p target + metrics).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from geo_big_data_analysis_spark.ml.features import (
+    apply_standard_scaler,
+    fit_standard_scaler,
+    log1p_target,
+    one_hot,
+    positional_split,
+)
+from geo_big_data_analysis_spark.ml.pipeline import (
+    assign_nearest_center,
+    deterministic_centers,
+    feature_importances,
+    gbt_fit,
+    gbt_predict,
+    kmeans_fit_predict,
+    pca2d_closed_form,
+    pca_fit_transform,
+    regression_metrics,
+)
+
+
+def test_one_hot_fixed_categories(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("zzz",), (None,)], ["cat"]
+    )
+    out = one_hot(df, "cat", ["a", "b", "c"], prefix="d").orderBy("cat")
+    rows = {r["cat"]: (r["d_a"], r["d_b"], r["d_c"]) for r in out.collect()}
+    assert rows["a"] == (1, 0, 0)
+    assert rows["b"] == (0, 1, 0)
+    assert rows["zzz"] == (0, 0, 0)  # unseen -> all zeros
+    assert rows[None] == (0, 0, 0)
+
+
+def test_standard_scaler_fit_apply(spark):
+    df = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4, 5]], ["x"])
+    stats = fit_standard_scaler(df, ["x"])
+    mu, sd = stats["x"]
+    assert mu == pytest.approx(3.0)
+    assert sd == pytest.approx(math.sqrt(2.5))
+    z = [r["x_z"] for r in apply_standard_scaler(df, stats).orderBy("x").collect()]
+    assert z[2] == pytest.approx(0.0)
+    assert z[0] == pytest.approx(-2 / math.sqrt(2.5))
+
+
+def test_standard_scaler_zero_std(spark):
+    df = spark.createDataFrame([(7.0,), (7.0,)], ["x"])
+    z = apply_standard_scaler(df, fit_standard_scaler(df, ["x"])).collect()
+    assert all(r["x_z"] == 0.0 for r in z)
+
+
+def test_positional_split_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    out = positional_split(df, "id", 0.7)
+    by_split = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_split == {0: 7, 1: 3}
+    # first 7 ids (order by id) are split 0 — np.split parity
+    s0 = {r["id"] for r in out.filter("split = 0").collect()}
+    assert s0 == set(range(7))
+
+
+def test_pca_closed_form_matches_mllib(spark):
+    # anisotropic cloud: spread along y = x/2
+    pts = [(float(i), float(i) / 2 + (0.1 if i % 2 else -0.1)) for i in range(50)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    closed = pca2d_closed_form(df, "x", "y").collect()[0]
+    _, components = pca_fit_transform(df, ["x", "y"], k=2)
+    # principal axis direction from MLlib (sign-ambiguous)
+    vx, vy = components[0]
+    angle_ml = math.atan2(vy, vx) % math.pi
+    angle_cf = closed["axis_angle"] % math.pi
+    assert angle_cf == pytest.approx(angle_ml, abs=1e-6)
+    assert closed["lambda1"] > closed["lambda2"] >= 0
+    assert 0.5 < closed["explained_ratio"] <= 1.0
+
+
+def test_kmeans_seeded_deterministic(spark):
+    pts = [
+        (float(i % 10) + (100.0 if i % 3 == 0 else 0.0), float(i // 10))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    out1, c1 = kmeans_fit_predict(df, ["x", "y"], k=2, seed=42)
+    out2, c2 = kmeans_fit_predict(df, ["x", "y"], k=2, seed=42)
+    assert c1 == c2
+    sizes1 = sorted(r["count"] for r in out1.groupBy("cluster_id").count().collect())
+    sizes2 = sorted(r["count"] for r in out2.groupBy("cluster_id").count().collect())
+    assert sizes1 == sizes2 == [20, 40]
+
+
+def test_assign_nearest_center_argmin(spark):
+    centers = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    df = spark.createDataFrame(
+        [(0.1, 0.1), (9.0, 1.0), (1.0, 9.0), (5.0, 5.0)], ["x", "y"]
+    )
+    out = assign_nearest_center(df, "x", "y", centers).collect()
+    got = [(r["x"], r["region_id"]) for r in out]
+    assert (0.1, 0) in got and (9.0, 1) in got and (1.0, 2) in got
+    # (5,5): d²=50 to c0, 50 to c1, 50 to c2 -> ties go to the FIRST (array_position)
+    assert (5.0, 0) in got
+
+
+def test_deterministic_centers_in_bbox_and_stable():
+    c1 = deterministic_centers(15, -74.3, -73.7, 40.5, 41.0)
+    c2 = deterministic_centers(15, -74.3, -73.7, 40.5, 41.0)
+    assert c1 == c2
+    assert len(set(c1)) == 15
+    assert all(-74.3 <= x <= -73.7 and 40.5 <= y <= 41.0 for x, y in c1)
+
+
+def test_regression_metrics_known_values(spark):
+    # y = [1,2,3,4], pred = [2,2,2,2]  ->  MAE=1, RMSE=sqrt(1.5), R²=1-6/5
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 2.0), (3.0, 2.0), (4.0, 2.0)], ["y", "p"]
+    )
+    m = regression_metrics(df, "y", "p").collect()[0]
+    assert m["mae"] == pytest.approx(1.0)
+    assert m["rmse"] == pytest.approx(math.sqrt(1.5))
+    assert m["r2"] == pytest.approx(1 - 6 / 5)
+    exp_rmsle = math.sqrt(
+        sum((math.log1p(y) - math.log1p(2.0)) ** 2 for y in [1, 2, 3, 4]) / 4
+    )
+    assert m["rmsle"] == pytest.approx(exp_rmsle)
+
+
+def test_regression_metrics_log_space_roundtrip(spark):
+    # perfect predictions in log space -> zero errors everywhere
+    df = spark.createDataFrame(
+        [(math.log1p(v), math.log1p(v)) for v in [10.0, 100.0, 1000.0]], ["ly", "lp"]
+    )
+    m = regression_metrics(df, "ly", "lp", log_space=True).collect()[0]
+    assert m["mae"] == pytest.approx(0.0)
+    assert m["rmsle"] == pytest.approx(0.0)
+    assert m["r2"] == pytest.approx(1.0)
+
+
+def test_gbt_learns_signal_and_importances(spark):
+    # value is a clean function of x -> GBT should fit well; importance on x
+    rows = [(float(i), float(i % 7), 3.0 * float(i) + 10.0) for i in range(200)]
+    df = log1p_target(spark.createDataFrame(rows, ["x", "noise", "value"]), "value")
+    model = gbt_fit(df, ["x", "noise"], "log_value", max_iter=10, max_depth=3)
+    pred = gbt_predict(model, df, ["x", "noise"])
+    m = regression_metrics(pred, "log_value", "prediction", log_space=True).collect()[0]
+    assert m["r2"] > 0.95
+    imp = feature_importances(model, ["x", "noise"])
+    assert imp[0][0] == "x"
