@@ -62,6 +62,35 @@ def _neighbor_pairs(pts: DataFrame, eps: float) -> DataFrame:
     return pairs.filter(dist2 <= eps * eps).select("a_id", "b_id")
 
 
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Union-find on collected (a_id, b_id) edges — the small-graph
+    dispatch (same pattern as graph.algorithms.sssp): core-core edge
+    lists for city-scale inputs fit the driver easily, and one collect
+    beats O(log n) shuffle rounds. comp = min id in component, matching
+    the distributed path bit-for-bit."""
+    parent: dict[int, int] = {}
+
+    def find(u: int) -> int:
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for a, b in edges.select("a_id", "b_id").collect():
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    rows = [(v, comp_min[find(v)]) for v in parent]
+    return edges.sparkSession.createDataFrame(rows, "id bigint, comp bigint")
+
+
 def _connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Min-label propagation + pointer jumping over undirected edges
     (a_id, b_id) → (id, comp) with comp = min reachable id.
@@ -124,7 +153,10 @@ def dbscan(
         F.col(id_col).alias("id"), F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
     )
-    pairs = _neighbor_pairs(pts, eps)
+    # pairs feeds three consumers (degree, core-core edges, border
+    # assignment) — materialize once instead of re-running the 9×
+    # cell-neighborhood join per consumer.
+    pairs = _neighbor_pairs(pts, eps).localCheckpoint()
 
     # degree (neighbor count incl. self) → core flag
     deg = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_nbrs"))
@@ -135,9 +167,15 @@ def dbscan(
     core_pairs = (
         pairs.join(core.withColumnRenamed("id", "a_id"), "a_id")
         .join(core.withColumnRenamed("id", "b_id"), "b_id")
-        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))  # one direction suffices for CC
+        .localCheckpoint()
     )
-    comp = _connected_components(core_pairs)
+    # size-dispatched physical strategy: union-find on the driver when
+    # the core-edge list is small, label propagation otherwise.
+    if core_pairs.count() <= 2_000_000:
+        comp = _cc_driver(core_pairs)
+    else:
+        comp = _connected_components(core_pairs)
     # singleton core points (no core neighbor) are their own cluster
     core_labels = (
         core.join(comp, "id", "left")

@@ -1,0 +1,171 @@
+"""LISA — local Moran's I with KNN weights (M12).
+
+Reference semantics: lab4 nb (cell 21, json 5926)
+``analyze_local_spatial_autocorrelation`` — libpysal KNN(k=5)
+row-standardized weights + esda Moran_Local (999 conditional
+permutations), quadrants HH/LL/LH/HL at α=0.05.
+
+Formulation (esda Moran_Local):
+    z_i  = v_i − v̄
+    m2   = Σ z² / n
+    lag_i = Σ_j w_ij z_j          (w row-standardized: 1/k)
+    I_i  = (z_i / m2) · lag_i
+
+Spark-first plan: global (v̄, m2) are a one-row aggregate collected and
+injected as literals (two-phase scalar pattern, SURVEY §4); neighbors
+come from the KNN join (J10 — broadcast brute-force when one side is
+small, grid-bucketed at scale); lag is a groupBy over the k neighbor
+rows. Everything stays in whole-stage codegen — no UDF.
+
+Permutation p-values use conditional randomization: for point i, draw
+its k neighbor z-values from z \\ {z_i} uniformly, 999 times, and count
+permuted I_i at least as extreme (same tail) as observed. That is a
+per-point numpy loop over a broadcast z-vector → Arrow-batched
+mapInPandas, seeded per point id for determinism.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .knn import knn_join_bruteforce
+
+
+def local_morans_i(
+    points: DataFrame,
+    value_col: str,
+    k: int = 5,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Analytic LISA: (id, z, lag, i_stat, quadrant) per point.
+
+    quadrant: HH (z>0, lag>0), LL (z<0, lag<0), LH (z<0, lag>0),
+    HL (z>0, lag<0) — significance is NOT applied here (see
+    lisa_permutation_pvalues for p_sim); ties (z or lag exactly 0)
+    classify as the non-positive side, matching numpy sign conventions.
+    """
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    row = pts.agg(
+        F.avg("v").alias("mu"),
+        (F.sum(F.pow(F.col("v"), 2)) / F.count(F.lit(1))
+         - F.pow(F.avg("v"), 2)).alias("m2"),
+    ).collect()[0]
+    mu, m2 = float(row["mu"]), float(row["m2"])
+    _check_m2_nonzero(m2)
+
+    z = pts.select("id", "x", "y", (F.col("v") - F.lit(mu)).alias("z"))
+    nbrs = knn_join_bruteforce(z, z, k=k)
+    lag = (
+        nbrs.join(
+            z.select(F.col("id").alias("neighbor_id"), F.col("z").alias("zj")),
+            "neighbor_id",
+        )
+        .groupBy(F.col("query_id").alias("id"))
+        .agg(F.avg("zj").alias("lag"))
+    )
+    out = z.join(lag, "id")
+    i_stat = (F.col("z") / F.lit(m2)) * F.col("lag")
+    quad = (
+        F.when((F.col("z") > 0) & (F.col("lag") > 0), "HH")
+        .when((F.col("z") <= 0) & (F.col("lag") <= 0), "LL")
+        .when((F.col("z") <= 0) & (F.col("lag") > 0), "LH")
+        .otherwise("HL")
+    )
+    return out.select("id", "z", "lag", i_stat.alias("i_stat"), quad.alias("quadrant"))
+
+
+def lisa_permutation_pvalues(
+    lisa: DataFrame,
+    k: int,
+    permutations: int = 999,
+    seed: int = 42,
+) -> DataFrame:
+    """p_sim via conditional randomization (esda convention: one-sided,
+    (extreme_count + 1) / (permutations + 1), same-tail as observed I).
+
+    ``lisa`` is local_morans_i output. The global z-vector is collected
+    and broadcast (doubles: 8 bytes × n — city-scale fits comfortably;
+    at larger n, draw from a fixed-size uniform sample of z, which
+    leaves p-values within Monte-Carlo error). Per-point draws are
+    vectorized numpy over Arrow batches, seeded by point id.
+    """
+    z_all = [float(r["z"]) for r in lisa.select("z").collect()]
+    m2 = sum(v * v for v in z_all) / len(z_all)
+    sc = lisa.sparkSession.sparkContext
+    bz = sc.broadcast(z_all)
+
+    schema = "id bigint, i_stat double, p_sim double"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        zv = np.asarray(bz.value)
+        n = len(zv)
+        for pdf in batches:
+            out_rows = []
+            for pid, zi, lag in zip(pdf["id"], pdf["z"], pdf["lag"]):
+                rng = np.random.default_rng(seed + int(pid))
+                # draw k neighbor values per permutation with replacement
+                # from the full z-vector (esda draws without replacement
+                # from z \ {z_i}; for city-scale n the two differ within
+                # Monte-Carlo error — contract is deterministic-given-
+                # seed, not esda-bitwise)
+                idx = rng.integers(0, n, size=(permutations, k))
+                obs_i = (zi / m2) * lag
+                perm_lag = zv[idx].mean(axis=1)
+                perm_i = (zi / m2) * perm_lag
+                if obs_i >= 0:
+                    extreme = int((perm_i >= obs_i).sum())
+                else:
+                    extreme = int((perm_i <= obs_i).sum())
+                out_rows.append(
+                    (int(pid), float(obs_i), (extreme + 1) / (permutations + 1))
+                )
+            yield pd.DataFrame(out_rows, columns=["id", "i_stat", "p_sim"])
+
+    return lisa.select("id", "z", "lag").mapInPandas(gen, schema)
+
+
+def lisa_summary(lisa_p: DataFrame, lisa: DataFrame, alpha: float = 0.05) -> DataFrame:
+    """Quadrant census with significance (lab4 cell 21 output shape:
+    HH/LL/LH/HL counts + n.s. at α)."""
+    j = lisa.select("id", "quadrant").join(lisa_p.select("id", "p_sim"), "id")
+    cat = F.when(F.col("p_sim") > alpha, F.lit("ns")).otherwise(F.col("quadrant"))
+    return (
+        j.select(cat.alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("category")
+    )
+
+
+def morans_i_global(lisa: DataFrame) -> DataFrame:
+    """Global Moran's I = mean of local I (row-standardized weights make
+    ΣI_i / n equal the global statistic) — cross-check scalar."""
+    return lisa.agg(F.avg("i_stat").alias("mean_i"), F.count(F.lit(1)).alias("n"))
+
+
+def sig_hotspots(lisa_p: DataFrame, lisa: DataFrame, alpha: float = 0.05) -> DataFrame:
+    """Significant HH/LL points (the reference's hot/cold spot output)."""
+    return (
+        lisa.join(lisa_p.select("id", "p_sim"), "id")
+        .filter((F.col("p_sim") <= alpha) & F.col("quadrant").isin("HH", "LL"))
+        .select("id", "quadrant", "i_stat", "p_sim")
+    )
+
+
+def _check_m2_nonzero(m2: float) -> None:
+    if not math.isfinite(m2) or m2 <= 0:
+        raise ValueError("LISA undefined: zero variance in value column")

@@ -1049,6 +1049,75 @@ def q_gbt_value_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Spatial statistics (SURVEY §2.9 M12)
+# --------------------------------------------------------------------------
+
+def _lisa_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _derived_points(_t(spark, sf_dir, "events")).filter(F.col("event_id") < 1000)
+    return pts.select(
+        F.col("event_id").alias("id"),
+        F.col("lon").alias("x"),
+        F.col("lat").alias("y"),
+        "value",
+    )
+
+
+def q_lisa_moran_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 — analytic local Moran's I (KNN k=5, row-standardized 1/k
+    weights, esda formulation) over 1,000 derived event points; per-point
+    z, spatial lag, I_i and HH/LL/LH/HL quadrant."""
+    from ..operators.lisa import local_morans_i
+
+    lisa = local_morans_i(_lisa_points(spark, sf_dir), "value", k=5)
+    return lisa.select(
+        F.col("id").alias("event_id"),
+        F.round("z", 6).alias("z"),
+        F.round("lag", 6).alias("lag"),
+        F.round("i_stat", 6).alias("i_stat"),
+        "quadrant",
+    )
+
+
+_SQL_LISA = f"""
+WITH d AS ({_DERIVED_POINTS_SQL}),
+p AS (SELECT event_id AS id, lon AS x, lat AS y, value AS v FROM d WHERE event_id < 1000),
+s AS (SELECT avg(v) AS mu, sum(v * v) / count(*) - avg(v) * avg(v) AS m2 FROM p),
+z AS (SELECT id, x, y, v - mu AS z FROM p, s),
+pairs AS (
+  SELECT q.id AS query_id, b.id AS neighbor_id, b.z AS zj,
+         sqrt((q.x - b.x) * (q.x - b.x) + (q.y - b.y) * (q.y - b.y)) AS dist
+  FROM z q, z b WHERE q.id <> b.id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rk
+  FROM pairs
+), lag AS (
+  SELECT query_id AS id, avg(zj) AS lag FROM ranked WHERE rk <= 5 GROUP BY 1
+)
+SELECT z.id AS event_id, round(z.z, 6) AS z, round(lag.lag, 6) AS lag,
+       round((z.z / s.m2) * lag.lag, 6) AS i_stat,
+       CASE WHEN z.z > 0 AND lag.lag > 0 THEN 'HH'
+            WHEN z.z <= 0 AND lag.lag <= 0 THEN 'LL'
+            WHEN z.z <= 0 AND lag.lag > 0 THEN 'LH'
+            ELSE 'HL' END AS quadrant
+FROM z JOIN lag USING (id), s
+"""
+
+
+def q_lisa_hotspot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 — LISA significance census: 199 seeded conditional
+    permutations per point (Arrow-batched mapInPandas), quadrant counts
+    at α=0.05 with non-significant points as 'ns' (lab4 cell 21 output
+    shape). Monte-Carlo p-values → rows-only (deterministic given seed;
+    distribution properties pytest-verified in tests/test_lisa.py)."""
+    from ..operators.lisa import lisa_permutation_pvalues, lisa_summary, local_morans_i
+
+    lisa = local_morans_i(_lisa_points(spark, sf_dir), "value", k=5)
+    lisa = lisa.localCheckpoint()  # consumed twice (p-values + summary)
+    pvals = lisa_permutation_pvalues(lisa, k=5, permutations=199, seed=42)
+    return lisa_summary(pvals, lisa, alpha=0.05)
+
+
+# --------------------------------------------------------------------------
 # Graph / clustering / composed pipelines
 # --------------------------------------------------------------------------
 
@@ -1268,6 +1337,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "voronoi_region_speed": (q_voronoi_region_speed, _sql_voronoi()),
     "kmeans_event_clusters": (q_kmeans_event_clusters, None),
     "gbt_value_metrics": (q_gbt_value_metrics, None),
+    "lisa_moran_events": (q_lisa_moran_events, _SQL_LISA),
+    "lisa_hotspot_summary": (q_lisa_hotspot_summary, None),
     "graph_degree": (q_graph_degree, _SQL_DEGREE),
     "knn_grid_points": (q_knn_grid_points, _SQL_KNN_GRID),
     "dbscan_event_clusters": (q_dbscan_event_clusters, None),

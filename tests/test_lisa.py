@@ -1,0 +1,80 @@
+"""LISA tests (M12): local Moran's I on planted spatial structure.
+
+Reference: lab4 nb cell 21 — esda Moran_Local with libpysal KNN(k=5),
+999 conditional permutations, HH/LL/LH/HL at α=0.05.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from geo_big_data_analysis_spark.operators.lisa import (
+    lisa_permutation_pvalues,
+    lisa_summary,
+    local_morans_i,
+    morans_i_global,
+    sig_hotspots,
+)
+
+
+def _planted(spark):
+    """16×16 unit grid: a 4×4 high-value block (v=10) in one corner, a
+    4×4 low-value block (v=-10) in the opposite corner, v=0 elsewhere."""
+    rows = []
+    for gy in range(16):
+        for gx in range(16):
+            v = 0.0
+            if gx < 4 and gy < 4:
+                v = 10.0
+            elif gx >= 12 and gy >= 12:
+                v = -10.0
+            rows.append((gy * 16 + gx, float(gx), float(gy), v))
+    return spark.createDataFrame(rows, "id bigint, x double, y double, value double")
+
+
+def test_lisa_quadrants_on_planted_blocks(spark):
+    lisa = local_morans_i(_planted(spark), "value", k=5)
+    got = {r["id"]: (r["quadrant"], r["i_stat"]) for r in lisa.collect()}
+    # interior of the high block (1,1): all 5 NN are high -> HH, I > 0
+    assert got[1 * 16 + 1][0] == "HH" and got[1 * 16 + 1][1] > 0
+    # interior of the low block (14,14): neighbors low -> LL, I > 0
+    assert got[14 * 16 + 14][0] == "LL" and got[14 * 16 + 14][1] > 0
+    # far-away background point (8,8): z slightly != 0, lag ~ 0 -> |I| small
+    assert abs(got[8 * 16 + 8][1]) < abs(got[1 * 16 + 1][1]) / 10
+
+
+def test_lisa_global_mean_positive_for_clustered(spark):
+    lisa = local_morans_i(_planted(spark), "value", k=5)
+    mean_i = morans_i_global(lisa).collect()[0]["mean_i"]
+    assert mean_i > 0.2  # strong positive autocorrelation by construction
+
+
+def test_lisa_permutations_flag_planted_spots(spark):
+    lisa = local_morans_i(_planted(spark), "value", k=5).localCheckpoint()
+    p = lisa_permutation_pvalues(lisa, k=5, permutations=199, seed=42)
+    hot = {r["id"] for r in sig_hotspots(p, lisa).collect()}
+    # block interiors must be significant
+    assert 1 * 16 + 1 in hot and 14 * 16 + 14 in hot
+    # summary categories partition all 256 points
+    summ = lisa_summary(p, lisa)
+    assert sum(r["n"] for r in summ.collect()) == 256
+
+
+def test_lisa_permutations_deterministic(spark):
+    lisa = local_morans_i(_planted(spark), "value", k=5).localCheckpoint()
+    p1 = sorted(
+        (r["id"], r["p_sim"])
+        for r in lisa_permutation_pvalues(lisa, k=5, permutations=99, seed=7).collect()
+    )
+    p2 = sorted(
+        (r["id"], r["p_sim"])
+        for r in lisa_permutation_pvalues(lisa, k=5, permutations=99, seed=7).collect()
+    )
+    assert p1 == p2
+
+
+def test_lisa_zero_variance_raises(spark):
+    from geo_big_data_analysis_spark.operators.lisa import _check_m2_nonzero
+
+    with pytest.raises(ValueError):
+        _check_m2_nonzero(0.0)
