@@ -1049,6 +1049,121 @@ def q_gbt_value_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sentiment (SURVEY §2.9 M11 + A5/W3)
+# --------------------------------------------------------------------------
+
+_CLEAN_TEXT_SQL = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), "
+    r"'http\S+|www\S+|https\S+', ' ', 'g'), '[^a-zA-Z\s]', ' ', 'g'), "
+    r"'\s+', ' ', 'g'))"
+)
+
+
+def q_sentiment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 — lexicon polarity/subjectivity (TextBlob-shaped: mean
+    valence of matched tokens, 0.0 when none) + 3-way categorization at
+    ±0.1, summarized per category. All JVM column expressions."""
+    from ..functions import sentiment as sn
+
+    docs = _t(spark, sf_dir, "documents")
+    # per-doc scores rounded to 6dp BEFORE the ±0.1 threshold: engines
+    # agree to ~1e-15 but a doc landing within fp-noise of the boundary
+    # would otherwise classify differently on the two sides
+    scored = docs.select(
+        "doc_id",
+        F.round(sn.polarity("text"), 6).alias("pol"),
+        F.round(sn.subjectivity("text"), 6).alias("subj"),
+    )
+    return (
+        scored.select(sn.sentiment_category(F.col("pol")).alias("category"), "pol", "subj")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("pol"), 6).alias("avg_polarity"),
+            F.round(F.avg("subj"), 6).alias("avg_subjectivity"),
+        )
+        .orderBy("category")
+    )
+
+
+def _sql_sentiment_docs() -> str:
+    from ..functions import sentiment as sn
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_CLEAN_TEXT_SQL}, '\\s+')) AS w
+  FROM documents
+),
+pol AS (
+  SELECT t.doc_id, avg(p.valence) AS pol
+  FROM toks t JOIN {sn.lexicon_sql_values(0, 'p')} ON t.w = p.word GROUP BY 1
+),
+subj AS (
+  SELECT t.doc_id, avg(s.valence) AS subj
+  FROM toks t JOIN {sn.lexicon_sql_values(1, 's')} ON t.w = s.word GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, round(coalesce(pol.pol, 0.0), 6) AS pol,
+         round(coalesce(subj.subj, 0.0), 6) AS subj
+  FROM documents d LEFT JOIN pol USING (doc_id) LEFT JOIN subj USING (doc_id)
+)
+SELECT CASE WHEN pol > 0.1 THEN 'positive' WHEN pol < -0.1 THEN 'negative'
+            ELSE 'neutral' END AS category,
+       count(*)::BIGINT AS n,
+       round(avg(pol), 6) AS avg_polarity,
+       round(avg(subj), 6) AS avg_subjectivity
+FROM scored GROUP BY 1 ORDER BY category
+"""
+
+
+def q_sentiment_source_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + W3 — per-source sentiment aggregation (mean/std/count/
+    positive-rate in one hash agg) ranked by avg polarity desc (the
+    per-restaurant shape of lab4 cell 13)."""
+    from ..functions import sentiment as sn
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("source", F.round(sn.polarity("text"), 6).alias("polarity"))
+    stats = sn.group_sentiment_stats(scored, ["source"])
+    w = Window.orderBy(F.col("avg_polarity").desc(), F.col("source").asc())
+    return stats.select(
+        "source",
+        F.round("avg_polarity", 6).alias("avg_polarity"),
+        F.round("std_polarity", 6).alias("std_polarity"),
+        "n",
+        F.round("positive_rate", 6).alias("positive_rate"),
+    ).withColumn("sentiment_rank", F.rank().over(w))
+
+
+def _sql_sentiment_ranks() -> str:
+    from ..functions import sentiment as sn
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(regexp_split_to_array({_CLEAN_TEXT_SQL}, '\\s+')) AS w
+  FROM documents
+),
+pol AS (
+  SELECT t.doc_id, avg(p.valence) AS pol
+  FROM toks t JOIN {sn.lexicon_sql_values(0, 'p')} ON t.w = p.word GROUP BY 1
+),
+scored AS (
+  SELECT d.source, round(coalesce(pol.pol, 0.0), 6) AS pol
+  FROM documents d LEFT JOIN pol USING (doc_id)
+),
+stats AS (
+  SELECT source, round(avg(pol), 6) AS avg_polarity,
+         round(stddev_samp(pol), 6) AS std_polarity,
+         count(*)::BIGINT AS n,
+         round(avg(CASE WHEN pol > 0.1 THEN 1.0 ELSE 0.0 END), 6) AS positive_rate
+  FROM scored GROUP BY source
+)
+SELECT *, rank() OVER (ORDER BY avg_polarity DESC, source ASC)::BIGINT AS sentiment_rank
+FROM stats
+"""
+
+
+# --------------------------------------------------------------------------
 # Spatial statistics (SURVEY §2.9 M12)
 # --------------------------------------------------------------------------
 
@@ -1337,6 +1452,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "voronoi_region_speed": (q_voronoi_region_speed, _sql_voronoi()),
     "kmeans_event_clusters": (q_kmeans_event_clusters, None),
     "gbt_value_metrics": (q_gbt_value_metrics, None),
+    "sentiment_docs": (q_sentiment_docs, _sql_sentiment_docs()),
+    "sentiment_source_ranks": (q_sentiment_source_ranks, _sql_sentiment_ranks()),
     "lisa_moran_events": (q_lisa_moran_events, _SQL_LISA),
     "lisa_hotspot_summary": (q_lisa_hotspot_summary, None),
     "graph_degree": (q_graph_degree, _SQL_DEGREE),

@@ -1,0 +1,87 @@
+"""Sentiment tests (M11): lexicon polarity/subjectivity + categories +
+per-group aggregation (lab4 nb cell 13 semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geo_big_data_analysis_spark.functions import sentiment as sn
+
+
+def _score(spark, text: str) -> tuple[float, float]:
+    df = spark.createDataFrame([(text,)], ["text"])
+    r = df.select(
+        sn.polarity("text").alias("p"), sn.subjectivity("text").alias("s")
+    ).collect()[0]
+    return r["p"], r["s"]
+
+
+def test_polarity_signs(spark):
+    pos, _ = _score(spark, "The food was great and the service excellent!")
+    neg, _ = _score(spark, "Terrible experience, rude staff, awful food.")
+    neu, _ = _score(spark, "I walked to the building on Tuesday.")
+    assert pos > 0.5
+    assert neg < -0.5
+    assert neu == 0.0  # no lexicon hits -> 0.0, TextBlob convention
+
+
+def test_polarity_is_mean_of_hits(spark):
+    # good (0.7) + bad (-0.7) -> exactly 0
+    p, _ = _score(spark, "good bad")
+    assert p == pytest.approx(0.0)
+    p2, _ = _score(spark, "good good bad")  # (0.7+0.7-0.7)/3
+    assert p2 == pytest.approx(0.7 / 3)
+
+
+def test_cleaning_is_applied_before_lookup(spark):
+    # punctuation, case, URLs must not block lexicon matching
+    p, _ = _score(spark, "GREAT!!! visit http://spam.example GOOD.")
+    assert p == pytest.approx((0.8 + 0.7) / 2)
+
+
+def test_subjectivity_range(spark):
+    _, s = _score(spark, "excellent terrible nice")
+    assert 0.0 <= s <= 1.0
+    _, s0 = _score(spark, "chair table window")
+    assert s0 == 0.0
+
+
+def test_categories(spark):
+    df = spark.createDataFrame(
+        [(0.6,), (0.2,), (0.0,), (-0.2,), (-0.6,)], ["p"]
+    )
+    got = [
+        (r["c3"], r["c5"])
+        for r in df.select(
+            sn.sentiment_category(F.col("p")).alias("c3"),
+            sn.sentiment_category5(F.col("p")).alias("c5"),
+        ).collect()
+    ]
+    assert got == [
+        ("positive", "very_positive"),
+        ("positive", "positive"),
+        ("neutral", "neutral"),
+        ("negative", "negative"),
+        ("negative", "very_negative"),
+    ]
+
+
+def test_group_sentiment_stats(spark):
+    df = spark.createDataFrame(
+        [("a", 0.5), ("a", 0.5), ("a", -0.5), ("b", 0.0)], ["g", "polarity"]
+    )
+    got = {
+        r["g"]: r
+        for r in sn.group_sentiment_stats(df, ["g"]).collect()
+    }
+    assert got["a"]["n"] == 3
+    assert got["a"]["avg_polarity"] == pytest.approx(1 / 6)
+    assert got["a"]["positive_rate"] == pytest.approx(2 / 3)
+    assert got["b"]["positive_rate"] == 0.0
+
+
+def test_lexicon_sql_matches_python():
+    sql = sn.lexicon_sql_values(0, "p")
+    assert sql.startswith("(VALUES") and "AS p(word, valence)" in sql
+    assert "('good', 0.7)" in sql
