@@ -99,3 +99,71 @@ def point_in_polygon_refine(df: DataFrame, lat: str, lon: str, poly_col: str):
         return pd.Series(out)
 
     return df.filter(_pip(F.col(lat), F.col(lon), F.col(poly_col)))
+
+
+def segment_grid_overlap(
+    segs: DataFrame,
+    origin_x: float,
+    origin_y: float,
+    cell: float,
+    x1: str = "x1",
+    y1: str = "y1",
+    x2: str = "x2",
+    y2: str = "y2",
+) -> DataFrame:
+    """J6 — line-segment × grid-cell overlap length (the Spark-first
+    rewrite of lab3c cell 5's O(cells×edges) nested loop, SURVEY §4).
+
+    Candidate generation: each segment explodes only to the cells its
+    bounding box covers (sequence over cell index ranges — segments
+    touch O(len/cell) cells, not O(all cells)). Refinement: Liang-Barsky
+    parametric clipping as pure column arithmetic — the clip interval
+    [t_in, t_out] ⊂ [0,1] per cell gives overlap length
+    (t_out−t_in)·|seg|. Zero-length clips (corner touches) contribute 0.
+
+    Output: input columns + (gx, gy, overlap_len). Axis-parallel
+    segments (dx or dy = 0) take the degenerate branch: the axis
+    constrains membership instead of a t-interval.
+    """
+    gx0 = F.floor((F.least(F.col(x1), F.col(x2)) - origin_x) / cell).cast("bigint")
+    gx1 = F.floor((F.greatest(F.col(x1), F.col(x2)) - origin_x) / cell).cast("bigint")
+    gy0 = F.floor((F.least(F.col(y1), F.col(y2)) - origin_y) / cell).cast("bigint")
+    gy1 = F.floor((F.greatest(F.col(y1), F.col(y2)) - origin_y) / cell).cast("bigint")
+    e = (
+        segs.withColumn("gx", F.explode(F.sequence(gx0, gx1)))
+        .withColumn("gy", F.explode(F.sequence(gy0, gy1)))
+    )
+    xmin = F.lit(origin_x) + F.col("gx") * F.lit(cell)
+    xmax = F.lit(origin_x) + (F.col("gx") + 1) * F.lit(cell)
+    ymin = F.lit(origin_y) + F.col("gy") * F.lit(cell)
+    ymax = F.lit(origin_y) + (F.col("gy") + 1) * F.lit(cell)
+    dx = F.col(x2) - F.col(x1)
+    dy = F.col(y2) - F.col(y1)
+
+    # per-axis entry/exit params; degenerate axis -> (-inf, +inf) if the
+    # fixed coordinate lies inside the slab, else empty interval
+    def axis_interval(p1, d, lo, hi):
+        t_a = (lo - p1) / d
+        t_b = (hi - p1) / d
+        inside = (p1 >= lo) & (p1 <= hi)
+        t_lo = F.when(d != 0, F.least(t_a, t_b)).otherwise(
+            F.when(inside, F.lit(float("-inf"))).otherwise(F.lit(float("inf")))
+        )
+        t_hi = F.when(d != 0, F.greatest(t_a, t_b)).otherwise(
+            F.when(inside, F.lit(float("inf"))).otherwise(F.lit(float("-inf")))
+        )
+        return t_lo, t_hi
+
+    tx_lo, tx_hi = axis_interval(F.col(x1), dx, xmin, xmax)
+    ty_lo, ty_hi = axis_interval(F.col(y1), dy, ymin, ymax)
+    t_in = F.greatest(tx_lo, ty_lo, F.lit(0.0))
+    t_out = F.least(tx_hi, ty_hi, F.lit(1.0))
+    seg_len = F.sqrt(dx * dx + dy * dy)
+    frac = F.greatest(t_out - t_in, F.lit(0.0))
+    # inf * 0 = NaN guard: a fully-degenerate (point) segment has len 0
+    overlap = F.when(seg_len > 0, frac * seg_len).otherwise(F.lit(0.0))
+    # round before the positivity filter: a corner-touching segment's
+    # overlap is fp noise (~1e-16) whose sign can differ across engines;
+    # 12dp is far below any real sliver at engine cell sizes
+    overlap = F.round(overlap, 12)
+    return e.withColumn("overlap_len", overlap).filter(F.col("overlap_len") > 0)

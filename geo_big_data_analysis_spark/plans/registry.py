@@ -1049,6 +1049,143 @@ def q_gbt_value_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Spatial overlay / graph accessibility (SURVEY §2.10 G6/G8/G9, §2.3 J6)
+# --------------------------------------------------------------------------
+
+def _road_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic segment set: consecutive derived points (event_id i
+    → i+1, i < 999) as road-like polylines; the (i*7 % 1000) lat wraps
+    produce long diagonal segments that exercise the multi-cell path."""
+    pts = _derived_points(_t(spark, sf_dir, "events")).filter(F.col("event_id") < 1000)
+    a = pts.select(F.col("event_id").alias("seg_id"), F.col("lon").alias("x1"), F.col("lat").alias("y1"))
+    b = pts.select((F.col("event_id") - 1).alias("seg_id"), F.col("lon").alias("x2"), F.col("lat").alias("y2"))
+    return a.join(b, "seg_id")
+
+
+_ROAD_SEGMENTS_SQL = f"""
+  WITH dp AS ({_DERIVED_POINTS_SQL})
+  SELECT a.event_id AS seg_id, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2
+  FROM dp a JOIN dp b ON b.event_id = a.event_id + 1
+  WHERE a.event_id < 999 AND b.event_id < 1000
+"""
+
+
+def q_road_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9/J6 — road length per grid cell (lab3c cell 5, but as a
+    cell-exploded equi-join + Liang-Barsky clip instead of the
+    reference's O(cells×edges) nested loop): per-cell total overlap
+    length + segment count over a 0.05° grid."""
+    from ..operators.spatial_join import segment_grid_overlap
+
+    segs = _road_segments(spark, sf_dir)
+    ov = segment_grid_overlap(segs, origin_x=-74.3, origin_y=40.5, cell=0.05)
+    return (
+        ov.groupBy("gx", "gy")
+        .agg(
+            F.round(F.sum("overlap_len"), 6).alias("road_len"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+        .orderBy("gx", "gy")
+    )
+
+
+_SQL_ROAD_DENSITY = f"""
+WITH segs AS ({_ROAD_SEGMENTS_SQL}),
+cand AS (
+  SELECT s.*, gx, gy
+  FROM segs s,
+       unnest(generate_series(floor((least(x1,x2) - (-74.3)) / 0.05)::BIGINT,
+                              floor((greatest(x1,x2) - (-74.3)) / 0.05)::BIGINT)) AS t1(gx),
+       unnest(generate_series(floor((least(y1,y2) - 40.5) / 0.05)::BIGINT,
+                              floor((greatest(y1,y2) - 40.5) / 0.05)::BIGINT)) AS t2(gy)
+),
+clip AS (
+  SELECT gx, gy,
+         greatest(
+           CASE WHEN (x2 - x1) <> 0
+                THEN least(((-74.3) + gx * 0.05 - x1) / (x2 - x1),
+                           ((-74.3) + (gx + 1) * 0.05 - x1) / (x2 - x1))
+                WHEN x1 >= (-74.3) + gx * 0.05 AND x1 <= (-74.3) + (gx + 1) * 0.05
+                THEN '-infinity'::DOUBLE ELSE 'infinity'::DOUBLE END,
+           CASE WHEN (y2 - y1) <> 0
+                THEN least((40.5 + gy * 0.05 - y1) / (y2 - y1),
+                           (40.5 + (gy + 1) * 0.05 - y1) / (y2 - y1))
+                WHEN y1 >= 40.5 + gy * 0.05 AND y1 <= 40.5 + (gy + 1) * 0.05
+                THEN '-infinity'::DOUBLE ELSE 'infinity'::DOUBLE END,
+           0.0) AS t_in,
+         least(
+           CASE WHEN (x2 - x1) <> 0
+                THEN greatest(((-74.3) + gx * 0.05 - x1) / (x2 - x1),
+                              ((-74.3) + (gx + 1) * 0.05 - x1) / (x2 - x1))
+                WHEN x1 >= (-74.3) + gx * 0.05 AND x1 <= (-74.3) + (gx + 1) * 0.05
+                THEN 'infinity'::DOUBLE ELSE '-infinity'::DOUBLE END,
+           CASE WHEN (y2 - y1) <> 0
+                THEN greatest((40.5 + gy * 0.05 - y1) / (y2 - y1),
+                              (40.5 + (gy + 1) * 0.05 - y1) / (y2 - y1))
+                WHEN y1 >= 40.5 + gy * 0.05 AND y1 <= 40.5 + (gy + 1) * 0.05
+                THEN 'infinity'::DOUBLE ELSE '-infinity'::DOUBLE END,
+           1.0) AS t_out,
+         sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)) AS seg_len
+  FROM cand
+),
+ov AS (
+  SELECT gx, gy,
+         round(CASE WHEN seg_len > 0 THEN greatest(t_out - t_in, 0.0) * seg_len
+                    ELSE 0.0 END, 12) AS overlap_len
+  FROM clip
+)
+SELECT gx::BIGINT AS gx, gy::BIGINT AS gy,
+       round(sum(overlap_len), 6) AS road_len, count(*)::BIGINT AS n_segments
+FROM ov WHERE overlap_len > 0
+GROUP BY gx, gy ORDER BY gx, gy
+"""
+
+
+def q_isochrone_poi_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6+G8 composition (lab3a cells 12/15): bounded weighted SSSP from
+    a center node over a deterministic 30×30 road grid → reachable set →
+    convex hull → POI accessibility share per event_type (half-plane
+    point-in-hull filter, no UDF). Iterative SSSP → rows-only; Dijkstra/
+    hull/membership parity is pytest-verified (tests/test_graph.py,
+    tests/test_overlay.py)."""
+    from ..graph.algorithms import convex_hull, isochrone_nodes, points_in_hull
+
+    n = 30
+    ids = spark.range(n * n).select(F.col("id").cast("bigint"))
+    nodes = ids.select(
+        "id",
+        (F.lit(-74.3) + (F.col("id") % n) * F.lit(0.6 / n)).alias("x"),
+        (F.lit(40.5) + (F.col("id") / n).cast("bigint") * F.lit(0.5 / n)).alias("y"),
+    )
+    right = ids.filter((F.col("id") % n) < n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    down = ids.filter(F.col("id") < n * (n - 1)).select(
+        F.col("id").alias("src"), (F.col("id") + n).alias("dst")
+    )
+    # travel_time: unit edge length / deterministic per-edge speed class
+    edges = right.unionByName(down).withColumn(
+        "travel_time",
+        F.lit(60.0) / (F.lit(1) + (F.col("src") * F.col("dst")) % 5),
+    )
+    center = n * n // 2 + n // 2  # node 465
+    reach = isochrone_nodes(edges, nodes, center, radius=300.0, directed=False)
+    hull = convex_hull(reach)
+    pois = _derived_points(_t(spark, sf_dir, "events")).filter(F.col("event_id") < 1000)
+    inside = points_in_hull(pois, hull, x="lon", y="lat").select("event_id").withColumn("acc", F.lit(1))
+    return (
+        pois.join(inside.select("event_id", "acc"), "event_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.coalesce(F.col("acc"), F.lit(0))).alias("n_accessible"),
+            F.round(F.avg(F.coalesce(F.col("acc"), F.lit(0)).cast("double")), 6).alias("pct_accessible"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # Sentiment (SURVEY §2.9 M11 + A5/W3)
 # --------------------------------------------------------------------------
 
@@ -1452,6 +1589,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "voronoi_region_speed": (q_voronoi_region_speed, _sql_voronoi()),
     "kmeans_event_clusters": (q_kmeans_event_clusters, None),
     "gbt_value_metrics": (q_gbt_value_metrics, None),
+    "road_density_grid": (q_road_density_grid, _SQL_ROAD_DENSITY),
+    "isochrone_poi_access": (q_isochrone_poi_access, None),
     "sentiment_docs": (q_sentiment_docs, _sql_sentiment_docs()),
     "sentiment_source_ranks": (q_sentiment_source_ranks, _sql_sentiment_ranks()),
     "lisa_moran_events": (q_lisa_moran_events, _SQL_LISA),
