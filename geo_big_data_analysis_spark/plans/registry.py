@@ -1186,6 +1186,122 @@ def q_isochrone_poi_access(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Raster sampling (SURVEY §2.1 S10/S11, §2.3 J7)
+# --------------------------------------------------------------------------
+
+def q_raster_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/J7 — broadcast-raster point sampling (rowcol + clip + nodata
+    mean-fill, get_population_density semantics) over derived event
+    points; per-type stats of the sampled density. The deterministic
+    synthetic raster is closed-form, so the oracle recomputes pixels in
+    SQL without seeing the array."""
+    from ..sources.raster import (
+        RASTER_NODATA,
+        RASTER_T,
+        sample_raster,
+        synthetic_raster,
+    )
+
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    s = sample_raster(pts, synthetic_raster(), RASTER_T, RASTER_NODATA)
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("raster_value"), 6).alias("avg_density"),
+            F.round(F.min("raster_value"), 6).alias("min_density"),
+            F.round(F.max("raster_value"), 6).alias("max_density"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_raster_stats() -> str:
+    from ..sources.raster import raster_value_sql
+
+    rv = raster_value_sql("lon", "lat")
+    return f"""
+WITH p AS ({_DERIVED_POINTS_SQL}),
+s AS (SELECT event_type, {rv} AS raster_value FROM p)
+SELECT event_type, count(*)::BIGINT AS n,
+       round(avg(raster_value), 6) AS avg_density,
+       round(min(raster_value), 6) AS min_density,
+       round(max(raster_value), 6) AS max_density
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary columns (training-data pipeline extension)
+# --------------------------------------------------------------------------
+
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checkable half: documents → opaque
+    binary payloads + typed media metadata, then per-media-type size and
+    content-hash stats (dedup-by-hash is the exact-dedup primitive for
+    binary corpora). sha256/byte-length run JVM-side on both engines."""
+    from ..sources.multimodal import synthesize_media
+
+    docs = _t(spark, sf_dir, "documents")
+    m = synthesize_media(docs, "doc_id", "text")
+    return (
+        m.select(
+            F.col("media.media_type").alias("media_type"),
+            F.length("payload").alias("n_bytes"),
+            F.sha2("payload", 256).alias("h"),
+        )
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("h").alias("n_distinct_payloads"),
+        )
+        .orderBy("media_type")
+    )
+
+
+_SQL_MULTIMODAL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         text, encode(text) AS payload
+  FROM documents
+)
+-- sha256(VARCHAR) hashes the UTF-8 bytes — identical input to Spark's
+-- sha2(encode(text,'UTF-8')) (this DuckDB build lacks sha256(BLOB))
+SELECT media_type, count(*)::BIGINT AS n_items,
+       sum(octet_length(payload))::BIGINT AS total_bytes,
+       count(DISTINCT sha256(text))::BIGINT AS n_distinct_payloads
+FROM m GROUP BY media_type ORDER BY media_type
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: Arrow-batched mapInPandas decode
+    (deterministic byte-level stand-in — real codecs slot into the same
+    batch shape) → sha256 + 16-bin byte-histogram embedding; per-type
+    feature-vector centroids. Python decode loop → rows-only (the
+    plumbing contract is pytest-verified in tests/test_multimodal.py)."""
+    from ..sources.multimodal import extract_features, synthesize_media
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = extract_features(synthesize_media(docs, "doc_id", "text"))
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
+            *[
+                F.round(F.avg(F.col("feature")[i]), 6).alias(f"f{i}")
+                for i in range(4)
+            ],
+        )
+        .orderBy("media_type")
+    )
+
+
+# --------------------------------------------------------------------------
 # Sentiment (SURVEY §2.9 M11 + A5/W3)
 # --------------------------------------------------------------------------
 
@@ -1589,6 +1705,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "voronoi_region_speed": (q_voronoi_region_speed, _sql_voronoi()),
     "kmeans_event_clusters": (q_kmeans_event_clusters, None),
     "gbt_value_metrics": (q_gbt_value_metrics, None),
+    "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
+    "multimodal_features": (q_multimodal_features, None),
+    "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),
     "road_density_grid": (q_road_density_grid, _SQL_ROAD_DENSITY),
     "isochrone_poi_access": (q_isochrone_poi_access, None),
     "sentiment_docs": (q_sentiment_docs, _sql_sentiment_docs()),

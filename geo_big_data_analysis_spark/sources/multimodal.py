@@ -1,0 +1,139 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries images/audio/video as opaque
+``binary`` columns with typed metadata, decoding only inside Arrow
+batches. This module implements that plumbing for real — schema
+convention, mapInPandas batch shape, deterministic feature extraction —
+while the codec-dependent decode itself is stubbed (no image/audio
+libraries in this environment): ``decode_media`` raises
+NotImplementedError, and ``FAKE_DECODE`` substitutes a deterministic
+byte-level "decode" so every downstream stage is testable.
+
+Schema convention:
+    payload  binary                    -- the encoded media bytes
+    media    struct<media_type string, -- 'image' | 'audio' | 'video'
+                    width int, height int,
+                    sample_rate int, n_frames int>
+
+Feature extraction is Arrow-batched mapInPandas: per item we compute
+size, sha256, and a 16-bin byte-value histogram normalized to unit L1 —
+a stand-in embedding with the same plumbing (fixed-width float array
+column) a real encoder would produce.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_type string, width int, height int, sample_rate int, n_frames int"
+)
+
+FEATURE_DIM = 16
+
+
+def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic media table from a text corpus: payload = UTF-8
+    bytes of the text (opaque to everything downstream), metadata typed
+    from stable arithmetic on the id. Stands in for a real ingest whose
+    payloads are image/audio bytes."""
+    i = F.col(id_col)
+    mt = (
+        F.when(i % 3 == 0, "image").when(i % 3 == 1, "audio").otherwise("video")
+    )
+    return df.select(
+        F.col(id_col).alias("item_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            mt.alias("media_type"),
+            F.when(i % 3 == 0, (64 + (i % 8) * 32).cast("int")).alias("width"),
+            F.when(i % 3 == 0, (64 + ((i * 7) % 8) * 32).cast("int")).alias("height"),
+            F.when(i % 3 == 1, F.lit(16000).cast("int")).alias("sample_rate"),
+            F.when(i % 3 == 2, (8 + i % 120).cast("int")).alias("n_frames"),
+        ).alias("media"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
+    """Codec decode stub — pillow/libav are not available here. At
+    deploy time this returns a numpy array (HxWxC image, PCM samples,
+    or stacked frames)."""
+    raise NotImplementedError(
+        f"no codec for {media_type}: install pillow/av, or use FAKE_DECODE"
+    )
+
+
+def FAKE_DECODE(payload: bytes, media_type: str) -> np.ndarray:
+    """Deterministic stand-in decode: the payload bytes as uint8."""
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def byte_histogram(raw: np.ndarray, bins: int = FEATURE_DIM) -> np.ndarray:
+    """L1-normalized byte-value histogram — the deterministic stand-in
+    embedding (all-zero for empty payloads)."""
+    if raw.size == 0:
+        return np.zeros(bins)
+    h, _ = np.histogram(raw, bins=bins, range=(0, 256))
+    return h / raw.size
+
+
+def extract_features(df: DataFrame, decode=FAKE_DECODE) -> DataFrame:
+    """mapInPandas feature extraction over (item_id, payload, media).
+
+    Output: item_id, media_type, n_bytes, sha256, feature array
+    (FEATURE_DIM floats). Batches stay Arrow-columnar; the decode
+    callable is the only per-item Python and is swappable for a real
+    codec."""
+    schema = (
+        f"item_id bigint, media_type string, n_bytes bigint, "
+        f"sha256 string, feature array<double>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for item_id, payload, media in zip(
+                pdf["item_id"], pdf["payload"], pdf["media"]
+            ):
+                raw = decode(bytes(payload), media["media_type"])
+                out.append(
+                    (
+                        int(item_id),
+                        media["media_type"],
+                        len(payload),
+                        hashlib.sha256(bytes(payload)).hexdigest(),
+                        byte_histogram(raw).tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["item_id", "media_type", "n_bytes", "sha256", "feature"]
+            )
+
+    return df.mapInPandas(gen, schema)
+
+
+def frame_sample(df: DataFrame, every_k: int = 4) -> DataFrame:
+    """Video frame-sampling plumbing: keep every k-th byte-"frame" of
+    the payload (deterministic stand-in for a real frame extractor —
+    the Arrow batch shape and binary-preserving round-trip are the
+    parts that matter at scale). Non-video rows pass through unchanged.
+    Schema is preserved."""
+    schema = df.schema
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mt = pdf["media"].map(lambda m: m["media_type"])
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                bytes(p)[::every_k] if t == "video" else bytes(p)
+                for p, t in zip(pdf["payload"], mt)
+            ]
+            yield pdf
+
+    return df.mapInPandas(gen, schema)

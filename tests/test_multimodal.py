@@ -1,0 +1,89 @@
+"""Multimodal binary-column tests: schema convention, stubbed decode,
+Arrow batch plumbing, frame sampling round-trip."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geo_big_data_analysis_spark.sources.multimodal import (
+    FAKE_DECODE,
+    FEATURE_DIM,
+    byte_histogram,
+    decode_media,
+    extract_features,
+    frame_sample,
+    synthesize_media,
+)
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [(i, f"document {i} " + "x" * (i % 10)) for i in range(12)],
+        "doc_id bigint, text string",
+    )
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x01", "image")
+
+
+def test_media_schema_and_metadata(spark):
+    m = synthesize_media(_corpus(spark), "doc_id", "text")
+    assert dict(m.dtypes)["payload"] == "binary"
+    rows = {r["item_id"]: r["media"] for r in m.collect()}
+    assert rows[0]["media_type"] == "image" and rows[0]["width"] is not None
+    assert rows[1]["media_type"] == "audio" and rows[1]["sample_rate"] == 16000
+    assert rows[2]["media_type"] == "video" and rows[2]["n_frames"] is not None
+    # non-applicable metadata is null, not fake
+    assert rows[1]["width"] is None and rows[0]["sample_rate"] is None
+
+
+def test_payload_is_utf8_of_text(spark):
+    m = synthesize_media(_corpus(spark), "doc_id", "text")
+    r = m.filter(F.col("item_id") == 3).collect()[0]
+    assert bytes(r["payload"]) == f"document 3 {'x' * 3}".encode()
+
+
+def test_extract_features_contract(spark):
+    m = synthesize_media(_corpus(spark), "doc_id", "text")
+    f = extract_features(m)
+    got = {r["item_id"]: r for r in f.collect()}
+    assert len(got) == 12
+    r = got[5]
+    payload = f"document 5 {'x' * 5}".encode()
+    assert r["n_bytes"] == len(payload)
+    assert r["sha256"] == hashlib.sha256(payload).hexdigest()
+    assert len(r["feature"]) == FEATURE_DIM
+    assert sum(r["feature"]) == pytest.approx(1.0)  # L1-normalized
+    exp = byte_histogram(FAKE_DECODE(payload, "audio"))
+    assert r["feature"] == pytest.approx(list(exp))
+
+
+def test_byte_histogram_empty():
+    assert list(byte_histogram(np.array([], dtype=np.uint8))) == [0.0] * FEATURE_DIM
+
+
+def test_frame_sample_strides_video_only(spark):
+    m = synthesize_media(_corpus(spark), "doc_id", "text")
+    s = frame_sample(m, every_k=3)
+    before = {r["item_id"]: bytes(r["payload"]) for r in m.collect()}
+    after = {r["item_id"]: bytes(r["payload"]) for r in s.collect()}
+    for i in range(12):
+        if i % 3 == 2:  # video
+            assert after[i] == before[i][::3]
+        else:
+            assert after[i] == before[i]
+    assert s.schema == m.schema  # schema-preserving
+
+
+def test_custom_decode_is_pluggable(spark):
+    m = synthesize_media(_corpus(spark), "doc_id", "text")
+    calls = extract_features(m, decode=lambda p, t: np.zeros(4, dtype=np.uint8))
+    r = calls.limit(1).collect()[0]
+    # all-zero "decoded" array -> histogram mass in bin 0
+    assert r["feature"][0] == pytest.approx(1.0)
