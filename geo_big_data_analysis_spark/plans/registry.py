@@ -1232,6 +1232,74 @@ FROM s GROUP BY event_type ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# Structured Streaming (SURVEY §2.11)
+# --------------------------------------------------------------------------
+
+def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — the Lab-1 hourly tumbling count as a Structured
+    Streaming job: file-source stream → watermark → 1-hour event-time
+    windows → availableNow drain to a memory sink. Incremental
+    execution must reproduce the batch answer over the same files, so
+    the batch SQL oracle applies verbatim."""
+    from ..streaming.windows import (
+        hourly_event_counts_stream,
+        run_to_memory,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    out = run_to_memory(hourly_event_counts_stream(ev))
+    return out.orderBy("hour_start")
+
+
+_SQL_STREAM_HOURLY = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, count(*)::BIGINT AS n
+FROM events GROUP BY 1 ORDER BY hour_start
+"""
+
+
+def q_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11/W2 — native session windows (30-min gap, per user) on a
+    stream, drained availableNow; summarized per user (n_sessions,
+    events, max session length). Session-window semantics match the
+    batch sessionize operator at every non-boundary timestamp, so the
+    batch lag/cumsum SQL is the oracle."""
+    from ..streaming.windows import run_to_memory, session_window_stream, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    sw = session_window_stream(ev, gap_minutes=30.0, keys=["user_id"])
+    out = run_to_memory(sw)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_STREAM_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+), per AS (
+  SELECT user_id, session_id, count(*) AS n_events FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*)::BIGINT AS n_sessions, sum(n_events)::BIGINT AS n_events,
+       max(n_events)::BIGINT AS max_session_events
+FROM per GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Multimodal binary columns (training-data pipeline extension)
 # --------------------------------------------------------------------------
 
@@ -1705,6 +1773,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "voronoi_region_speed": (q_voronoi_region_speed, _sql_voronoi()),
     "kmeans_event_clusters": (q_kmeans_event_clusters, None),
     "gbt_value_metrics": (q_gbt_value_metrics, None),
+    "streaming_hourly_counts": (q_streaming_hourly_counts, _SQL_STREAM_HOURLY),
+    "streaming_user_sessions": (q_streaming_user_sessions, _SQL_STREAM_SESSIONS),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
     "multimodal_features": (q_multimodal_features, None),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),

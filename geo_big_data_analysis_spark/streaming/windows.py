@@ -1,0 +1,102 @@
+"""Structured Streaming layer (SURVEY §2.11).
+
+The reference is all-batch; its streaming-shaped logic is the Lab-1
+temporal pipeline — hourly tumbling counts and 60-min-gap
+sessionization over an event-time column (test.py:636-683). This module
+re-expresses both on Structured Streaming:
+
+- tumbling event-time windows + watermark for the hourly counts (A14),
+- ``session_window`` for gap sessionization (W2) — Spark's native
+  session windows close when the next event arrives ≥ gap after the
+  last seen event, matching the batch operator's (diff > gap) rule for
+  all non-boundary timestamps (an event at exactly last+gap joins the
+  batch session but opens a new streaming session; contract documented,
+  boundary-free in practice with sub-second event times).
+
+For the driver's batch-shaped correctness gate the streams run with an
+``availableNow`` trigger into a memory sink and return the final table:
+identical results to the batch plan over the same files, which is
+exactly Structured Streaming's incremental-execution promise — and why
+the batch SQL oracle is valid for the streaming query.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SINK_IDS = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned from a
+    batch peek; nanos timestamps take the same long→micros conversion
+    as the batch loader, registry._t)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory: stream the sf dir, globbed down
+    # to the events file
+    s = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+        s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return s
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain an availableNow-triggered stream into a memory sink and
+    return the materialized result as a batch DataFrame."""
+    name = f"__stream_sink_{next(_SINK_IDS)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def hourly_event_counts_stream(
+    events: DataFrame, ts_col: str = "ts", watermark: str = "2 hours"
+) -> DataFrame:
+    """A14 streamed — tumbling 1-hour event-time windows with watermark
+    (late rows beyond the watermark drop; with availableNow over files
+    nothing is late, so batch parity is exact)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "n")
+    )
+
+
+def session_window_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """W2 streamed — native session windows per key: session count and
+    per-session event counts without the batch global-window sort."""
+    keys = keys or []
+    gap = f"{int(gap_minutes * 60)} seconds"
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*keys, F.session_window(ts_col, gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *keys,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,74 @@
+"""Structured Streaming tests (§2.11): batch parity of the streamed
+plans and session-window gap semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from geo_big_data_analysis_spark.streaming.windows import (
+    hourly_event_counts_stream,
+    run_to_memory,
+    session_window_stream,
+    stream_events,
+)
+
+
+def test_stream_matches_batch_hourly(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    got = {
+        r["hour_start"]: r["n"]
+        for r in run_to_memory(hourly_event_counts_stream(ev)).collect()
+    }
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(batch.dtypes)["ts"] == "bigint":
+        batch = batch.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    want = {
+        r["h"]: r["n"]
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("h")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
+def _ts(h, m, s=0):
+    return datetime(2026, 1, 5, h, m, s)
+
+
+def test_session_window_gap_semantics(spark):
+    # one user: events at 10:00, 10:10, 10:50 (40-min gap splits at 30m),
+    # second user: single event
+    rows = [
+        (1, _ts(10, 0)), (1, _ts(10, 10)), (1, _ts(10, 50)),
+        (2, _ts(12, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    # session_window works identically on batch DataFrames — use that to
+    # pin semantics without a streaming source
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [1, 2]  # {10:00,10:10} and {10:50}
+    assert per_user[2] == [1]
+
+
+def test_streamed_sessions_match_batch_session_window(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    streamed = run_to_memory(session_window_stream(ev, gap_minutes=30.0, keys=["user_id"]))
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(batch.dtypes)["ts"] == "bigint":
+        batch = batch.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    want = (
+        batch.groupBy("user_id", F.session_window("ts", "1800 seconds").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+    got = streamed.select("user_id", "session_start", "n_events")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
