@@ -34,6 +34,16 @@ HEADLINE = [
     "quality_score_docs",
     "knn_embeddings",
     "embedding_label_centroids",
+    "minhash_near_dup_docs",
+    "sentiment_docs",
+    "sentiment_source_ranks",
+    "lisa_moran_events",
+    "road_density_grid",
+    "raster_sample_stats",
+    "multimodal_stats",
+    "kdist_curve_stats",
+    "dbscan_event_clusters",
+    "streaming_hourly_counts",
 ]
 
 

@@ -148,18 +148,37 @@ def dbscan(
 ) -> DataFrame:
     """Returns (id, cluster) with cluster = −1 for noise, else the min
     point id of the cluster's core-point component (stable labeling,
-    equal to sklearn's partition up to relabeling)."""
+    equal to sklearn's partition up to relabeling).
+
+    Coordinate-contraction prepass: exact-duplicate positions collapse
+    to one representative (rep id = min point id there) weighted by
+    multiplicity. Every point at a location shares the same neighbor
+    count — Σ multiplicities of in-eps locations — hence the same
+    core/border/noise status and label, so contracting is semantics-
+    preserving and turns duplicate-heavy inputs (checkin/POI data at
+    scale) from a quadratic pair blowup into per-location work.
+    """
     pts = points.select(
         F.col(id_col).alias("id"), F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
     )
+    locs = (
+        pts.groupBy("x", "y")
+        .agg(F.min("id").alias("id"), F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+
     # pairs feeds three consumers (degree, core-core edges, border
     # assignment) — materialize once instead of re-running the 9×
     # cell-neighborhood join per consumer.
-    pairs = _neighbor_pairs(pts, eps).localCheckpoint()
+    pairs = _neighbor_pairs(locs.select("id", "x", "y"), eps).localCheckpoint()
 
-    # degree (neighbor count incl. self) → core flag
-    deg = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_nbrs"))
+    # weighted degree (neighbor count incl. self) → core flag
+    deg = (
+        pairs.join(locs.select(F.col("id").alias("b_id"), "cnt"), "b_id")
+        .groupBy("a_id")
+        .agg(F.sum("cnt").alias("n_nbrs"))
+    )
     core = deg.filter(F.col("n_nbrs") >= min_samples).select(F.col("a_id").alias("id"))
     core = core.localCheckpoint()
 
@@ -192,11 +211,11 @@ def dbscan(
     )
 
     labeled = core_labels.unionByName(border)
-    return (
-        pts.select("id")
-        .join(labeled, "id", "left")
-        .select("id", F.coalesce("cluster", F.lit(-1)).alias("cluster"))
+    # expand back: location label → every point at that (x, y)
+    loc_labels = locs.join(labeled, "id", "left").select(
+        "x", "y", F.coalesce("cluster", F.lit(-1)).alias("cluster")
     )
+    return pts.join(loc_labels, ["x", "y"], "left").select("id", "cluster")
 
 
 def cluster_census(labels: DataFrame) -> DataFrame:

@@ -1232,6 +1232,99 @@ FROM s GROUP BY event_type ORDER BY event_type
 
 
 # --------------------------------------------------------------------------
+# k-distance curve (M2) + hyperparameter search (M8)
+# --------------------------------------------------------------------------
+
+def q_kdist_curve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — DBSCAN eps-tuning support: per-point k-th-NN distance
+    (k=4) over 500 derived points, summarized (the reference sorts the
+    curve and eyeballs the elbow; the curve's summary stats are the
+    checkable artifact)."""
+    from ..ml.pipeline import kth_nn_distance_stats
+    from ..operators.knn import kth_nn_distance
+
+    pts = _derived_points(_t(spark, sf_dir, "events")).filter(F.col("event_id") < 500)
+    pts = pts.select(F.col("event_id").alias("id"), F.col("lon").alias("x"), F.col("lat").alias("y"))
+    kd = kth_nn_distance(pts, k=4, id_col="id", x="x", y="y")
+    s = kth_nn_distance_stats(kd, dist_col="kth_dist")
+    return s.select(
+        "n",
+        *[F.round(F.col(c), 9).alias(c) for c in ["mean_dist", "median_dist", "p90_dist", "max_dist"]],
+    )
+
+
+_SQL_KDIST = f"""
+WITH d AS ({_DERIVED_POINTS_SQL}),
+p AS (SELECT event_id AS id, lon AS x, lat AS y FROM d WHERE event_id < 500),
+pairs AS (
+  SELECT q.id AS query_id,
+         sqrt((q.x - b.x) * (q.x - b.x) + (q.y - b.y) * (q.y - b.y)) AS dist,
+         b.id AS neighbor_id
+  FROM p q, p b WHERE q.id <> b.id
+), ranked AS (
+  SELECT query_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rk
+  FROM pairs
+), kd AS (SELECT query_id, dist FROM ranked WHERE rk = 4)
+SELECT count(*)::BIGINT AS n,
+       round(avg(dist), 9) AS mean_dist,
+       round(quantile_cont(dist, 0.5), 9) AS median_dist,
+       round(quantile_cont(dist, 0.9), 9) AS p90_dist,
+       round(max(dist), 9) AS max_dist
+FROM kd
+"""
+
+
+def q_param_search_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 — hyperparameter search re-expressed on TrainValidationSplit
+    (the reference drives Optuna over LightGBM; grid + TVS is the
+    Spark-ML-native equivalent, SURVEY §2.9). Returns the tried grid
+    with per-candidate validation RMSE and a best flag. Stochastic
+    learner → rows-only."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.regression import GBTRegressor
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    from ..ml.pipeline import assemble
+
+    ev = _derived_points(_t(spark, sf_dir, "events"))
+    feats = (
+        ev.withColumn("hour", F.hour("ts"))
+        .withColumn("dow", temporal.dayofweek_monday0("ts"))
+        .filter(F.col("value") >= 0)
+        .withColumn("log_value", F.log1p("value"))
+    )
+    vec = assemble(feats, ["hour", "dow", "lon", "lat"]).select("features", "log_value")
+    gbt = GBTRegressor(featuresCol="features", labelCol="log_value", maxIter=5, seed=42)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(gbt.maxDepth, [3, 5])
+        .addGrid(gbt.stepSize, [0.1, 0.3])
+        .build()
+    )
+    tvs = TrainValidationSplit(
+        estimator=gbt,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(labelCol="log_value", metricName="rmse"),
+        trainRatio=0.7,
+        seed=42,
+    )
+    model = tvs.fit(vec)
+    rows = [
+        (
+            int(pm[gbt.maxDepth]),
+            float(pm[gbt.stepSize]),
+            round(float(m), 4),
+            bool(i == int(min(range(len(model.validationMetrics)), key=model.validationMetrics.__getitem__))),
+        )
+        for i, (pm, m) in enumerate(zip(grid, model.validationMetrics))
+    ]
+    return spark.createDataFrame(
+        rows, "max_depth int, step_size double, val_rmse double, is_best boolean"
+    ).orderBy("max_depth", "step_size")
+
+
+# --------------------------------------------------------------------------
 # Structured Streaming (SURVEY §2.11)
 # --------------------------------------------------------------------------
 
@@ -1773,6 +1866,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "voronoi_region_speed": (q_voronoi_region_speed, _sql_voronoi()),
     "kmeans_event_clusters": (q_kmeans_event_clusters, None),
     "gbt_value_metrics": (q_gbt_value_metrics, None),
+    "kdist_curve_stats": (q_kdist_curve_stats, _SQL_KDIST),
+    "param_search_gbt": (q_param_search_gbt, None),
     "streaming_hourly_counts": (q_streaming_hourly_counts, _SQL_STREAM_HOURLY),
     "streaming_user_sessions": (q_streaming_user_sessions, _SQL_STREAM_SESSIONS),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),

@@ -1,0 +1,79 @@
+"""GeoJSON source/sink + CSV point-promotion tests (S6/S7/S8)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from geo_big_data_analysis_spark.sources.geojson import (
+    promote_csv_points,
+    read_geojson_points,
+    to_feature_structs,
+    write_geojson,
+)
+
+
+def test_geojson_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", -74.0, 40.7), (2, "b", -73.9, 40.8)],
+        "id bigint, name string, lon double, lat double",
+    )
+    path = str(tmp_path / "pts.geojson")
+    write_geojson(df, path)
+    doc = json.load(open(path))
+    assert doc["type"] == "FeatureCollection" and len(doc["features"]) == 2
+    f0 = doc["features"][0]
+    assert f0["geometry"]["type"] == "Point"
+    assert set(f0["properties"]) == {"id", "name"}
+
+    back = read_geojson_points(spark, path)
+    rows = sorted((r["id"], r["lon"], r["lat"], r["name"]) for r in back.collect())
+    assert rows == [(1, -74.0, 40.7, "a"), (2, -73.9, 40.8, "b")]
+
+
+def test_read_geojson_skips_non_points(spark, tmp_path):
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+             "properties": {"id": 1}},
+            {"type": "Feature",
+             "geometry": {"type": "LineString",
+                          "coordinates": [[0.0, 0.0], [1.0, 1.0]]},
+             "properties": {"id": 2}},
+        ],
+    }
+    p = str(tmp_path / "mix.geojson")
+    json.dump(doc, open(p, "w"))
+    out = read_geojson_points(spark, p).collect()
+    assert [r["id"] for r in out] == [1]
+
+
+def test_promote_csv_points_aliases_and_cleaning(spark):
+    df = spark.createDataFrame(
+        [
+            ("40.7", "-74.0", "ok"),
+            ("not_a_number", "-74.0", "badlat"),
+            ("95.0", "-74.0", "outofrange"),
+            (None, "-74.0", "nulllat"),
+        ],
+        "Latitude string, Longitude string, tag string",
+    )
+    out = promote_csv_points(df)
+    rows = out.collect()
+    assert [r["tag"] for r in rows] == ["ok"]
+    assert rows[0]["lat"] == 40.7 and rows[0]["lon"] == -74.0
+
+
+def test_promote_csv_points_missing_columns_raises(spark):
+    df = spark.createDataFrame([(1,)], "a bigint")
+    with pytest.raises(ValueError):
+        promote_csv_points(df)
+
+
+def test_feature_structs_distributed(spark):
+    df = spark.createDataFrame([(7, -73.5, 40.6)], "id bigint, lon double, lat double")
+    s = json.loads(to_feature_structs(df).collect()[0]["feature_json"])
+    assert s["geometry"]["coordinates"] == [-73.5, 40.6]
+    assert s["properties"] == {"id": 7}
