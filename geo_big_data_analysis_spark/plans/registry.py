@@ -539,6 +539,48 @@ FROM events GROUP BY 1 ORDER BY k_mod
 """
 
 
+def q_ndjson_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S5 — NDJSON scan with malformed-row skip and semi-join
+    pushdown (lab4 load_business_data / load_review_data, cell 6,
+    json 113): documents round-trip through NDJSON (with injected
+    corrupt lines), scan back keeping only doc_ids ≡ 0 (mod 3), then
+    aggregate per source. The oracle reads the parquet directly — a
+    match proves the NDJSON path loses/garbles nothing."""
+    import tempfile
+
+    from ..sources.ndjson import read_ndjson_semi
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="ndjson_scan_")
+    path = f"{tmp}/docs.ndjson"
+    docs.select(F.to_json(F.struct(*docs.columns)).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+    spark.createDataFrame(
+        [("this line is {{{ not json",), ('{"doc_id": 1 "bad": true}',)], "value string"
+    ).write.mode("append").text(path)
+    ids = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    back = read_ndjson_semi(spark, path, ids, "doc_id", docs.schema)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_NDJSON_SCAN = """
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM documents WHERE doc_id % 3 = 0
+GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Geospatial (derived points; SURVEY §2.3 J5, §2.8 geo)
 # --------------------------------------------------------------------------
@@ -1868,6 +1910,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "gbt_value_metrics": (q_gbt_value_metrics, None),
     "kdist_curve_stats": (q_kdist_curve_stats, _SQL_KDIST),
     "param_search_gbt": (q_param_search_gbt, None),
+    "ndjson_scan_docs": (q_ndjson_scan_docs, _SQL_NDJSON_SCAN),
     "streaming_hourly_counts": (q_streaming_hourly_counts, _SQL_STREAM_HOURLY),
     "streaming_user_sessions": (q_streaming_user_sessions, _SQL_STREAM_SESSIONS),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
