@@ -2053,6 +2053,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sssp_grid": (q_sssp_grid, None),
     "lab1_noise_pipeline": (q_lab1_noise_pipeline, _SQL_LAB1),
     "lab2_taxi_features": (q_lab2_taxi_features, _SQL_LAB2),
+    "kde_grid_density": (q_kde_grid_density, _SQL_KDE),
     "status_remap_counts": (q_status_remap_counts, _SQL_REMAP),
 }
 
