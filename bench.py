@@ -44,6 +44,10 @@ HEADLINE = [
     "kdist_curve_stats",
     "dbscan_event_clusters",
     "streaming_hourly_counts",
+    "lab1_noise_pipeline",
+    "lab2_taxi_features",
+    "kde_grid_density",
+    "ndjson_scan_docs",
 ]
 
 

@@ -1712,6 +1712,117 @@ SELECT node_id::BIGINT AS node_id, count(*)::BIGINT AS degree FROM ends GROUP BY
 """
 
 
+def q_node_degree_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 — degree class bands over the graph nodes (lab3a nb cell 20:
+    endpoint deg=1 / mid-segment deg=2 / intersection deg≥3) with counts
+    and share-of-nodes, the BASELINE.md 'intersections 97.2%' shape."""
+    from ..graph.algorithms import degrees
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    deg = degrees(edges)
+    banded = deg.withColumn(
+        "band",
+        F.when(F.col("degree") == 1, "endpoint")
+        .when(F.col("degree") == 2, "mid")
+        .otherwise("intersection"),
+    )
+    total = banded.count()
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.round(F.count(F.lit(1)) / F.lit(float(total)), 6).alias("share"),
+            F.round(F.avg("degree"), 6).alias("avg_degree"),
+        )
+        .orderBy("band")
+    )
+
+
+_SQL_DEGREE_BANDS = """
+WITH e AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+ends AS (SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e),
+deg AS (SELECT node_id, count(*)::BIGINT AS degree FROM ends GROUP BY node_id),
+banded AS (
+  SELECT degree, CASE WHEN degree = 1 THEN 'endpoint' WHEN degree = 2 THEN 'mid'
+                      ELSE 'intersection' END AS band
+  FROM deg
+)
+SELECT band, count(*)::BIGINT AS n_nodes,
+       round(count(*) / (SELECT count(*)::DOUBLE FROM deg), 6) AS share,
+       round(avg(degree), 6) AS avg_degree
+FROM banded GROUP BY band ORDER BY band
+"""
+
+
+def q_gbt_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 — fitted-model feature importances + top-feature share
+    (lx_lightgbmTest.py:125-134). Stochastic learner → rows-only; the
+    pytest contract checks importances sum to 1 and are non-negative."""
+    from ..ml.features import log1p_target
+    from ..ml.pipeline import feature_importances, gbt_fit
+
+    ev = _derived_points(_t(spark, sf_dir, "events"))
+    feats = (
+        ev.withColumn("hour", F.hour("ts"))
+        .withColumn("dow", temporal.dayofweek_monday0("ts"))
+        .withColumn("dist_km", haversine_km("lat", "lon", F.lit(40.7580), F.lit(-73.9855)))
+    )
+    feats = log1p_target(feats.filter(F.col("value") >= 0), "value")
+    fcols = ["hour", "dow", "lon", "lat", "dist_km"]
+    model = gbt_fit(feats, fcols, "log_value", max_iter=10, max_depth=4)
+    imps = feature_importances(model, fcols)
+    return spark.createDataFrame(
+        [(n, round(float(v), 6)) for n, v in imps], "feature string, importance double"
+    ).orderBy(F.desc("importance"), "feature")
+
+
+def q_summary_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — describe()-style per-column summary (count/mean/std/min/
+    max/median) as explicit aggregates (exact percentile so the oracle
+    matches bit-for-bit; at 100 TB swap median for approx_percentile)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = []
+    for c in ["l_quantity", "l_extendedprice", "l_discount"]:
+        rows.append(
+            li.agg(
+                F.lit(c).alias("column"),
+                F.count(c).alias("n"),
+                F.round(F.avg(c), 6).alias("mean"),
+                F.round(F.stddev_pop(c), 6).alias("std"),
+                F.round(F.min(c), 6).alias("min"),
+                F.round(F.expr(f"percentile({c}, 0.5)"), 6).alias("median"),
+                F.round(F.max(c), 6).alias("max"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("column")
+
+
+_SQL_SUMMARY = """
+SELECT 'l_quantity' AS "column", count(l_quantity)::BIGINT AS n,
+       round(avg(l_quantity), 6) AS mean, round(stddev_pop(l_quantity), 6) AS std,
+       round(min(l_quantity), 6) AS min, round(quantile_cont(l_quantity, 0.5), 6) AS median,
+       round(max(l_quantity), 6) AS max FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(l_extendedprice)::BIGINT,
+       round(avg(l_extendedprice), 6), round(stddev_pop(l_extendedprice), 6),
+       round(min(l_extendedprice), 6), round(quantile_cont(l_extendedprice, 0.5), 6),
+       round(max(l_extendedprice), 6) FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(l_discount)::BIGINT,
+       round(avg(l_discount), 6), round(stddev_pop(l_discount), 6),
+       round(min(l_discount), 6), round(quantile_cont(l_discount, 0.5), 6),
+       round(max(l_discount), 6) FROM lineitem
+ORDER BY "column"
+"""
+
+
 def q_knn_grid_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10 — grid-bucketed KNN join on derived 2-D points, exact vs the
     oracle's brute-force ranking (ties broken by neighbor id)."""
@@ -2048,6 +2159,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lisa_moran_events": (q_lisa_moran_events, _SQL_LISA),
     "lisa_hotspot_summary": (q_lisa_hotspot_summary, None),
     "graph_degree": (q_graph_degree, _SQL_DEGREE),
+    "node_degree_bands": (q_node_degree_bands, _SQL_DEGREE_BANDS),
+    "gbt_feature_importances": (q_gbt_feature_importances, None),
+    "summary_stats_lineitem": (q_summary_stats_lineitem, _SQL_SUMMARY),
     "knn_grid_points": (q_knn_grid_points, _SQL_KNN_GRID),
     "dbscan_event_clusters": (q_dbscan_event_clusters, None),
     "sssp_grid": (q_sssp_grid, None),
