@@ -1712,6 +1712,36 @@ SELECT node_id::BIGINT AS node_id, count(*)::BIGINT AS degree FROM ends GROUP BY
 """
 
 
+def q_peak_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — argmax per group via ``max_by`` (idxmax peak hour,
+    test.py:255-256): for each event_type, the hour with the most
+    events and that count. Ties broken toward the earlier hour by
+    max_by on a (count, -hour) pair encoded as count*100 + (23-hour)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.hour("ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.expr("max_by(hour, n * 100 + (23 - hour))").alias("peak_hour"),
+            F.max("n").alias("peak_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_PEAK_HOUR = """
+WITH h AS (
+  SELECT event_type, hour(ts) AS hour, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, max_by(hour, n * 100 + (23 - hour)) AS peak_hour,
+       max(n) AS peak_count
+FROM h GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_node_degree_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G8 — degree class bands over the graph nodes (lab3a nb cell 20:
     endpoint deg=1 / mid-segment deg=2 / intersection deg≥3) with counts
@@ -2160,6 +2190,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lisa_hotspot_summary": (q_lisa_hotspot_summary, None),
     "graph_degree": (q_graph_degree, _SQL_DEGREE),
     "node_degree_bands": (q_node_degree_bands, _SQL_DEGREE_BANDS),
+    "peak_hour_by_type": (q_peak_hour_by_type, _SQL_PEAK_HOUR),
     "gbt_feature_importances": (q_gbt_feature_importances, None),
     "summary_stats_lineitem": (q_summary_stats_lineitem, _SQL_SUMMARY),
     "knn_grid_points": (q_knn_grid_points, _SQL_KNN_GRID),
