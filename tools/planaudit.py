@@ -1,0 +1,78 @@
+"""Physical-plan audit: flags scale anti-patterns in every registry query.
+
+Red flags:
+- CartesianProduct / BroadcastNestedLoopJoin — quadratic at scale
+  (allowed only where a query intentionally broadcasts a tiny side
+  against a non-equi condition; those are allowlisted with a reason).
+- BatchEvalPython — row-at-a-time Python UDF in the plan (the slow
+  path; engine policy is built-ins or Arrow-batched pandas UDFs only).
+- InMemoryTableScan absent + repeated exchanges is NOT flagged (AQE
+  handles reuse), but >6 Exchanges hints at a missed reuse.
+
+Usage: python tools/planaudit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geo_big_data_analysis_spark.plans.registry import REGISTRY  # noqa: E402
+from geo_big_data_analysis_spark.session import get_spark  # noqa: E402
+
+# name -> reason a nested-loop/cartesian is acceptable there
+ALLOWLIST_NLJ = {
+    "session_drilldown": "J8 time-range join: few broadcast periods vs events",
+    "percentile_filter_orders": "scalar threshold broadcast against orders",
+    "knn_embeddings": "brute-force baseline variant is intentionally O(n*q) with tiny q",
+    "embedding_near_dup": "exact-baseline pairs on tiny doc count; LSH variant is the scale path",
+    "kdist_curve_stats": "500-point eps-tuning sample, driver-bounded",
+    # single-row global-stat broadcasts (μ/σ/total thresholds): the NLJ
+    # side is exactly 1 row, so the 'nested loop' is a plain O(n) map —
+    # keeping it a join (vs collect+literal) keeps the whole pipeline
+    # one lazy DAG with no driver round-trip
+    "pareto_user_share": "1-row total broadcast for share-of-total",
+    "high_density_hours": "1-row mu/sigma broadcast threshold",
+    "lisa_moran_events": "1-row mean/std broadcast for z-standardization",
+    "lab1_noise_pipeline": "1-row mu/sigma broadcast threshold (via high_density_hours)",
+}
+
+
+def audit(sf_dir: str, only: list[str] | None = None) -> int:
+    spark = get_spark("planaudit")
+    bad = 0
+    for name, (fn, _) in REGISTRY.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {type(e).__name__}: {str(e)[:120]}")
+            bad += 1
+            continue
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWLIST_NLJ:
+            flags.append("BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan:
+            flags.append("row-at-a-time PythonUDF")
+        n_ex = plan.count("Exchange ") + plan.count("Exchange\n")
+        if flags:
+            print(f"FLAG {name}: {', '.join(flags)}")
+            bad += 1
+        else:
+            note = f" [allowlisted NLJ: {ALLOWLIST_NLJ[name]}]" if (
+                "BroadcastNestedLoopJoin" in plan and name in ALLOWLIST_NLJ
+            ) else ""
+            print(f"ok   {name}: exchanges~{n_ex}{note}")
+    print("FLAGS:", bad)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(audit(sf, sys.argv[2:] or None))
