@@ -1393,6 +1393,57 @@ FROM events GROUP BY 1 ORDER BY hour_start
 """
 
 
+def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 streamed — watermarked streaming dedup on (user_id,
+    event_type): with an availableNow drain every key emits exactly
+    once, so per-type distinct-user counts equal the batch DISTINCT."""
+    from ..streaming.windows import dedup_stream, run_to_memory, stream_events
+
+    ev = stream_events(spark, sf_dir)
+    dd_s = dedup_stream(ev, ["user_id", "event_type"])
+    out = run_to_memory(dd_s, output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+_SQL_STREAM_DEDUP = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running (count, value sum, distinct types) GroupState.
+    Final state after an availableNow drain ≡ the batch groupBy — the
+    oracle below. Update-mode emits one row per user per micro-batch;
+    the last row per user is the final state (max n_events)."""
+    from ..streaming.windows import run_to_memory, stream_events, user_running_stats_stream
+
+    ev = stream_events(spark, sf_dir)
+    st = user_running_stats_stream(ev)
+    out = run_to_memory(st, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = out.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    return final.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        "n_types",
+    ).orderBy("user_id")
+
+
+_SQL_STREAM_STATE = """
+SELECT user_id, count(*)::BIGINT AS n_events,
+       round(sum(coalesce(value, 0.0)), 4) AS sum_value,
+       count(DISTINCT event_type)::BIGINT AS n_types
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11/W2 — native session windows (30-min gap, per user) on a
     stream, drained availableNow; summarized per user (n_sessions,
@@ -2179,6 +2230,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ndjson_scan_docs": (q_ndjson_scan_docs, _SQL_NDJSON_SCAN),
     "streaming_hourly_counts": (q_streaming_hourly_counts, _SQL_STREAM_HOURLY),
     "streaming_user_sessions": (q_streaming_user_sessions, _SQL_STREAM_SESSIONS),
+    "streaming_dedup_counts": (q_streaming_dedup_counts, _SQL_STREAM_DEDUP),
+    "streaming_user_state": (q_streaming_user_state, _SQL_STREAM_STATE),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
     "multimodal_features": (q_multimodal_features, None),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),

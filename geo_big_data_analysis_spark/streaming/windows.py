@@ -78,6 +78,89 @@ def hourly_event_counts_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """F2 streamed — exactly-once-per-key emission with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only
+    until the watermark passes it, so state size tracks the watermark
+    horizon, not the stream's lifetime (the unbounded-state version of
+    streaming dedup is a slow OOM at 100 TB/day)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def user_running_stats_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    engine's pattern for operators Structured Streaming lacks): per-user
+    running event count, value sum, and distinct-event_type count kept
+    in explicit GroupState across micro-batches.
+
+    Arrow-batched per group; state is a single tuple per user. With an
+    availableNow drain the final state equals the batch groupBy — which
+    is the correctness contract the registry checks.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("n_types", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("types", StringType()),  # comma-joined sorted set
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s, types = state.get if state.exists else (0, 0.0, "")
+        seen = set(types.split(",")) if types else set()
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+            seen.update(pdf["event_type"].dropna().unique().tolist())
+        state.update((n, s, ",".join(sorted(seen))))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "n_types": [len(seen)],
+            }
+        )
+
+    return events.select("user_id", "event_type", "value", ts_col).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def session_window_stream(
     events: DataFrame,
     ts_col: str = "ts",

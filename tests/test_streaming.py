@@ -72,3 +72,34 @@ def test_streamed_sessions_match_batch_session_window(spark, sf_dir):
     )
     got = streamed.select("user_id", "session_start", "n_events")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_dedup_bounded_state(spark, sf_dir):
+    from geo_big_data_analysis_spark.streaming.windows import dedup_stream
+
+    ev = stream_events(spark, sf_dir)
+    out = run_to_memory(dedup_stream(ev, ["user_id", "event_type"]), output_mode="append")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = batch.select("user_id", "event_type").distinct().count()
+    assert out.count() == want
+    # each key appears exactly once
+    assert out.groupBy("user_id", "event_type").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_stateful_user_stats_match_batch(spark, sf_dir):
+    from geo_big_data_analysis_spark.streaming.windows import user_running_stats_stream
+
+    ev = stream_events(spark, sf_dir)
+    out = run_to_memory(user_running_stats_stream(ev), output_mode="update")
+    w = __import__("pyspark").sql.Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = out.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(batch.dtypes)["ts"] == "bigint":
+        batch = batch.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    want = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    got = {r["user_id"]: (r["n_events"], r["n_types"]) for r in final.collect()}
+    exp = {r["user_id"]: (r["n_events"], r["n_types"]) for r in want.collect()}
+    assert got == exp
