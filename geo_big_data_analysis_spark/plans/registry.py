@@ -1623,6 +1623,59 @@ FROM scored GROUP BY 1 ORDER BY category
 """
 
 
+def q_lab4_sentiment_linregress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Lab-4 correlation stage (SURVEY §3.3, A12+M11): per-doc
+    lexicon polarity vs quality score → closed-form linear regression
+    (slope/intercept/r/R², the scipy.linregress surface the reference
+    reports as 'stars↔sentiment r=0.744')."""
+    from ..functions import sentiment as sn
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(sn.polarity("text"), 6).alias("pol"),
+        F.round(tx.quality_score("text"), 6).alias("quality"),
+    )
+    out = scored.agg(*linregress_aggs("pol", "quality"))
+    return out.select(*[F.round(F.col(c), 6).alias(c) for c in out.columns])
+
+
+def _sql_lab4_linregress() -> str:
+    from ..functions import sentiment as sn
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_CLEAN_TEXT_SQL}, '\\s+')) AS w
+  FROM documents
+),
+pol AS (
+  SELECT t.doc_id, avg(p.valence) AS pol
+  FROM toks t JOIN {sn.lexicon_sql_values(0, 'p')} ON t.w = p.word GROUP BY 1
+),
+q AS (
+  SELECT doc_id,
+         least(length(text) / 200.0, 1.0) AS len_score,
+         1.0 - least(((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                      / greatest(length(text), 1)) * 4, 1.0) AS punct_score,
+         (len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                          x -> list_contains({_STOPWORDS_SQL}, x)))::DOUBLE
+          / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1)) AS sw
+  FROM documents
+),
+scored AS (
+  SELECT d.doc_id, round(coalesce(pol.pol, 0.0), 6) AS pol,
+         round((q.len_score + q.punct_score
+                + CASE WHEN q.sw > 0.05 AND q.sw < 0.6 THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+  FROM documents d LEFT JOIN pol USING (doc_id) JOIN q USING (doc_id)
+)
+SELECT round(regr_slope(quality, pol), 6) AS slope,
+       round(regr_intercept(quality, pol), 6) AS intercept,
+       round(corr(pol, quality), 6) AS r,
+       round(corr(pol, quality) ^ 2, 6) AS r2
+FROM scored
+"""
+
+
 def q_sentiment_source_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 + W3 — per-source sentiment aggregation (mean/std/count/
     positive-rate in one hash agg) ranked by avg polarity desc (the
@@ -2239,6 +2292,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "isochrone_poi_access": (q_isochrone_poi_access, None),
     "sentiment_docs": (q_sentiment_docs, _sql_sentiment_docs()),
     "sentiment_source_ranks": (q_sentiment_source_ranks, _sql_sentiment_ranks()),
+    "lab4_sentiment_linregress": (q_lab4_sentiment_linregress, _sql_lab4_linregress()),
     "lisa_moran_events": (q_lisa_moran_events, _SQL_LISA),
     "lisa_hotspot_summary": (q_lisa_hotspot_summary, None),
     "graph_degree": (q_graph_degree, _SQL_DEGREE),
