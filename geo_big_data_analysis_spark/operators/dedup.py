@@ -243,3 +243,62 @@ def minhash_near_dup_pairs(
     cands = lsh_candidates(sigs, bands, num_hashes // bands)
     verified = ngram_jaccard(df, text_col, id_col, cands, shingle_n)
     return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def ngram_jaccard_all_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted shingle index.
+
+    Explode each doc's DISTINCT shingle set, self-join on the shingle
+    hash (an integer equi-join — no cross product), count co-occurring
+    shingles per doc pair (= |A∩B|), and derive |A∪B| as
+    |A|+|B|−|A∩B| from the per-doc set sizes. Only pairs sharing at
+    least one shingle are ever materialized.
+
+    Scale shape: the shuffle key is a 64-bit shingle hash; a shingle
+    appearing in k docs yields k·(k−1)/2 pair rows, so document-
+    frequency-hot shingles dominate cost. At corpus scale, cap shingle
+    df (PPJoin-style prefix filtering) or switch to the sub-quadratic
+    MinHash-LSH path (:func:`minhash_near_dup_pairs`) — a pair made
+    only of ubiquitous shingles cannot clear a meaningful threshold.
+
+    Parity: exact semantics of lab-4-style near-dup verification
+    (reference computes pairwise similarity eagerly; see SURVEY.md
+    §2 extension ops).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
+    ).select(
+        "doc_id",
+        F.size("sh").alias("n_sh"),
+        F.explode("sh").alias("shingle_s"),
+    ).select("doc_id", "n_sh", F.xxhash64("shingle_s").alias("shingle"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

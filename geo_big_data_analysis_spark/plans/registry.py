@@ -774,6 +774,67 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash64(docs, "text", "doc_id")
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs word-3-gram Jaccard ≥ 0.5 via an inverted
+    shingle index (integer-keyed equi-join; no cross product). The
+    exact counterpart of minhash_near_dup_docs at a looser threshold;
+    oracle is brute-force all-pairs Jaccard."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.ngram_jaccard_all_pairs(docs, "text", "doc_id", threshold=0.5)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SQL_NGRAM_JACCARD = f"""
+WITH docs AS (SELECT doc_id, {_CLEAN_SQL} AS ct FROM documents),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(ct, ' ') AS toks FROM docs)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles))::DOUBLE
+           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+def q_doc_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level fingerprint census: 64-bit content fingerprints
+    (xxhash64 of normalized text, functions.text.fingerprint64) →
+    distinct-fingerprint and duplicate-group stats. The oracle groups
+    on the normalized text itself, so a hash-match certifies the
+    fingerprint is collision-free and normalization-equivalent on this
+    corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    groups = (
+        docs.select(tx.fingerprint64("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return groups.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias("n_dup_docs"),
+        F.max("n").alias("max_group"),
+    )
+
+
+_SQL_FINGERPRINT = f"""
+WITH g AS (
+  SELECT {_CLEAN_SQL} AS ct, count(*)::BIGINT AS n
+  FROM documents GROUP BY 1
+)
+SELECT sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_distinct,
+       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+       sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_dup_docs,
+       max(n)::BIGINT AS max_group
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # Embeddings / similarity search
 # --------------------------------------------------------------------------
@@ -2264,6 +2325,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "exact_dedup_docs": (q_exact_dedup_docs, _SQL_DEDUP),
     "minhash_near_dup_docs": (q_minhash_near_dup_docs, _SQL_MINHASH_NEAR_DUP),
     "simhash_docs": (q_simhash_docs, None),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _SQL_NGRAM_JACCARD),
+    "doc_fingerprint_dups": (q_doc_fingerprint_dups, _SQL_FINGERPRINT),
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),
     "srp_topk_embeddings": (q_srp_topk_embeddings, None),
     "token_stats_docs": (q_token_stats_docs, _SQL_TOKENS),

@@ -162,6 +162,23 @@ def test_ngram_jaccard_identical_is_one(spark):
     assert out.jaccard == 1.0
 
 
+def test_ngram_jaccard_all_pairs_exact(spark):
+    # docs 1/2 share most 3-grams; doc 3 shares none
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "a b c d e f x"),
+            (3, "q r s t u v w"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = dedup.ngram_jaccard_all_pairs(df, "text", "doc_id", threshold=0.1)
+    rows = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    # 5 shingles each, 4 shared -> jaccard 4/6
+    assert set(rows) == {(1, 2)}
+    assert abs(rows[(1, 2)] - 4 / 6) < 1e-9
+
+
 def test_cosine_topk_self_similarity(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
     emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
