@@ -105,3 +105,89 @@ def cosine_topk_srp(
         .filter(F.col("sim_rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "sim_rank")
     )
+
+
+def label_centroids(df: DataFrame, vec_col: str, label_col: str) -> list[tuple[int, list[float]]]:
+    """Element-wise mean vector per label → [(label, center), …] sorted
+    by label. Driver-side collect of (n_labels × dim) doubles — the
+    'fit' step of the IVF coarse quantizer (tiny; the big table never
+    moves). posexplode+groupBy keeps the reduction map-side-combined."""
+    rows = (
+        df.select(F.col(label_col).alias("_lbl"), F.posexplode(F.col(vec_col)))
+        .groupBy("_lbl", "pos")
+        .agg(F.avg(F.col("col").cast("double")).alias("m"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_label.setdefault(r._lbl, {})[r.pos] = r.m
+    return [
+        (lbl, [d[p] for p in sorted(d)]) for lbl, d in sorted(by_label.items())
+    ]
+
+
+def _cell_scores(vec, centers: list[tuple[int, list[float]]]):
+    """array<struct<neg_cos, cell>> — sortable cell ranking by cosine
+    desc, cell asc. Centers are literal arrays (broadcast in the plan)."""
+    n = _norm(vec)
+    scored = []
+    for cell, c in centers:
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        cnorm = sum(v * v for v in c) ** 0.5
+        scored.append(
+            F.struct(
+                (-(_dot(vec, arr) / (n * F.lit(cnorm)))).alias("neg_cos"),
+                F.lit(int(cell)).alias("cell"),
+            )
+        )
+    return F.array(*scored)
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    centers: list[tuple[int, list[float]]],
+    nprobe: int = 3,
+    q_id: str = "vec_id",
+    b_id: str = "vec_id",
+    q_vec: str = "embedding",
+    b_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate cosine top-k: a coarse quantizer (`centers`,
+    e.g. KMeans or per-label centroids) partitions the base into cells;
+    each query probes its `nprobe` nearest cells and reranks exactly
+    inside them.
+
+    Scale shape: base cell assignment is a map (argmax over a handful of
+    centroid dot products); the probe is an equi-join on the integer
+    cell id — candidate count ≈ nprobe/n_cells of the base, tunable
+    recall/cost. With nprobe = n_cells this degrades gracefully to the
+    exact answer. At 100 TB: repartition the base by cell (co-located
+    probe join), broadcast the (tiny) query-probe side."""
+    bs = base.select(
+        F.col(b_id).alias("neighbor_id"), F.col(b_vec).alias("_bv")
+    ).withColumn(
+        "cell", F.element_at(F.array_sort(_cell_scores(F.col("_bv"), centers)), 1)["cell"]
+    )
+    qs = queries.select(
+        F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv")
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(_cell_scores(F.col("_qv"), centers)), 1, nprobe),
+                lambda s: s["cell"],
+            )
+        ),
+    )
+    pairs = qs.join(bs, "cell", "inner").filter(F.col("query_id") != F.col("neighbor_id"))
+    pairs = pairs.withColumn(
+        "cosine", _dot(F.col("_qv"), F.col("_bv")) / (_norm(F.col("_qv")) * _norm(F.col("_bv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "sim_rank")
+    )

@@ -31,7 +31,13 @@ from ..functions.stats import linregress_aggs
 from ..functions.geo import grid_cell, haversine_km, in_bbox
 from ..operators import dedup as dd
 from ..operators import sessionize as sz
-from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_srp, with_cosine
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_srp,
+    label_centroids,
+    with_cosine,
+)
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -899,6 +905,57 @@ def q_srp_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_srp(queries, emb, k=5, planes=planes).select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "sim_rank"
     )
+
+
+def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-label centroid coarse quantizer → each query
+    probes its 3 nearest cells → exact cosine rerank inside the probed
+    cells (top-5). Fully deterministic (centroids are per-label means),
+    so unlike SRP this approximate path is oracle-checked end-to-end:
+    the DuckDB SQL replicates quantize→probe→rerank exactly. Rank is
+    omitted from the output so fp tie-ordering can't flip rows."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    centers = label_centroids(emb, "embedding", "label")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = cosine_topk_ivf(queries, emb, k=5, centers=centers, nprobe=3)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+_SQL_IVF = """
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+dims AS (SELECT unnest(range(1, len(v) + 1)) AS i, vec_id FROM emb),
+centers AS (
+  SELECT label AS cell, list(m ORDER BY i) AS c
+  FROM (
+    SELECT e.label, d.i, avg(e.v[d.i]) AS m
+    FROM emb e JOIN dims d USING (vec_id)
+    GROUP BY e.label, d.i
+  ) GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.v, c.cell,
+         list_cosine_similarity(e.v, c.c) AS cs,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cell ASC) AS rn
+  FROM emb e CROSS JOIN centers c
+),
+cells AS (SELECT vec_id AS neighbor_id, v AS bv, cell FROM scored WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, v AS qv, cell FROM scored WHERE rn <= 3 AND vec_id % 25 = 0),
+pairs AS (
+  SELECT p.query_id, b.neighbor_id,
+         list_cosine_similarity(p.qv, b.bv) AS cosine
+  FROM probes p JOIN cells b USING (cell)
+  WHERE b.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS sim_rank
+  FROM pairs
+) WHERE sim_rank <= 5
+"""
 
 
 def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2329,6 +2386,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_fingerprint_dups": (q_doc_fingerprint_dups, _SQL_FINGERPRINT),
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),
     "srp_topk_embeddings": (q_srp_topk_embeddings, None),
+    "ivf_topk_embeddings": (q_ivf_topk_embeddings, _SQL_IVF),
     "token_stats_docs": (q_token_stats_docs, _SQL_TOKENS),
     "lang_id_docs": (q_lang_id_docs, _SQL_LANG),
     "quality_score_docs": (q_quality_score_docs, _SQL_QUALITY),

@@ -179,6 +179,35 @@ def test_ngram_jaccard_all_pairs_exact(spark):
     assert abs(rows[(1, 2)] - 4 / 6) < 1e-9
 
 
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    centers = similarity.label_centroids(emb, "embedding", "label")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk_bruteforce(queries, emb, k=3)
+    ivf = similarity.cosine_topk_ivf(
+        emb.filter(F.col("vec_id") < 8), emb, k=3, centers=centers, nprobe=len(centers)
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    # probing every cell degrades to the exact answer
+    assert e == a
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    centers = similarity.label_centroids(emb, "embedding", "label")
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk_bruteforce(queries, emb, k=3).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_ivf(queries, emb, k=3, centers=centers, nprobe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+
+
 def test_cosine_topk_self_similarity(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
     emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
