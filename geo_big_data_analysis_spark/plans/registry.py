@@ -26,6 +26,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import stats as st
 from ..functions import temporal, text as tx
 from ..functions.stats import linregress_aggs
 from ..functions.geo import grid_cell, haversine_km, in_bbox
@@ -587,6 +588,53 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_csv_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+S3 — CSV scan with declared schema, custom ';' delimiter
+    and 12-hour timestamp parsing (the reference's
+    '%m/%d/%Y %I:%M:%S %p' format, test.py:64; sep=';' holidays table,
+    lab2 cell 3): events round-trip through CSV, are re-parsed with
+    ``to_timestamp(col, 'M/d/yyyy h:mm:ss a')``, then aggregated
+    hourly. The oracle reads the parquet directly — a match proves the
+    CSV scan + format parse lose nothing (incl. the AM/PM noon/midnight
+    edge)."""
+    import tempfile
+
+    from ..sources.csv import read_csv
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="csv_scan_")
+    path = f"{tmp}/events.csv"
+    ev.select(
+        "event_id",
+        F.date_format("ts", "M/d/yyyy h:mm:ss a").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    ).write.mode("overwrite").option("header", "true").option("sep", ";").csv(path)
+    back = read_csv(
+        spark,
+        path,
+        schema="event_id bigint, ts string, user_id bigint, event_type string, value double",
+        sep=";",
+        ts_formats={"ts": "M/d/yyyy h:mm:ss a"},
+    )
+    return (
+        back.groupBy(F.hour("ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("event_id").alias("min_id"),
+        )
+    )
+
+
+_SQL_CSV_SCAN = """
+SELECT hour(ts) AS hour, count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value, min(event_id) AS min_id
+FROM events GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Geospatial (derived points; SURVEY §2.3 J5, §2.8 geo)
 # --------------------------------------------------------------------------
@@ -612,6 +660,78 @@ SELECT CAST(floor((lon - (-74.3)) / 0.05) AS BIGINT) AS gx,
 FROM p
 WHERE lat BETWEEN 40.55 AND 40.95 AND lon BETWEEN -74.25 AND -73.75
 GROUP BY 1, 2
+"""
+
+
+def q_spatial_extent_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — spatial extent aggregate (nodes.total_bounds, lab3a nb
+    cell 5): per-type bbox (min/max lon/lat) + point count in one
+    hash agg (map-side combined; at scale this is the metadata pass a
+    spatial layout writer runs before choosing a grid)."""
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    return pts.groupBy("event_type").agg(
+        F.round(F.min("lon"), 6).alias("min_lon"),
+        F.round(F.min("lat"), 6).alias("min_lat"),
+        F.round(F.max("lon"), 6).alias("max_lon"),
+        F.round(F.max("lat"), 6).alias("max_lat"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SQL_EXTENT = f"""
+WITH p AS ({_DERIVED_POINTS_SQL})
+SELECT event_type,
+       round(min(lon), 6) AS min_lon, round(min(lat), 6) AS min_lat,
+       round(max(lon), 6) AS max_lon, round(max(lat), 6) AS max_lat,
+       count(*)::BIGINT AS n
+FROM p GROUP BY event_type
+"""
+
+
+def q_hot_cold_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13+F18 — hot/cold-spot extraction (lab4 nb cell 18: cluster
+    stats → quantile threshold): grid-cell densities → exact q75/q25
+    thresholds of the per-cell counts (two-phase, broadcast 1-row
+    stat) → hot/mid/cold banding, summarized per band."""
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    gx, gy = grid_cell("lat", "lon", 40.5, -74.3, 0.05)
+    cells = (
+        pts.withColumn("gx", gx)
+        .withColumn("gy", gy)
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+    )
+    thresh = cells.agg(
+        F.expr("percentile(n, 0.75)").alias("_q75"),
+        F.expr("percentile(n, 0.25)").alias("_q25"),
+    )
+    banded = cells.crossJoin(F.broadcast(thresh)).withColumn(
+        "band",
+        F.when(F.col("n") >= F.col("_q75"), F.lit("hot"))
+        .when(F.col("n") <= F.col("_q25"), F.lit("cold"))
+        .otherwise(F.lit("mid")),
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("n_points"),
+        F.round(F.avg("avg_value"), 6).alias("avg_cell_value"),
+    )
+
+
+_SQL_HOT_COLD = f"""
+WITH p AS ({_DERIVED_POINTS_SQL}),
+cells AS (
+  SELECT CAST(floor((lon - (-74.3)) / 0.05) AS BIGINT) AS gx,
+         CAST(floor((lat - 40.5) / 0.05) AS BIGINT) AS gy,
+         count(*)::BIGINT AS n, avg(value) AS avg_value
+  FROM p GROUP BY 1, 2
+),
+t AS (SELECT quantile_cont(n, 0.75) AS q75, quantile_cont(n, 0.25) AS q25 FROM cells)
+SELECT CASE WHEN n >= q75 THEN 'hot' WHEN n <= q25 THEN 'cold' ELSE 'mid' END AS band,
+       count(*)::BIGINT AS n_cells, sum(n)::BIGINT AS n_points,
+       round(avg(avg_value), 6) AS avg_cell_value
+FROM cells CROSS JOIN t
+GROUP BY 1
 """
 
 
@@ -2032,6 +2152,42 @@ def q_gbt_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("importance"), "feature")
 
 
+def q_value_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — per-group quantile spread (0.1/0.25/0.5/0.75/0.9) plus
+    population skewness and excess kurtosis (lab3c nb cell 7:
+    quantile(q)/.skew()/.kurtosis(), numpy bias=True semantics). The
+    moments are closed-form raw-moment aggregates
+    (functions.stats.skewness_pop/kurtosis_pop) — the oracle replays
+    the identical arithmetic, DuckDB's builtins (sample-corrected) are
+    deliberately NOT used. Exact percentile here; approx_percentile is
+    the 100 TB swap."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"q{int(q * 100)}")
+            for q in (0.1, 0.25, 0.5, 0.75, 0.9)
+        ],
+        F.round(st.skewness_pop("value"), 6).alias("skew_pop"),
+        F.round(st.kurtosis_pop("value"), 6).alias("kurt_pop"),
+    )
+
+
+_SQL_DISTRIBUTION = """
+SELECT event_type,
+       round(quantile_cont(value, 0.1), 6) AS q10,
+       round(quantile_cont(value, 0.25), 6) AS q25,
+       round(quantile_cont(value, 0.5), 6) AS q50,
+       round(quantile_cont(value, 0.75), 6) AS q75,
+       round(quantile_cont(value, 0.9), 6) AS q90,
+       round((avg(value*value*value) - 3*avg(value)*avg(value*value) + 2*pow(avg(value), 3))
+             / pow(avg(value*value) - avg(value)*avg(value), 1.5), 6) AS skew_pop,
+       round((avg(value*value*value*value) - 4*avg(value)*avg(value*value*value)
+              + 6*pow(avg(value), 2)*avg(value*value) - 3*pow(avg(value), 4))
+             / pow(avg(value*value) - avg(value)*avg(value), 2) - 3, 6) AS kurt_pop
+FROM events GROUP BY event_type
+"""
+
+
 def q_summary_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 — describe()-style per-column summary (count/mean/std/min/
     max/median) as explicit aggregates (exact percentile so the oracle
@@ -2366,6 +2522,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "histogram_quantity": (q_histogram_quantity, _SQL_HISTOGRAM),
     "linregress_price_qty": (q_linregress_price_qty, _SQL_LINREGRESS),
     "percentile_filter_orders": (q_percentile_filter_orders, _SQL_PERCENTILE),
+    "csv_roundtrip_events": (q_csv_roundtrip_events, _SQL_CSV_SCAN),
+    "spatial_extent_by_type": (q_spatial_extent_by_type, _SQL_EXTENT),
+    "hot_cold_grid_cells": (q_hot_cold_grid_cells, _SQL_HOT_COLD),
+    "value_distribution_stats": (q_value_distribution_stats, _SQL_DISTRIBUTION),
     "union_stack": (q_union_stack, _SQL_UNION),
     "rank_suppliers": (q_rank_suppliers, _SQL_RANK),
     "pareto_user_share": (q_pareto_user_share, _SQL_PARETO),
