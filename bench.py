@@ -48,6 +48,11 @@ HEADLINE = [
     "lab2_taxi_features",
     "kde_grid_density",
     "ndjson_scan_docs",
+    "ngram_jaccard_pairs",
+    "ivf_topk_embeddings",
+    "value_distribution_stats",
+    "hot_cold_grid_cells",
+    "csv_roundtrip_events",
 ]
 
 

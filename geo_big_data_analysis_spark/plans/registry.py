@@ -1286,6 +1286,42 @@ FROM d GROUP BY 1 ORDER BY region_id
 """
 
 
+def q_region_speed_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9+A6 — the lab2 cell-20 two-step: per-region mean feature,
+    then joined BACK onto the row stream by the carried region key
+    (the reference's ``reindex(df.index)``; here a broadcast equi-join
+    on region_id — the aggregated side is tiny by construction). Output
+    is each point's deviation from its region mean, per event type."""
+    from ..ml.pipeline import assign_nearest_center
+
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    r = assign_nearest_center(pts, "lon", "lat", _voronoi_centers())
+    region_means = r.groupBy("region_id").agg(F.avg("value").alias("region_avg"))
+    back = r.join(F.broadcast(region_means), "region_id", "left")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("value") - F.col("region_avg")), 6).alias("avg_dev"),
+        F.round(F.max(F.abs(F.col("value") - F.col("region_avg"))), 6).alias("max_abs_dev"),
+    )
+
+
+def _sql_region_joinback() -> str:
+    dists = ", ".join(
+        f"(pow(lon - ({cx!r}), 2) + pow(lat - ({cy!r}), 2))" for cx, cy in _voronoi_centers()
+    )
+    return f"""
+WITH p AS ({_DERIVED_POINTS_SQL}),
+d AS (SELECT *, [{dists}] AS dl FROM p),
+r AS (SELECT *, (list_indexof(dl, list_min(dl)) - 1)::INT AS region_id FROM d),
+m AS (SELECT region_id, avg(value) AS region_avg FROM r GROUP BY 1)
+SELECT r.event_type, count(*)::BIGINT AS n,
+       round(avg(r.value - m.region_avg), 6) AS avg_dev,
+       round(max(abs(r.value - m.region_avg)), 6) AS max_abs_dev
+FROM r JOIN m USING (region_id)
+GROUP BY r.event_type
+"""
+
+
 def q_kmeans_event_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 — seeded Spark-ML KMeans (k=8) over derived points; cluster
     census (sizes + centroid coords). Iterative fit → rows-only; Lloyd
@@ -2557,6 +2593,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "scaled_value_stats": (q_scaled_value_stats, _SQL_SCALED),
     "pca_axis_points": (q_pca_axis_points, _SQL_PCA),
     "voronoi_region_speed": (q_voronoi_region_speed, _sql_voronoi()),
+    "region_speed_joinback": (q_region_speed_joinback, _sql_region_joinback()),
     "kmeans_event_clusters": (q_kmeans_event_clusters, None),
     "gbt_value_metrics": (q_gbt_value_metrics, None),
     "kdist_curve_stats": (q_kdist_curve_stats, _SQL_KDIST),
