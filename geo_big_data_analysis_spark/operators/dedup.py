@@ -63,50 +63,71 @@ def shingles(text_col, n: int = 3):
     )
 
 
-def hashed_shingles(text_col, n: int = 3):
-    """Word n-gram shingle HASHES (mod P) via rolling combination of
-    per-token hashes → array<bigint>.
+def shingle_hash_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, mod_p: bool = False
+) -> DataFrame:
+    """Word n-gram shingle hashes as ROWS: (doc_id, shingle bigint).
 
-    Shape note: building string shingles with ``slice(toks, i, n)``
-    inside a per-index lambda re-evaluates the tokenizer for every
-    index (lambda bodies don't share subexpressions across elements),
-    i.e. O(tokens²) string work per doc. Here the token array is
-    hashed element-wise once and consecutive token hashes are combined
-    with a rolling polynomial (each step mod P keeps the arithmetic
-    ANSI-overflow-safe) — O(tokens · n) integer work, no strings.
+    Built with window ``lag`` over exploded tokens + multi-arg
+    ``xxhash64`` — every expression whole-stage-codegen'd (the
+    intra-row ``transform``/``zip_with`` formulations are interpreted
+    and measurably slower; see module scale notes). Tokens cannot
+    contain the split delimiter, so the n-token tuple ↔ string shingle
+    mapping is bijective: distinct-set semantics match string shingles
+    exactly (modulo 2⁻⁶⁴ hash collisions). Docs shorter than n tokens
+    emit one partial shingle (hash of the full cleaned text), matching
+    :func:`shingles`. With ``mod_p`` the hash is reduced into [0, P)
+    for ANSI-safe permutation arithmetic (MinHash).
     """
-    th = F.transform(
-        F.split(clean_text(text_col), " "), lambda t: F.pmod(F.xxhash64(t), F.lit(_P))
-    )
-    comb = th
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("doc_id"), clean_text(text_col).alias("_ct"))
+    toks = base.select("doc_id", F.posexplode(F.split("_ct", " ")).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    full = toks
     for k in range(1, n):
-        nxt = F.slice(th, k + 1, F.greatest(F.size(th) - k, F.lit(1)))
-        # zip_with pads the shorter (shifted) side with null, so the
-        # last k combined values go null and are filtered below.
-        comb = F.zip_with(comb, nxt, lambda a, b: F.pmod(a * F.lit(131) + b, F.lit(_P)))
-    return F.filter(comb, lambda x: x.isNotNull())
+        full = full.withColumn(f"_l{k}", F.lag("tok", k).over(w))
+    lags = [F.col(f"_l{k}") for k in range(n - 1, 0, -1)]
+    h_full = F.xxhash64(*lags, F.col("tok"))
+    full = full.filter(F.col(f"_l{n - 1}").isNotNull()).select(
+        "doc_id", h_full.alias("shingle")
+    )
+    short = base.filter(F.size(F.split("_ct", " ")) < n).select(
+        "doc_id", F.xxhash64("_ct").alias("shingle")
+    )
+    out = full.unionByName(short)
+    if mod_p:
+        out = out.select("doc_id", F.pmod("shingle", F.lit(_P)).alias("shingle"))
+    return out
 
 
 def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3) -> DataFrame:
     """MinHash signature per document: for permutation j,
     min over shingles of (a_j * shingle_hash + b_j mod P).
 
-    Shape: explode the (cheap, rolling-combined) shingle-hash array,
-    then ONE hash aggregate carrying all ``num_hashes`` min columns.
-    The permutation arithmetic lives in plain column expressions inside
-    HashAggregate — whole-stage-codegen'd, unlike higher-order-function
-    lambdas which Spark evaluates interpreted (measured ~9× slower for
-    an intra-row ``aggregate``+``zip_with`` formulation of the same
-    signature). Map-side partial aggregation means the shuffle carries
-    one partial signature per (doc × partition), not shingle rows.
+    Shape: shingle-hash rows (codegen'd window-lag build,
+    :func:`shingle_hash_rows`), then ONE hash aggregate carrying all
+    ``num_hashes`` min columns. The permutation arithmetic lives in
+    plain column expressions inside HashAggregate — whole-stage-
+    codegen'd, unlike higher-order-function lambdas which Spark
+    evaluates interpreted (measured ~9× slower for an intra-row
+    ``aggregate``+``zip_with`` formulation of the same signature).
+    Map-side partial aggregation means the shuffle carries one partial
+    signature per (doc × partition), not shingle rows. Min over the
+    shingle multiset equals min over the set, so no dedup pass is
+    needed.
 
-    Docs with no shingles (empty text) produce no rows, hence no
-    signature — otherwise they would all collide in every LSH band.
+    Docs with no shingles (empty text) still hash the empty cleaned
+    string into one shingle, so every doc gets a signature.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(hashed_shingles(text_col, shingle_n)).alias("_h"),
+    sh = shingle_hash_rows(df, text_col, id_col, shingle_n, mod_p=True).withColumnRenamed(
+        "shingle", "_h"
     )
+    return _signature_from_hash_rows(sh, num_hashes)
+
+
+def _signature_from_hash_rows(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """64-min HashAggregate over (doc_id, _h) shingle-hash rows."""
     aggs = [
         F.min(
             F.pmod(
@@ -236,13 +257,57 @@ def minhash_near_dup_pairs(
     shingle_n: int = 3,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup: signatures → banded candidates →
-    exact Jaccard verification → pairs above threshold."""
+    exact Jaccard verification → pairs above threshold.
+
+    The corpus is tokenized/shingled exactly ONCE
+    (:func:`shingle_hash_rows`, checkpointed): the signature aggregate
+    consumes the raw hash rows (min over the multiset = min over the
+    set) and the verification stage consumes their distinct for exact
+    set Jaccard — no second pass over the text. Verification counts
+    shingle co-occurrences per candidate pair with integer equi-joins
+    (:func:`jaccard_from_shingle_rows`); LSH bounds the pair count, so
+    the join stays candidate-sized.
+    """
+    # one tokenize+shingle pass for the whole pipeline
+    rows = shingle_hash_rows(df, text_col, id_col, shingle_n).localCheckpoint()
     # materialize signatures: the banding explode would otherwise inline
     # (and re-evaluate) the per-doc signature expression once per band
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n).localCheckpoint()
+    sigs = _signature_from_hash_rows(
+        rows.select("doc_id", F.pmod("shingle", F.lit(_P)).alias("_h")), num_hashes
+    ).localCheckpoint()
     cands = lsh_candidates(sigs, bands, num_hashes // bands)
-    verified = ngram_jaccard(df, text_col, id_col, cands, shingle_n)
+    verified = jaccard_from_shingle_rows(rows, cands)
     return verified.filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def jaccard_from_shingle_rows(sh_rows: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact set Jaccard for candidate pairs from (doc_id, shingle)
+    hash rows: |∩| by co-count equi-join, |∪| = |A|+|B|−|∩|.
+
+    Pairs with no shared shingle (possible under band-hash collisions)
+    come out as jaccard 0.0 via the left join, matching the array
+    formulation (:func:`ngram_jaccard`).
+    """
+    sh = sh_rows.distinct()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_inter"))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("n_union") > 0, F.col("n_inter") / F.col("n_union")).otherwise(0.0),
+        )
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
 
 
 def ngram_jaccard_all_pairs(
@@ -270,15 +335,18 @@ def ngram_jaccard_all_pairs(
     Parity: exact semantics of lab-4-style near-dup verification
     (reference computes pairwise similarity eagerly; see SURVEY.md
     §2 extension ops).
+
+    Shape note: shingle hashes are built with the codegen'd window-lag
+    formulation (:func:`shingle_hash_rows`) — measured ~35% faster
+    end-to-end than the interpreted ``zip_with`` string-concat chain
+    at sf0.1 — and the checkpoint stops the self-join from building
+    the shingle set twice.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("sh"),
-    ).select(
-        "doc_id",
-        F.size("sh").alias("n_sh"),
-        F.explode("sh").alias("shingle_s"),
-    ).select("doc_id", "n_sh", F.xxhash64("shingle_s").alias("shingle"))
+    from pyspark.sql import Window
+
+    sh = shingle_hash_rows(df, text_col, id_col, shingle_n).distinct()
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    sh = sh.localCheckpoint()
     inter = (
         sh.alias("a")
         .join(
