@@ -1007,24 +1007,56 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.45
 """
 
 
+def _srp_planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG over plane·dim
+    index) — exact dyadic rationals, so both Spark literals and the
+    DuckDB oracle's list literals round-trip bit-exactly."""
+    return [
+        [(((1103515245 * (p * dim + d) + 12345) % 2147483648) / 2147483648.0) - 0.5
+         for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
 def q_srp_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN: signed-random-projection buckets → equi-join →
-    exact rerank. Approximate by design → rows-only; recall vs the exact
-    baseline is pytest-verified."""
+    exact rerank. The planes are deterministic literals, so the oracle
+    recomputes the SAME buckets independently (DuckDB
+    list_inner_product sign bits) and the approximate result is
+    value-checked end-to-end, not just rows-only. Rank omitted from
+    the output so fp tie-ordering can't flip rows; per-query recall vs
+    the exact baseline is additionally pytest-verified."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    dim = 64
-    # deterministic pseudo-random hyperplanes (LCG over plane·dim index)
-    planes = [
-        [(((1103515245 * (p * dim + d) + 12345) % 2147483648) / 2147483648.0) - 0.5
-         for d in range(dim)]
-        for p in range(4)
-    ]
     queries = emb.filter(F.col("vec_id") < 32)
-    return cosine_topk_srp(queries, emb, k=5, planes=planes).select(
-        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "sim_rank"
+    return cosine_topk_srp(queries, emb, k=5, planes=_srp_planes()).select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine")
     )
+
+
+def _sql_srp() -> str:
+    planes = _srp_planes()
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(v, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {sig_terms} AS srp_sig FROM emb),
+pairs AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, b.v) AS cosine
+  FROM sig q JOIN sig b ON q.srp_sig = b.srp_sig AND q.vec_id <> b.vec_id
+  WHERE q.vec_id < 32
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS sim_rank
+  FROM pairs
+) WHERE sim_rank <= 5
+"""
 
 
 def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2302,9 +2334,15 @@ FROM ranked WHERE knn_rank <= 5
 
 def q_dbscan_event_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1 — distributed DBSCAN over derived event points in local meters
-    (eps=500 m, min_samples=5). Iterative connected components → no SQL
-    oracle (rows-only); the partition contract is pytest-verified against
-    a pure-python reference (tests/test_dbscan.py)."""
+    (eps=500 m, min_samples=5). The engine's labeling is fully
+    deterministic (cluster = min core-location id of the core
+    component; border → min adjacent cluster; exact-duplicate
+    coordinates contracted), so the oracle replays the complete
+    algorithm in SQL — location contraction, weighted degree, core
+    flagging, connected components as a recursive CTE, border
+    assignment — and the per-cluster census must match label-for-label.
+    The partition contract is additionally pytest-verified against a
+    pure-python reference (tests/test_dbscan.py)."""
     from ..functions.geo import equirect_xy_m
     from ..operators.dbscan import dbscan
 
@@ -2317,6 +2355,48 @@ def q_dbscan_event_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_points"))
         .orderBy(F.col("n_points").desc(), F.col("cluster").asc())
     )
+
+
+def _sql_dbscan() -> str:
+    import math
+
+    kx = repr(111320.0 * math.cos(math.radians(40.75)))
+    return f"""
+WITH RECURSIVE p AS ({_DERIVED_POINTS_SQL}),
+pts AS (SELECT event_id AS id, lon * {kx} AS x, lat * 111320.0 AS y FROM p),
+locs AS (SELECT x, y, min(id) AS id, count(*)::BIGINT AS cnt FROM pts GROUP BY x, y),
+pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id, b.cnt AS b_cnt
+  FROM locs a, locs b
+  WHERE power(a.x - b.x, 2) + power(a.y - b.y, 2) <= 250000.0
+),
+core AS (SELECT a_id AS id FROM pairs GROUP BY a_id HAVING sum(b_cnt) >= 5),
+core_edges AS (
+  SELECT pr.a_id AS a, pr.b_id AS b FROM pairs pr
+  JOIN core ca ON ca.id = pr.a_id JOIN core cb ON cb.id = pr.b_id
+  WHERE pr.a_id <> pr.b_id
+),
+reach(id, root) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN core_edges e ON e.a = r.id
+),
+comp AS (SELECT id, min(root) AS cluster FROM reach GROUP BY id),
+border AS (
+  SELECT pr.a_id AS id, min(c.cluster) AS cluster
+  FROM pairs pr JOIN comp c ON c.id = pr.b_id
+  WHERE pr.a_id NOT IN (SELECT id FROM core)
+  GROUP BY pr.a_id
+),
+labels AS (SELECT id, cluster FROM comp UNION ALL SELECT id, cluster FROM border),
+loc_lab AS (
+  SELECT l.cnt, coalesce(lb.cluster, -1) AS cluster
+  FROM locs l LEFT JOIN labels lb ON lb.id = l.id
+)
+SELECT cluster, sum(cnt)::BIGINT AS n_points
+FROM loc_lab GROUP BY cluster
+ORDER BY n_points DESC, cluster ASC
+"""
 
 
 def q_sssp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2581,7 +2661,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _SQL_NGRAM_JACCARD),
     "doc_fingerprint_dups": (q_doc_fingerprint_dups, _SQL_FINGERPRINT),
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),
-    "srp_topk_embeddings": (q_srp_topk_embeddings, None),
+    "srp_topk_embeddings": (q_srp_topk_embeddings, _sql_srp()),
     "ivf_topk_embeddings": (q_ivf_topk_embeddings, _SQL_IVF),
     "token_stats_docs": (q_token_stats_docs, _SQL_TOKENS),
     "lang_id_docs": (q_lang_id_docs, _SQL_LANG),
@@ -2619,7 +2699,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "gbt_feature_importances": (q_gbt_feature_importances, None),
     "summary_stats_lineitem": (q_summary_stats_lineitem, _SQL_SUMMARY),
     "knn_grid_points": (q_knn_grid_points, _SQL_KNN_GRID),
-    "dbscan_event_clusters": (q_dbscan_event_clusters, None),
+    "dbscan_event_clusters": (q_dbscan_event_clusters, _sql_dbscan()),
     "sssp_grid": (q_sssp_grid, None),
     "lab1_noise_pipeline": (q_lab1_noise_pipeline, _SQL_LAB1),
     "lab2_taxi_features": (q_lab2_taxi_features, _SQL_LAB2),
