@@ -218,31 +218,43 @@ def ngram_jaccard(df: DataFrame, text_col: str, id_col: str, pairs: DataFrame, s
     return out.select("doc_a", "doc_b", "jaccard")
 
 
-def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash over word tokens: sign-sum of per-token hash bits.
+SIMHASH_BITS = 60
+
+
+def simhash60(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash over word tokens: sign-sum of per-token hash bits.
 
     Vectorized via explode + bit arithmetic (shiftright/bitwise AND) and
-    a single groupBy(doc) — no UDF, no per-bit shuffle: the 64 bit-sums
+    a single groupBy(doc) — no UDF, no per-bit shuffle: the 60 bit-sums
     are one aggregate row per doc.
+
+    The per-token hash is the first 15 hex chars of md5 (60 bits), not
+    xxhash64: md5 is the one keyless hash Spark and DuckDB compute
+    identically (`conv(substring(md5(t),1,15),16,10)` ==
+    `('0x'||substr(md5(t),1,15))::BIGINT`), which lets the driver's
+    DuckDB oracle recompute the exact fingerprints instead of settling
+    for a rows-only check. 60 bits also stays non-negative in a signed
+    64-bit value, so no sign-bit special case.
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(clean_text(text_col), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+    )
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(SIMHASH_BITS)
         ]
     )
     sim = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        term = bit * F.lit(1 << b).cast("bigint") if b < 63 else F.when(
-            F.col("b63") > 0, F.lit(-(1 << 63)).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         sim = term if sim is None else sim + term
     return bit_sums.select("doc_id", sim.alias("simhash"))
 

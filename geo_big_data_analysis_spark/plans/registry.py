@@ -893,11 +893,33 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (64-bit sign-sum over token xxhash64 bits).
-    xxhash64 has no DuckDB twin → rows-only; the hamming-distance
-    contract is pytest-verified (tests/test_operators.py)."""
+    """SimHash fingerprints (60-bit sign-sum over token md5-prefix
+    bits). The md5-prefix hash is bit-identical in DuckDB, so the
+    oracle recomputes the exact fingerprints; the hamming-distance
+    contract is additionally pytest-verified (tests/test_operators.py)."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.simhash64(docs, "text", "doc_id")
+    return dd.simhash60(docs, "text", "doc_id")
+
+
+def _sql_simhash() -> str:
+    from ..operators.dedup import SIMHASH_BITS
+
+    bit_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {_CLEAN_SQL} AS ct FROM documents),
+toks AS (SELECT doc_id, unnest(string_split(ct, ' ')) AS tok FROM docs),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+),
+bits AS (SELECT doc_id, {bit_cols} FROM hashed GROUP BY doc_id)
+SELECT doc_id, ({recombine})::BIGINT AS simhash FROM bits
+"""
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2401,9 +2423,14 @@ ORDER BY n_points DESC, cluster ASC
 
 def q_sssp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4 — weighted SSSP from node 0 over a deterministic 20×20 grid
-    graph (edge weight = 1 + (src·dst mod 7)). Iterative frontier
-    relaxation → no SQL oracle (rows-only); Dijkstra-parity is
-    pytest-verified (tests/test_graph.py)."""
+    graph (edge weight = 1 + (src·dst mod 7)). The oracle replays the
+    full shortest-path computation as a recursive CTE: enumerate
+    (node, path-distance) states, dedup via UNION, prune at the
+    provable distance bound (a monotone staircase path has ≤38 edges of
+    weight ≤7 → every true shortest distance ≤266, so pruning partial
+    sums >266 never cuts a shortest-path prefix), then min per node.
+    Dijkstra-parity is additionally pytest-verified
+    (tests/test_graph.py)."""
     from ..graph.algorithms import sssp
 
     n = 20
@@ -2418,6 +2445,28 @@ def q_sssp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight", (F.lit(1) + (F.col("src") * F.col("dst")) % 7).cast("double")
     )
     return sssp(edges, 0, directed=False).orderBy("id")
+
+
+_SQL_SSSP_GRID = """
+WITH RECURSIVE ids AS (SELECT range::BIGINT AS id FROM range(400)),
+base AS (
+  SELECT id AS src, id + 1 AS dst FROM ids WHERE id % 20 < 19
+  UNION ALL
+  SELECT id AS src, id + 20 AS dst FROM ids WHERE id < 380
+),
+edges AS (
+  SELECT src, dst, (1 + (src * dst) % 7)::DOUBLE AS w FROM base
+  UNION ALL
+  SELECT dst AS src, src AS dst, (1 + (src * dst) % 7)::DOUBLE AS w FROM base
+),
+walk(id, dist) AS (
+  SELECT 0::BIGINT AS id, 0.0::DOUBLE AS dist
+  UNION
+  SELECT e.dst, w.dist + e.w FROM walk w JOIN edges e ON e.src = w.id
+  WHERE w.dist + e.w <= 266.0
+)
+SELECT id, min(dist) AS dist FROM walk GROUP BY id ORDER BY id
+"""
 
 
 def q_lab1_noise_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2657,7 +2706,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "haversine_stats": (q_haversine_stats, _SQL_HAVERSINE),
     "exact_dedup_docs": (q_exact_dedup_docs, _SQL_DEDUP),
     "minhash_near_dup_docs": (q_minhash_near_dup_docs, _SQL_MINHASH_NEAR_DUP),
-    "simhash_docs": (q_simhash_docs, None),
+    "simhash_docs": (q_simhash_docs, _sql_simhash()),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _SQL_NGRAM_JACCARD),
     "doc_fingerprint_dups": (q_doc_fingerprint_dups, _SQL_FINGERPRINT),
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),
@@ -2700,7 +2749,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "summary_stats_lineitem": (q_summary_stats_lineitem, _SQL_SUMMARY),
     "knn_grid_points": (q_knn_grid_points, _SQL_KNN_GRID),
     "dbscan_event_clusters": (q_dbscan_event_clusters, _sql_dbscan()),
-    "sssp_grid": (q_sssp_grid, None),
+    "sssp_grid": (q_sssp_grid, _SQL_SSSP_GRID),
     "lab1_noise_pipeline": (q_lab1_noise_pipeline, _SQL_LAB1),
     "lab2_taxi_features": (q_lab2_taxi_features, _SQL_LAB2),
     "kde_grid_density": (q_kde_grid_density, _SQL_KDE),

@@ -147,9 +147,10 @@ def test_simhash_similar_docs_close(spark):
         ],
         ["doc_id", "text"],
     )
-    sh = {r.doc_id: r.simhash for r in dedup.simhash64(df, "text", "doc_id").collect()}
+    sh = {r.doc_id: r.simhash for r in dedup.simhash60(df, "text", "doc_id").collect()}
     def hamming(a, b):
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert all(0 <= v < (1 << dedup.SIMHASH_BITS) for v in sh.values())
     assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
 
 
