@@ -56,18 +56,22 @@ def positional_split(df: DataFrame, order_col: str, frac: float = 0.7) -> DataFr
     """Deterministic positional split (np.split parity, F15): rows in
     ``order_col`` order, first ``frac`` → split 0, rest → split 1.
 
-    Implemented as row_number over a global ordering vs a broadcast
-    count. NOTE: the global window is a single-partition sort — fine for
-    split bookkeeping on keys; at 100 TB prefer a precomputed row_id in
-    the fixtures (SURVEY §7.3) or range-partitioned ntile.
+    Row numbering is the two-phase range-partitioned kind
+    (`operators/two_phase.global_row_number`) — a naive
+    ``Window.orderBy`` would single-partition the whole table, which at
+    the reference's 1.4 M taxi rows is survivable and at 100 TB is not.
+    ``order_col`` must be a total order (fixtures carry ``row_id``,
+    SURVEY §7.3).
     """
+    from ..operators.two_phase import global_row_number
+
     n = df.count()
     cut = int(n * frac)
-    w = Window.orderBy(F.col(order_col).asc())
-    return df.withColumn(
+    numbered = global_row_number(df, [F.col(order_col).asc()], out="__pos_rn")
+    return numbered.withColumn(
         "split",
-        F.when(F.row_number().over(w) <= cut, F.lit(0)).otherwise(F.lit(1)),
-    )
+        F.when(F.col("__pos_rn") <= cut, F.lit(0)).otherwise(F.lit(1)),
+    ).drop("__pos_rn")
 
 
 def random_split(df: DataFrame, weights: list[float], seed: int = 42) -> list[DataFrame]:

@@ -326,12 +326,17 @@ SELECT count(*)::BIGINT AS n_distinct_keys, sum(n)::BIGINT AS n_total FROM g
 
 
 def q_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3 — rank over global ordering."""
-    sup = _t(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.col("s_acctbal").desc())
-    return sup.select(
-        "s_suppkey", "s_name", F.round("s_acctbal", 4).alias("acctbal"),
-        F.rank().over(w).alias("bal_rank"),
+    """W3 — rank over global ordering, via the two-phase
+    range-partitioned plan (`operators/two_phase.global_rank`): the
+    supplier table is a dim at sf0.1 but grows with SF, and a naive
+    global window would single-partition it."""
+    from ..operators.two_phase import global_rank
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return global_rank(
+        sup, [F.col("s_acctbal").desc()], rank_keys=["s_acctbal"], out="bal_rank"
+    ).select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 4).alias("acctbal"), "bal_rank"
     )
 
 
@@ -343,22 +348,26 @@ FROM supplier
 
 
 def q_pareto_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A15/W4 — cumulative contribution share (top-users Pareto audit)."""
+    """A15/W4 — cumulative contribution share (top-users Pareto audit).
+    The running sum is the two-phase range-partitioned kind
+    (`operators/two_phase.global_cumsum`): distinct users scale with
+    the data, so the naive global cumsum window would single-partition
+    the aggregate. Order (n desc, user_id) is total → deterministic."""
+    from ..operators.two_phase import global_cumsum
+
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("_total"))
-    w = (
-        Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = global_cumsum(
+        counts,
+        [F.col("n").desc(), F.col("user_id").asc()],
+        "n",
+        out="cum_n",
     )
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .withColumn("cum_n", F.sum("n").over(w))
-        .select(
-            "user_id",
-            "n",
-            F.round(F.col("cum_n") / F.col("_total"), 6).alias("cum_share"),
-        )
+    return cum.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        "n",
+        F.round(F.col("cum_n") / F.col("_total"), 6).alias("cum_share"),
     )
 
 
