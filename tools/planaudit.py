@@ -41,6 +41,35 @@ ALLOWLIST_NLJ = {
 }
 
 
+# name -> reason an unpartitioned (single-partition) Window is acceptable:
+# only over pre-aggregated bounded-cardinality inputs (SCALE.md).
+ALLOWLIST_GLOBAL_WINDOW = {
+    "sentiment_source_ranks": "sorts per-source aggregates (#sources rows)",
+    "lab1_noise_pipeline": "keyless sessionization over anomalous hourly buckets (time-span-bounded)",
+}
+
+
+def _unpartitioned_windows(df) -> int:
+    """Count WindowExec nodes with an empty partitionSpec (the
+    move-everything-to-one-partition shape) via a py4j tree walk."""
+    n = 0
+    stack = [df._jdf.queryExecution().executedPlan()]
+    while stack:
+        node = stack.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "WindowExec" and node.partitionSpec().isEmpty():
+            n += 1
+        if cls == "AdaptiveSparkPlanExec":
+            # AQE root is a leaf until executed — descend into its
+            # initial plan explicitly
+            stack.append(node.initialPlan())
+            continue
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return n
+
+
 def audit(sf_dir: str, only: list[str] | None = None) -> int:
     spark = get_spark("planaudit")
     bad = 0
@@ -61,6 +90,13 @@ def audit(sf_dir: str, only: list[str] | None = None) -> int:
             flags.append("BroadcastNestedLoopJoin")
         if "BatchEvalPython" in plan:
             flags.append("row-at-a-time PythonUDF")
+        try:
+            n_gw = _unpartitioned_windows(df)
+        except Exception as e:  # noqa: BLE001 — py4j API drift
+            print(f"WARN {name}: window walk failed ({type(e).__name__}) — check skipped")
+            n_gw = 0
+        if n_gw and name not in ALLOWLIST_GLOBAL_WINDOW:
+            flags.append(f"{n_gw} unpartitioned Window (single-partition sort)")
         n_ex = plan.count("Exchange ") + plan.count("Exchange\n")
         if flags:
             print(f"FLAG {name}: {', '.join(flags)}")
