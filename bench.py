@@ -43,6 +43,7 @@ HEADLINE = [
     "multimodal_stats",
     "kdist_curve_stats",
     "dbscan_event_clusters",
+    "lloyd_kmeans_clusters",
     "streaming_hourly_counts",
     "lab1_noise_pipeline",
     "lab2_taxi_features",

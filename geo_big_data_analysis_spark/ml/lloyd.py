@@ -1,0 +1,93 @@
+"""Deterministic distributed Lloyd's KMeans (M3 scale path, oracle-able).
+
+Reference parity target: sklearn/Spark-ML KMeans used for event
+clustering (实习一 DBSCAN/KMeans comparisons; SURVEY §2.9 M3). Spark
+ML's KMeans is the production path (`ml/pipeline.kmeans_fit_predict`,
+`kmeans_event_clusters`), but its k-means|| init is seeded RNG inside
+the JVM — no external oracle can replay it, so that query is
+rows-only-checked. This module is the complementary *exactly
+replayable* formulation: every arithmetic step is chosen so an
+independent engine (the driver's DuckDB oracle) reproduces bit-equal
+centroids:
+
+- **Integer coordinates in, exact centroids out.** Inputs are bigint
+  coords, so each cluster's coordinate sum is an exact bigint and the
+  centroid is one double division `sum/count` — identical IEEE-754
+  result in Python, Spark, and DuckDB (exact while |sum| < 2⁵³; at
+  larger scale switch the sums to decimal(38)).
+- **Deterministic init**: the k points with smallest id, in id order
+  (a distributed TakeOrderedAndProject — no RNG, no single-partition
+  sort).
+- **Deterministic assignment**: squared distance written as
+  (x−cx)·(x−cx) + (y−cy)·(y−cy) in both engines (no pow(), no
+  reassociation), ties broken by lowest center index.
+- **Fixed iteration count** (no data-dependent convergence test), and
+  empty clusters keep their previous center.
+
+Execution shape = the classic Spark KMeans loop: points localCheckpoint
+once; per iteration one codegen'd argmin projection + one hash agg
+collecting k rows to the driver; centers re-enter as literals. Nothing
+O(rows) ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _argmin_cid(centers: list[tuple[float, float]], x_col: str, y_col: str) -> Column:
+    """Index of the nearest center: sort k (dist, cid) structs, take
+    field 0 — a native SortArray over a k-element literal array (no
+    interpreted lambda, stays in codegen)."""
+    xd = F.col(x_col).cast("double")
+    yd = F.col(y_col).cast("double")
+    structs = []
+    for i, (cx, cy) in enumerate(centers):
+        d = (xd - F.lit(cx)) * (xd - F.lit(cx)) + (yd - F.lit(cy)) * (yd - F.lit(cy))
+        structs.append(F.struct(d.alias("d"), F.lit(i).alias("cid")))
+    return F.array_sort(F.array(*structs))[0]["cid"]
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    k: int = 5,
+    iters: int = 6,
+) -> tuple[DataFrame, list[tuple[float, float]]]:
+    """Run ``iters`` exact Lloyd updates; returns (points labeled with
+    ``cluster_id`` under the FINAL centers, final centers list)."""
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    ).localCheckpoint()
+
+    init = pts.orderBy("id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"need at least k={k} points, got {len(init)}")
+    centers = [(float(r["x"]), float(r["y"])) for r in init]
+
+    for _ in range(iters):
+        agg = (
+            pts.withColumn("cid", _argmin_cid(centers, "x", "y"))
+            .groupBy("cid")
+            .agg(
+                F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()
+        )
+        got = {r["cid"]: r for r in agg}
+        centers = [
+            (got[i]["sx"] / got[i]["cnt"], got[i]["sy"] / got[i]["cnt"])
+            if i in got
+            else centers[i]
+            for i in range(k)
+        ]
+
+    labeled = pts.withColumn("cluster_id", _argmin_cid(centers, "x", "y"))
+    return labeled, centers

@@ -1404,6 +1404,91 @@ def q_kmeans_event_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LLOYD_K, _LLOYD_ITERS = 5, 6
+
+
+def q_lloyd_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 (oracle-able formulation) — deterministic distributed Lloyd's
+    KMeans (`ml/lloyd.py`) on the integer event grid coords
+    (x = event_id % 1000, y = event_id·7 % 1000 — the derived-point
+    lattice before its affine lon/lat mapping). Exact-integer centroid
+    sums make every iteration bit-replayable, so the DuckDB oracle
+    unrolls ALL 6 Lloyd updates as CTEs and the census must match
+    value-for-value — including the final centroids."""
+    from ..ml.lloyd import lloyd_kmeans
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 1000).alias("x"),
+        ((F.col("event_id") * 7) % 1000).alias("y"),
+    )
+    labeled, centers = lloyd_kmeans(
+        ev, "event_id", "x", "y", k=_LLOYD_K, iters=_LLOYD_ITERS
+    )
+    cx_map = F.create_map(
+        *[F.lit(v) for i, (cx, _) in enumerate(centers) for v in (i, cx)]
+    )
+    cy_map = F.create_map(
+        *[F.lit(v) for i, (_, cy) in enumerate(centers) for v in (i, cy)]
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "cluster_id",
+            "n",
+            F.round(cx_map[F.col("cluster_id")], 6).alias("c_x"),
+            F.round(cy_map[F.col("cluster_id")], 6).alias("c_y"),
+        )
+        .orderBy(F.col("n").desc(), F.col("cluster_id").asc())
+    )
+
+
+def _sql_lloyd() -> str:
+    k, iters = _LLOYD_K, _LLOYD_ITERS
+    dist = (
+        "(p.x::DOUBLE - c.cx)*(p.x::DOUBLE - c.cx)"
+        " + (p.y::DOUBLE - c.cy)*(p.y::DOUBLE - c.cy)"
+    )
+    assign = """a{t} AS (
+  SELECT id, x, y, cid FROM (
+    SELECT p.id, p.x, p.y, c.cid,
+           row_number() OVER (PARTITION BY p.id ORDER BY {dist} ASC, c.cid ASC) AS rk
+    FROM pts p CROSS JOIN c{prev} c
+  ) WHERE rk = 1
+)"""
+    parts = [
+        "pts AS (SELECT event_id AS id, event_id % 1000 AS x,"
+        " (event_id * 7) % 1000 AS y FROM events)",
+        f"c0 AS (SELECT (row_number() OVER (ORDER BY id) - 1)::INT AS cid,"
+        f" x::DOUBLE AS cx, y::DOUBLE AS cy"
+        f" FROM (SELECT id, x, y FROM pts ORDER BY id LIMIT {k}))",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(assign.format(t=t, prev=t - 1, dist=dist))
+        parts.append(
+            f"s{t} AS (SELECT cid, sum(x) AS sx, sum(y) AS sy,"
+            f" count(*) AS cnt FROM a{t} GROUP BY cid)"
+        )
+        parts.append(
+            f"c{t} AS (SELECT r.cid, coalesce(s.sx / s.cnt, pc.cx) AS cx,"
+            f" coalesce(s.sy / s.cnt, pc.cy) AS cy"
+            f" FROM (SELECT range::INT AS cid FROM range({k})) r"
+            f" LEFT JOIN s{t} s USING (cid)"
+            f" LEFT JOIN c{t - 1} pc ON pc.cid = r.cid)"
+        )
+    parts.append(assign.format(t="_final", prev=iters, dist=dist))
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT f.cid AS cluster_id, count(*)::BIGINT AS n,
+       round(any_value(c.cx), 6) AS c_x, round(any_value(c.cy), 6) AS c_y
+FROM a_final f JOIN c{iters} c ON c.cid = f.cid
+GROUP BY f.cid
+ORDER BY n DESC, cluster_id ASC
+"""
+
+
 def q_gbt_value_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7+M9 — GBT regression (LightGBM stand-in) on a log1p target with
     the Lab-2 shape: feature engineering → seeded 70/30 random split →
@@ -2758,6 +2843,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "summary_stats_lineitem": (q_summary_stats_lineitem, _SQL_SUMMARY),
     "knn_grid_points": (q_knn_grid_points, _SQL_KNN_GRID),
     "dbscan_event_clusters": (q_dbscan_event_clusters, _sql_dbscan()),
+    "lloyd_kmeans_clusters": (q_lloyd_kmeans_clusters, _sql_lloyd()),
     "sssp_grid": (q_sssp_grid, _SQL_SSSP_GRID),
     "lab1_noise_pipeline": (q_lab1_noise_pipeline, _SQL_LAB1),
     "lab2_taxi_features": (q_lab2_taxi_features, _SQL_LAB2),

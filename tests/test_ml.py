@@ -160,3 +160,37 @@ def test_gbt_learns_signal_and_importances(spark):
     assert m["r2"] > 0.95
     imp = feature_importances(model, ["x", "noise"])
     assert imp[0][0] == "x"
+
+
+def test_lloyd_kmeans_recovers_separated_clusters(spark):
+    from geo_big_data_analysis_spark.ml.lloyd import lloyd_kmeans
+
+    # three tight integer blobs far apart; ids interleaved across blobs
+    rows = []
+    for i in range(90):
+        blob = i % 3
+        rows.append((i, blob * 1000 + (i // 3) % 5, blob * 1000 + (i * 7) % 5))
+    df = spark.createDataFrame(rows, ["pid", "x", "y"]).repartition(7)
+    labeled, centers = lloyd_kmeans(df, "pid", "x", "y", k=3, iters=5)
+    got = labeled.collect()
+    # every blob maps to exactly one cluster label
+    by_blob = {}
+    for r in got:
+        by_blob.setdefault(r["id"] % 3, set()).add(r["cluster_id"])
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len({next(iter(s)) for s in by_blob.values()}) == 3
+    # centers land on the blob lattices (each blob spans [b*1000, b*1000+4])
+    assert sorted(round(cx) // 1000 for cx, _ in centers) == [0, 1, 2]
+
+
+def test_lloyd_kmeans_deterministic(spark):
+    from geo_big_data_analysis_spark.ml.lloyd import lloyd_kmeans
+
+    rows = [(i, (i * 13) % 97, (i * 29) % 89) for i in range(200)]
+    df = spark.createDataFrame(rows, ["pid", "x", "y"]).repartition(11)
+    a_lab, a_c = lloyd_kmeans(df, "pid", "x", "y", k=4, iters=4)
+    b_lab, b_c = lloyd_kmeans(df, "pid", "x", "y", k=4, iters=4)
+    assert a_c == b_c
+    a = {r["id"]: r["cluster_id"] for r in a_lab.collect()}
+    b = {r["id"]: r["cluster_id"] for r in b_lab.collect()}
+    assert a == b
