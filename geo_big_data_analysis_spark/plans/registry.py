@@ -1150,7 +1150,7 @@ def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     queries = emb.filter(F.col("vec_id") < 32)
-    out = cosine_topk_bruteforce(queries, emb, k=5)
+    out = cosine_topk_bruteforce(queries, emb, k=5, dim=64)
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
 
 
