@@ -35,6 +35,7 @@ HEADLINE = [
     "knn_embeddings",
     "embedding_label_centroids",
     "minhash_near_dup_docs",
+    "training_corpus_pipeline",
     "sentiment_docs",
     "sentiment_source_ranks",
     "lisa_moran_events",

@@ -901,6 +901,97 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.
 """
 
 
+def q_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data pipeline, end-to-end in ONE lazy DAG:
+    raw documents → exact dedup (keep min doc_id per normalized text)
+    → near-dup removal (MinHash+LSH pairs at Jaccard ≥ 0.8; a doc is
+    dropped when dominated by ANY lower-id near-duplicate — the
+    deterministic keep-min rule, no iterative CC needed) → quality
+    gate (composite score ≥ 0.8) → per-source corpus stats.
+
+    Scale shape: every stage is a key shuffle or anti-join on bigint
+    doc_id — text leaves the executors only as hashes; the LSH
+    candidate join is the one quadratic-risk step and it's banded
+    (integer bucket keys), never all-pairs. The oracle replays the
+    whole pipeline with brute-force near-dup pairs (LSH recall at
+    j≥0.8 is 1-(1-j²)^32 → exact at this threshold)."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = (
+        docs.select("doc_id", tx.clean_text("text").alias("_ct"))
+        .groupBy("_ct")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    uniq = docs.join(keep, "doc_id", "left_semi")
+    pairs = dd.minhash_near_dup_pairs(
+        uniq, "text", "doc_id", jaccard_threshold=0.8, num_hashes=64, bands=32
+    )
+    dominated = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = uniq.join(dominated, "doc_id", "left_anti")
+    good = survivors.withColumn("quality", tx.quality_score("text")).filter(
+        F.col("quality") >= 0.8
+    )
+    # avg over decimal, not double: per-doc qualities are bit-identical
+    # across engines, but a double SUM is association-order-dependent
+    # and /3-style rationals park the 6-dp rounding exactly on
+    # boundaries (5/20 sources flipped when this was avg(double)).
+    # Decimal summation is exact and order-free in both engines.
+    qdec = F.col("quality").cast("decimal(20,10)")
+    return (
+        good.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tx.token_count("text")).alias("total_tokens"),
+            F.round(
+                F.sum(qdec).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_CORPUS_PIPELINE = f"""
+WITH docs0 AS (SELECT doc_id, source, text, {_CLEAN_SQL} AS ct FROM documents),
+keep AS (SELECT min(doc_id) AS doc_id FROM docs0 GROUP BY ct),
+uniq AS (SELECT d.doc_id, d.source, d.text, d.ct FROM docs0 d JOIN keep k USING (doc_id)),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(ct, ' ') AS toks FROM uniq)
+),
+dup_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+),
+survivors AS (
+  SELECT * FROM uniq WHERE doc_id NOT IN (SELECT doc_b FROM dup_pairs)
+),
+q AS (
+  SELECT source, text,
+         least(length(text) / 200.0, 1.0) AS len_score,
+         1.0 - least(((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                      / greatest(length(text), 1)) * 4, 1.0) AS punct_score,
+         (len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                          x -> list_contains({_STOPWORDS_SQL}, x)))::DOUBLE
+          / greatest(len(regexp_split_to_array(lower(text), '\\s+')), 1)) AS sw
+  FROM survivors
+),
+scored AS (
+  SELECT source, text,
+         round((len_score + punct_score
+          + CASE WHEN sw > 0.05 AND sw < 0.6 THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+  FROM q
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS total_tokens,
+       round(sum(quality::DECIMAL(20,10))::DOUBLE / count(*), 6) AS avg_quality
+FROM scored WHERE quality >= 0.8
+GROUP BY source ORDER BY source
+"""
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (60-bit sign-sum over token md5-prefix
     bits). The md5-prefix hash is bit-identical in DuckDB, so the
@@ -2800,6 +2891,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "haversine_stats": (q_haversine_stats, _SQL_HAVERSINE),
     "exact_dedup_docs": (q_exact_dedup_docs, _SQL_DEDUP),
     "minhash_near_dup_docs": (q_minhash_near_dup_docs, _SQL_MINHASH_NEAR_DUP),
+    "training_corpus_pipeline": (q_training_corpus_pipeline, _SQL_CORPUS_PIPELINE),
     "simhash_docs": (q_simhash_docs, _sql_simhash()),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _SQL_NGRAM_JACCARD),
     "doc_fingerprint_dups": (q_doc_fingerprint_dups, _SQL_FINGERPRINT),
