@@ -2048,24 +2048,58 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction: Arrow-batched mapInPandas decode
     (deterministic byte-level stand-in — real codecs slot into the same
     batch shape) → sha256 + 16-bin byte-histogram embedding; per-type
-    feature-vector centroids. Python decode loop → rows-only (the
-    plumbing contract is pytest-verified in tests/test_multimodal.py)."""
+    feature-vector centroids. The corpus text is printable ASCII, so
+    the stand-in decode's byte histogram equals per-char-class counts —
+    the oracle recomputes the Python/numpy path exactly in SQL (regex
+    char classes per 16-codepoint bin), value-checking the whole
+    mapInPandas plumbing. Averages sum in decimal (order-free); the
+    histogram ratios themselves are single exact divisions, identical
+    across engines."""
     from ..sources.multimodal import extract_features, synthesize_media
 
     docs = _t(spark, sf_dir, "documents")
     feats = extract_features(synthesize_media(docs, "doc_id", "text"))
+    cnt = F.count(F.lit(1))
     return (
         feats.groupBy("media_type")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(F.avg("n_bytes"), 6).alias("avg_bytes"),
+            cnt.alias("n_items"),
+            F.round(F.sum("n_bytes") / cnt, 6).alias("avg_bytes"),
             *[
-                F.round(F.avg(F.col("feature")[i]), 6).alias(f"f{i}")
+                F.round(
+                    F.sum(F.col("feature")[i].cast("decimal(20,10)")).cast("double")
+                    / cnt,
+                    6,
+                ).alias(f"f{i}")
                 for i in range(4)
             ],
         )
         .orderBy("media_type")
     )
+
+
+def _sql_multimodal_features() -> str:
+    bins = ", ".join(
+        f"CASE WHEN strlen(text) = 0 THEN 0.0 ELSE"
+        f" length(regexp_replace(text, '[^\\x{16 * b:02x}-\\x{16 * b + 15:02x}]', '', 'g'))::DOUBLE"
+        f" / strlen(text) END AS f{b}"
+        for b in range(4)
+    )
+    fcols = ", ".join(
+        f"round(sum(f{b}::DECIMAL(20,10))::DOUBLE / count(*), 6) AS f{b}"
+        for b in range(4)
+    )
+    return f"""
+WITH m AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         strlen(text)::BIGINT AS n_bytes, {bins}
+  FROM documents
+)
+SELECT media_type, count(*)::BIGINT AS n_items,
+       round(sum(n_bytes)::DOUBLE / count(*), 6) AS avg_bytes, {fcols}
+FROM m GROUP BY media_type ORDER BY media_type
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2919,7 +2953,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "streaming_dedup_counts": (q_streaming_dedup_counts, _SQL_STREAM_DEDUP),
     "streaming_user_state": (q_streaming_user_state, _SQL_STREAM_STATE),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),
     "road_density_grid": (q_road_density_grid, _SQL_ROAD_DENSITY),
     "isochrone_poi_access": (q_isochrone_poi_access, None),
