@@ -1700,17 +1700,24 @@ def q_isochrone_poi_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G6+G8 composition (lab3a cells 12/15): bounded weighted SSSP from
     a center node over a deterministic 30×30 road grid → reachable set →
     convex hull → POI accessibility share per event_type (half-plane
-    point-in-hull filter, no UDF). Iterative SSSP → rows-only; Dijkstra/
-    hull/membership parity is pytest-verified (tests/test_graph.py,
-    tests/test_overlay.py)."""
+    point-in-hull filter, no UDF).
+
+    Geometry runs on the common INTEGER lattice (node col·100, POI
+    m·3 — the per-axis affine image of lon/lat, which preserves hull
+    membership): cross products are exact bigint arithmetic, so the
+    oracle replays the whole chain — recursive-CTE bounded SSSP (edge
+    times 60/k are exact doubles), hull membership as a NOT EXISTS over
+    supporting pairs of the reachable set's per-row extremes — with
+    zero fp ambiguity. Dijkstra/hull/membership parity is additionally
+    pytest-verified (tests/test_graph.py, tests/test_overlay.py)."""
     from ..graph.algorithms import convex_hull, isochrone_nodes, points_in_hull
 
     n = 30
     ids = spark.range(n * n).select(F.col("id").cast("bigint"))
     nodes = ids.select(
         "id",
-        (F.lit(-74.3) + (F.col("id") % n) * F.lit(0.6 / n)).alias("x"),
-        (F.lit(40.5) + (F.col("id") / n).cast("bigint") * F.lit(0.5 / n)).alias("y"),
+        ((F.col("id") % n) * 100).alias("ix"),
+        ((F.col("id") / n).cast("bigint") * 100).alias("iy"),
     )
     right = ids.filter((F.col("id") % n) < n - 1).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
@@ -1725,9 +1732,20 @@ def q_isochrone_poi_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     center = n * n // 2 + n // 2  # node 465
     reach = isochrone_nodes(edges, nodes, center, radius=300.0, directed=False)
-    hull = convex_hull(reach)
-    pois = _derived_points(_t(spark, sf_dir, "events")).filter(F.col("event_id") < 1000)
-    inside = points_in_hull(pois, hull, x="lon", y="lat").select("event_id").withColumn("acc", F.lit(1))
+    hull = convex_hull(reach, x="ix", y="iy")
+    pois = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 1000)
+        .select(
+            "event_id",
+            "event_type",
+            ((F.col("event_id") % 1000) * 3).alias("ix"),
+            (((F.col("event_id") * 7) % 1000) * 3).alias("iy"),
+        )
+    )
+    inside = points_in_hull(pois, hull, x="ix", y="iy").select("event_id").withColumn(
+        "acc", F.lit(1)
+    )
     return (
         pois.join(inside.select("event_id", "acc"), "event_id", "left")
         .groupBy("event_type")
@@ -1738,6 +1756,61 @@ def q_isochrone_poi_access(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_SQL_ISOCHRONE = """
+WITH RECURSIVE ids AS (SELECT range::BIGINT AS id FROM range(900)),
+base AS (
+  SELECT id AS src, id + 1 AS dst FROM ids WHERE id % 30 < 29
+  UNION ALL
+  SELECT id AS src, id + 30 AS dst FROM ids WHERE id < 870
+),
+edges AS (
+  SELECT src, dst, 60.0 / (1 + (src * dst) % 5) AS w FROM base
+  UNION ALL
+  SELECT dst AS src, src AS dst, 60.0 / (1 + (src * dst) % 5) AS w FROM base
+),
+walk(id, dist) AS (
+  SELECT 465::BIGINT AS id, 0.0::DOUBLE AS dist
+  UNION
+  SELECT e.dst, w.dist + e.w FROM walk w JOIN edges e ON e.src = w.id
+  WHERE w.dist + e.w <= 300.0
+),
+rpts AS (SELECT DISTINCT 100 * (id % 30) AS x, 100 * (id // 30) AS y FROM walk),
+-- hull vertices are per-row x-extremes of the reachable set
+bpts AS (
+  SELECT x, y FROM (
+    SELECT x, y, min(x) OVER (PARTITION BY y) AS mn, max(x) OVER (PARTITION BY y) AS mx
+    FROM rpts
+  ) WHERE x = mn OR x = mx
+),
+-- supporting pairs: all boundary points on the closed left of (a->b)
+hedges AS (
+  SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM bpts a, bpts b
+  WHERE NOT (a.x = b.x AND a.y = b.y)
+    AND NOT EXISTS (
+      SELECT 1 FROM bpts r
+      WHERE (b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) < 0
+    )
+),
+pois AS (
+  SELECT event_id, event_type,
+         3 * (event_id % 1000) AS px, 3 * ((event_id * 7) % 1000) AS py
+  FROM events WHERE event_id < 1000
+),
+acc AS (
+  SELECT event_type,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM hedges e
+           WHERE (e.bx - e.ax) * (p.py - e.ay) - (e.by - e.ay) * (p.px - e.ax) < 0
+         ) THEN 0 ELSE 1 END AS acc
+  FROM pois p
+)
+SELECT event_type, count(*)::BIGINT AS n_total, sum(acc)::BIGINT AS n_accessible,
+       round(sum(acc)::DOUBLE / count(*), 6) AS pct_accessible
+FROM acc GROUP BY event_type ORDER BY event_type
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2956,7 +3029,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),
     "road_density_grid": (q_road_density_grid, _SQL_ROAD_DENSITY),
-    "isochrone_poi_access": (q_isochrone_poi_access, None),
+    "isochrone_poi_access": (q_isochrone_poi_access, _SQL_ISOCHRONE),
     "sentiment_docs": (q_sentiment_docs, _sql_sentiment_docs()),
     "sentiment_source_ranks": (q_sentiment_source_ranks, _sql_sentiment_ranks()),
     "lab4_sentiment_linregress": (q_lab4_sentiment_linregress, _sql_lab4_linregress()),
