@@ -2761,6 +2761,193 @@ SELECT id, min(dist) AS dist FROM walk GROUP BY id ORDER BY id
 """
 
 
+def q_shortest_path_route_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 route reconstruction — the actual shortest node sequence
+    0→399 on the deterministic 20×20 grid graph (``nx.shortest_path``
+    parity: the reference returns the 16-node ESB→Times-Sq route, lab3a
+    nb cell 8, json 302, not just its length). Tree-edge predecessors
+    (dist(u)+w = dist(v), min-id tie-break) are derived distributedly;
+    the oracle replays distances via the bounded recursive CTE, the
+    same predecessor rule, and a recursive backtrack."""
+    from ..graph.algorithms import shortest_path_route
+
+    n = 20
+    ids = spark.range(n * n).select(F.col("id").cast("bigint"))
+    right = ids.filter((F.col("id") % n) < n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    down = ids.filter(F.col("id") < n * (n - 1)).select(
+        F.col("id").alias("src"), (F.col("id") + n).alias("dst")
+    )
+    edges = right.unionByName(down).withColumn(
+        "weight", (F.lit(1) + (F.col("src") * F.col("dst")) % 7).cast("double")
+    )
+    return shortest_path_route(edges, 0, n * n - 1, directed=False).orderBy("seq")
+
+
+_SQL_ROUTE_GRID = """
+WITH RECURSIVE ids AS (SELECT range::BIGINT AS id FROM range(400)),
+base AS (
+  SELECT id AS src, id + 1 AS dst FROM ids WHERE id % 20 < 19
+  UNION ALL
+  SELECT id AS src, id + 20 AS dst FROM ids WHERE id < 380
+),
+edges AS (
+  SELECT src, dst, (1 + (src * dst) % 7)::DOUBLE AS w FROM base
+  UNION ALL
+  SELECT dst AS src, src AS dst, (1 + (src * dst) % 7)::DOUBLE AS w FROM base
+),
+walk(id, dist) AS (
+  SELECT 0::BIGINT AS id, 0.0::DOUBLE AS dist
+  UNION
+  SELECT e.dst, w.dist + e.w FROM walk w JOIN edges e ON e.src = w.id
+  WHERE w.dist + e.w <= 266.0
+),
+d AS (SELECT id, min(dist) AS dist FROM walk GROUP BY id),
+pred AS (
+  SELECT e.dst AS v, min(e.src) AS pred
+  FROM edges e
+  JOIN d du ON du.id = e.src
+  JOIN d dv ON dv.id = e.dst
+  WHERE abs(du.dist + e.w - dv.dist) < 1e-9
+    AND dv.dist <= (SELECT dist FROM d WHERE id = 399)
+  GROUP BY e.dst
+),
+route(back_seq, node_id) AS (
+  SELECT 0::BIGINT AS back_seq, 399::BIGINT AS node_id
+  UNION ALL
+  SELECT r.back_seq + 1, p.pred FROM route r JOIN pred p ON p.v = r.node_id
+  WHERE r.node_id <> 0
+),
+n AS (SELECT max(back_seq) AS m FROM route)
+SELECT (n.m - r.back_seq)::BIGINT AS seq, r.node_id::BIGINT AS node_id,
+       d.dist AS dist_along
+FROM route r CROSS JOIN n JOIN d ON d.id = r.node_id
+ORDER BY seq
+"""
+
+
+def q_network_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7/G8 composite — the lab-3 network scorecard (sta_html.py:33-36
+    golden shape: node/edge counts, avg degree 4.29, endpoints deg=1,
+    intersections deg≥3 = 97.2%) over the part–supplier bipartite graph.
+    Single hash-agg over the degree table; map-side partial agg, one
+    exchange."""
+    from ..graph.algorithms import degrees
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    deg = degrees(edges)
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("degree") / 2).cast("bigint").alias("n_edges"),
+        F.round(F.avg("degree"), 6).alias("avg_degree"),
+        F.round(F.avg((F.col("degree") == 1).cast("double")) * 100, 6).alias(
+            "pct_endpoints"
+        ),
+        F.round(F.avg((F.col("degree") >= 3).cast("double")) * 100, 6).alias(
+            "pct_intersections"
+        ),
+    )
+
+
+_SQL_NETWORK_SUMMARY = """
+WITH e AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem),
+ends AS (SELECT src AS node_id FROM e UNION ALL SELECT dst FROM e),
+deg AS (SELECT node_id, count(*)::BIGINT AS degree FROM ends GROUP BY node_id)
+SELECT count(*)::BIGINT AS n_nodes,
+       (sum(degree) / 2)::BIGINT AS n_edges,
+       round(avg(degree), 6) AS avg_degree,
+       round(avg((degree = 1)::INT::DOUBLE) * 100, 6) AS pct_endpoints,
+       round(avg((degree >= 3)::INT::DOUBLE) * 100, 6) AS pct_intersections
+FROM deg
+"""
+
+
+def q_bias_audit_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lab-4 bias-audit composite (analyze_data_bias.py:49-517): the
+    dataset scorecard the reference prints ("score 2/9, low") —
+    coverage (customers with ≥1 order, J4/A9), concentration (top-20%
+    most-active customers' share of orders, A15 Pareto via the
+    range-partitioned two-phase row_number), temporal imbalance (max
+    month share), and the flag-count bias score. Scalar stats collect
+    to literals (two-phase, SURVEY §4.3); the ranked share never
+    single-partitions."""
+    from ..operators.two_phase import global_row_number
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    n_cust = cust.count()
+    n_active, total_orders = counts.agg(
+        F.count(F.lit(1)), F.sum("n")
+    ).first()
+    k = -(-n_active // 5)  # ceil(0.2 * n_active)
+    ranked = global_row_number(
+        counts, [F.col("n").desc(), F.col("o_custkey").asc()], out="rn"
+    )
+    top_n = ranked.filter(F.col("rn") <= k).agg(F.sum("n")).first()[0]
+    max_month, _tot = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.max("cnt"), F.sum("cnt"))
+        .first()
+    )
+    coverage_pct = n_active * 100.0 / n_cust
+    top20_share_pct = top_n * 100.0 / total_orders
+    max_month_share_pct = max_month * 100.0 / total_orders
+    score = int(top20_share_pct > 50) + int(coverage_pct < 99) + int(
+        max_month_share_pct > 20
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_cust),
+                int(n_active),
+                round(coverage_pct, 6),
+                int(k),
+                round(top20_share_pct, 6),
+                round(max_month_share_pct, 6),
+                score,
+            )
+        ],
+        "n_customers bigint, n_active bigint, coverage_pct double, "
+        "top20_n bigint, top20_share_pct double, max_month_share_pct double, "
+        "bias_score bigint",
+    )
+
+
+_SQL_BIAS_AUDIT = """
+WITH counts AS (SELECT o_custkey, count(*)::BIGINT AS n FROM orders GROUP BY o_custkey),
+tot AS (SELECT count(*)::BIGINT AS n_cust FROM customer),
+act AS (SELECT count(*)::BIGINT AS n_active, sum(n)::BIGINT AS total_orders FROM counts),
+ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, o_custkey ASC) AS rn FROM counts),
+top20 AS (
+  SELECT sum(r.n)::BIGINT AS top_n, max(a.k)::BIGINT AS top20_n
+  FROM (SELECT ceil(0.2 * n_active)::BIGINT AS k FROM act) a
+  JOIN ranked r ON r.rn <= a.k
+),
+mon AS (
+  SELECT max(cnt)::BIGINT AS max_month FROM (
+    SELECT date_trunc('month', o_orderdate) AS m, count(*) AS cnt
+    FROM orders GROUP BY 1)
+)
+SELECT tot.n_cust AS n_customers,
+       act.n_active AS n_active,
+       round(act.n_active * 100.0 / tot.n_cust, 6) AS coverage_pct,
+       top20.top20_n AS top20_n,
+       round(top20.top_n * 100.0 / act.total_orders, 6) AS top20_share_pct,
+       round(mon.max_month * 100.0 / act.total_orders, 6) AS max_month_share_pct,
+       ((top20.top_n * 100.0 / act.total_orders > 50)::INT
+        + (act.n_active * 100.0 / tot.n_cust < 99)::INT
+        + (mon.max_month * 100.0 / act.total_orders > 20)::INT)::BIGINT AS bias_score
+FROM tot, act, top20, mon
+"""
+
+
 def q_lab1_noise_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed Lab-1 pipeline (SURVEY §3.1) on the events table:
     type filter → bbox filter → hourly counts → μ+2σ anomaly → 2-hour-gap
@@ -3044,6 +3231,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dbscan_event_clusters": (q_dbscan_event_clusters, _sql_dbscan()),
     "lloyd_kmeans_clusters": (q_lloyd_kmeans_clusters, _sql_lloyd()),
     "sssp_grid": (q_sssp_grid, _SQL_SSSP_GRID),
+    "shortest_path_route_grid": (q_shortest_path_route_grid, _SQL_ROUTE_GRID),
+    "network_summary": (q_network_summary, _SQL_NETWORK_SUMMARY),
+    "bias_audit_summary": (q_bias_audit_summary, _SQL_BIAS_AUDIT),
     "lab1_noise_pipeline": (q_lab1_noise_pipeline, _SQL_LAB1),
     "lab2_taxi_features": (q_lab2_taxi_features, _SQL_LAB2),
     "kde_grid_density": (q_kde_grid_density, _SQL_KDE),

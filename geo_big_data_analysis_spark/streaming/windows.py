@@ -44,8 +44,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts")
+    if ts_type == "bigint":
         s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (ltz); with session tz pinned to
+        # UTC the cast is a semantic identity over the naive fixtures.
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
     return s
 
 

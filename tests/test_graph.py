@@ -14,6 +14,7 @@ from geo_big_data_analysis_spark.graph.algorithms import (
     isochrone_nodes,
     points_in_hull,
     shortest_path_length,
+    shortest_path_route,
     sssp,
     sssp_distributed,
 )
@@ -117,6 +118,34 @@ def test_isochrone_cutoff_set(spark):
     ref = {k for k, v in _dijkstra(edges, 0).items() if v <= radius}
     iso = isochrone_nodes(edf, ndf, 0, radius, weight="weight", directed=False)
     assert {r.id for r in iso.collect()} == ref
+
+
+def test_shortest_path_route_basic(spark):
+    # direct edge 0-2 costs 5; the detour through 1 costs 2 → route 0,1,2
+    edf = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0)], ["src", "dst", "weight"]
+    )
+    route = shortest_path_route(edf, 0, 2, directed=False).collect()
+    assert [(r.seq, r.node_id, r.dist_along) for r in route] == [
+        (0, 0, 0.0),
+        (1, 1, 1.0),
+        (2, 2, 2.0),
+    ]
+
+
+def test_shortest_path_route_min_id_tiebreak(spark):
+    # two equal-cost routes to 3 (via 1 or via 2) → min-id predecessor wins
+    edf = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0)],
+        ["src", "dst", "weight"],
+    )
+    route = shortest_path_route(edf, 0, 3, directed=False).collect()
+    assert [r.node_id for r in route] == [0, 1, 3]
+
+
+def test_shortest_path_route_unreachable(spark):
+    edf = spark.createDataFrame([(0, 1, 1.0)], ["src", "dst", "weight"])
+    assert shortest_path_route(edf, 0, 5, directed=False).count() == 0
 
 
 def test_convex_hull_and_membership(spark):
