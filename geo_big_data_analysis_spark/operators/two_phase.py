@@ -112,3 +112,18 @@ def global_rank(
     rn = global_row_number(df, order_exprs, out="__tp_rn")
     w = Window.partitionBy(*rank_keys)
     return rn.withColumn(out, F.min("__tp_rn").over(w)).drop("__tp_rn")
+
+
+def global_avg_rank(
+    df: DataFrame,
+    order_exprs: list[Column],
+    rank_keys: list[str],
+    out: str = "avg_rank",
+) -> DataFrame:
+    """pandas ``rank(method='average')`` semantics (the reference's W3
+    default, SURVEY §7.3): ties share the mean of their ordinal
+    positions. Same two-phase plan as :func:`global_rank` with
+    ``avg(rn)`` over the tie group — distributed, no global window."""
+    rn = global_row_number(df, order_exprs, out="__tp_rn")
+    w = Window.partitionBy(*rank_keys)
+    return rn.withColumn(out, F.avg("__tp_rn").over(w)).drop("__tp_rn")

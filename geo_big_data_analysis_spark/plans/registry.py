@@ -347,6 +347,35 @@ FROM supplier
 """
 
 
+def q_avg_rank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 with the reference's *actual* tie semantics — pandas
+    ``rank(method='average')`` (lab4 nb cell 13: `.rank(ascending=False)`
+    averages ordinal positions over ties), not SQL ``rank``. Two-phase
+    range-partitioned row_number + avg over the tie group
+    (`operators/two_phase.global_avg_rank`)."""
+    from ..operators.two_phase import global_avg_rank
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    return global_avg_rank(
+        sup,
+        [F.col("s_acctbal").desc(), F.col("s_suppkey").asc()],
+        rank_keys=["s_acctbal"],
+        out="avg_rank",
+    ).select("s_suppkey", F.round("s_acctbal", 4).alias("acctbal"), "avg_rank")
+
+
+_SQL_AVG_RANK = """
+WITH rn AS (
+  SELECT s_suppkey, s_acctbal,
+         row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS rn
+  FROM supplier
+)
+SELECT s_suppkey, round(s_acctbal, 4) AS acctbal,
+       avg(rn) OVER (PARTITION BY s_acctbal) AS avg_rank
+FROM rn
+"""
+
+
 def q_pareto_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15/W4 — cumulative contribution share (top-users Pareto audit).
     The running sum is the two-phase range-partitioned kind
@@ -3172,6 +3201,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "value_distribution_stats": (q_value_distribution_stats, _SQL_DISTRIBUTION),
     "union_stack": (q_union_stack, _SQL_UNION),
     "rank_suppliers": (q_rank_suppliers, _SQL_RANK),
+    "avg_rank_suppliers": (q_avg_rank_suppliers, _SQL_AVG_RANK),
     "pareto_user_share": (q_pareto_user_share, _SQL_PARETO),
     "hourly_event_counts": (q_hourly_event_counts, _SQL_HOURLY),
     "high_density_hours": (q_high_density_hours, _SQL_HIGH_DENSITY),

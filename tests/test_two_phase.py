@@ -63,6 +63,21 @@ def test_global_rank_tie_semantics(numbers):
         assert got[i] == first_pos[(i * 37) % 11]
 
 
+def test_global_avg_rank_matches_pandas(numbers):
+    got = {
+        r.row_id: r.avg_rank
+        for r in tp.global_avg_rank(
+            numbers, [F.col("v").desc(), F.col("row_id").asc()], rank_keys=["v"]
+        ).collect()
+    }
+    import pandas as pd
+
+    vals = pd.Series([(i * 37) % 11 for i in range(500)])
+    ref = vals.rank(ascending=False, method="average")
+    for i in range(500):
+        assert got[i] == ref[i]
+
+
 def test_no_unpartitioned_window_in_plan(numbers):
     plan = tp.global_row_number(
         numbers, [F.col("v").asc(), F.col("row_id").asc()]
