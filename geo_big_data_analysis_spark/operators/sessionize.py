@@ -96,3 +96,47 @@ def range_join_periods(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col)),
         "inner",
     )
+
+
+def bucketed_range_join(
+    df: DataFrame,
+    periods: DataFrame,
+    ts_col: str,
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    end_exclusive: bool = True,
+) -> DataFrame:
+    """J8 at scale — same semantics as :func:`range_join_periods`, but
+    as a *hash* join: each period explodes to its covering hour buckets,
+    both sides equi-join on the bucket, and the exact range predicate
+    refines the matches (the temporal twin of the spatial grid-join,
+    SURVEY §4). A nested-loop range join evaluates every (event, period)
+    pair — O(|df|·|periods|); this evaluates each event against only
+    periods covering its hour, and the join itself is hashed, so it
+    survives period lists too large to predicate-scan per row."""
+    end_bound = (
+        F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND")
+        if end_exclusive
+        else F.col(end_col)
+    )
+    pk = periods.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col(start_col)),
+                F.date_trunc("hour", end_bound),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    upper = (
+        (F.col(ts_col) < F.col(end_col))
+        if end_exclusive
+        else (F.col(ts_col) <= F.col(end_col))
+    )
+    return (
+        df.withColumn("__bucket", F.date_trunc("hour", F.col(ts_col)))
+        .join(F.broadcast(pk), "__bucket", "inner")
+        .filter((F.col(ts_col) >= F.col(start_col)) & upper)
+        .drop("__bucket")
+    )

@@ -120,6 +120,40 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/A5 over the part dim (TPC-H-Q14 shape): lineitem ⋈ part on
+    partkey with per-type revenue and discount stats. part is a dim
+    (0.2 M rows/SF) → broadcast hash join, no shuffle on the fact side;
+    column pruning reaches the scan (only p_partkey/p_type read)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy("p_type")
+    )
+
+
+_SQL_PART_TYPE_REVENUE = """
+SELECT p_type,
+       count(*)::BIGINT AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(avg(l_discount), 6) AS avg_discount,
+       count(DISTINCT l_partkey)::BIGINT AS n_parts
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+ORDER BY p_type
+"""
+
+
 def q_top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2+A+O2: orders⋈customer revenue top-10 (broadcast dim join)."""
     orders = _t(spark, sf_dir, "orders")
@@ -463,7 +497,11 @@ FROM s GROUP BY user_id, session_id
 
 
 def q_session_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J8 — range join of events into high-density periods (broadcast)."""
+    """J8 — range join of events into high-density periods, executed as
+    the bucketed hash join (`sessionize.bucketed_range_join`): periods
+    explode to covering hour buckets, events equi-join on their hour,
+    exact range predicate refines. Replaces the broadcast-NLJ form —
+    O(|events|·|periods|) predicate evaluations — with a hashed probe."""
     ev = _t(spark, sf_dir, "events")
     periods = (
         sz.anomaly_threshold_filter(sz.hourly_counts(ev, "ts"), sigmas=1.0)
@@ -472,11 +510,7 @@ def q_session_drilldown(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket_ts") + F.expr("INTERVAL 1 HOUR")).alias("session_end"),
         )
     )
-    joined = ev.join(
-        F.broadcast(periods),
-        (F.col("ts") >= F.col("session_start")) & (F.col("ts") < F.col("session_end")),
-        "inner",
-    )
+    joined = sz.bucketed_range_join(ev, periods, "ts", end_exclusive=True)
     return (
         joined.groupBy("session_start", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
@@ -3186,6 +3220,7 @@ GROUP BY 1, 2
 # name -> (query_fn, oracle_sql or None)
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
+    "part_type_revenue": (q_part_type_revenue, _SQL_PART_TYPE_REVENUE),
     "top_revenue_customers": (q_top_revenue_customers, _SQL_TOP_REV),
     "region_nation_rollup": (q_region_nation_rollup, _SQL_REGION_ROLLUP),
     "customers_with_orders": (q_customers_with_orders, _SQL_SEMI),
