@@ -127,21 +127,19 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str, num_hashes: int
 
 
 def _signature_from_hash_rows(sh: DataFrame, num_hashes: int) -> DataFrame:
-    """64-min HashAggregate over (doc_id, _h) shingle-hash rows."""
-    aggs = [
-        F.min(
-            F.pmod(
-                F.col("_h") * F.lit((2654435761 * (j + 1)) % _P)
-                + F.lit(40503 * (j + 1) % _P),
-                F.lit(_P),
-            )
-        ).alias(f"mh_{j}")
+    """64-min HashAggregate over (doc_id, _h) shingle-hash rows.
+
+    The whole signature is ONE parsed ``array(min(...), ...)``
+    expression: the Column-API form costs ~6 py4j round-trips per
+    permutation (~400 total), measured as ~2 s of pure driver
+    plan-build time per query at 64 hashes; a single ``F.expr`` parse
+    is one round-trip with an identical analyzed plan."""
+    terms = ", ".join(
+        f"min(pmod(_h * {(2654435761 * (j + 1)) % _P}L"
+        f" + {40503 * (j + 1) % _P}L, {_P}L))"
         for j in range(num_hashes)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[f"mh_{j}" for j in range(num_hashes)]).alias("minhash")
     )
+    return sh.groupBy("doc_id").agg(F.expr(f"array({terms})").alias("minhash"))
 
 
 def lsh_candidates(signatures: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
@@ -150,27 +148,21 @@ def lsh_candidates(signatures: DataFrame, bands: int = 16, rows_per_band: int = 
 
     Output: (doc_a, doc_b) with doc_a < doc_b, distinct.
     """
+    # one parsed expression for the whole banding (see
+    # _signature_from_hash_rows for the py4j round-trip rationale);
+    # minhash[i] is 0-based in SQL, matching element_at(i+1)
+    structs = ", ".join(
+        "struct({b} AS band, xxhash64(concat_ws(',', {cols})) AS bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"cast(minhash[{b * rows_per_band + r}] AS string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     banded = signatures.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("minhash", b * rows_per_band + r + 1).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
     left = banded.alias("l")
     right = banded.alias("r")
