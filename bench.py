@@ -55,6 +55,11 @@ HEADLINE = [
     "value_distribution_stats",
     "hot_cold_grid_cells",
     "csv_roundtrip_events",
+    "part_type_revenue",
+    "network_summary",
+    "bias_audit_summary",
+    "shortest_path_route_grid",
+    "avg_rank_suppliers",
 ]
 
 

@@ -41,6 +41,32 @@ def test_replace_values(spark):
     assert sorted(r.pc for r in out.collect()) == [1, 3, 6]
 
 
+def test_bucketed_range_join_matches_nlj(spark):
+    import random
+
+    rng = random.Random(7)
+    events = spark.createDataFrame(
+        [(i, f"2024-01-01 {rng.randrange(24):02d}:{rng.randrange(60):02d}:00") for i in range(300)],
+        ["eid", "s"],
+    ).select("eid", F.to_timestamp("s").alias("ts"))
+    # multi-hour, overlapping, and sub-hour periods incl. exact-boundary ends
+    periods = spark.createDataFrame(
+        [
+            ("2024-01-01 02:00:00", "2024-01-01 05:00:00"),
+            ("2024-01-01 04:30:00", "2024-01-01 04:45:00"),
+            ("2024-01-01 10:15:00", "2024-01-01 13:00:00"),
+        ],
+        ["a", "b"],
+    ).select(
+        F.to_timestamp("a").alias("session_start"),
+        F.to_timestamp("b").alias("session_end"),
+    )
+    nlj = sz.range_join_periods(events, periods, "ts")
+    bucketed = sz.bucketed_range_join(events, periods, "ts", end_exclusive=False)
+    key = lambda r: (r.eid, str(r.session_start))  # noqa: E731
+    assert sorted(map(key, nlj.collect())) == sorted(map(key, bucketed.collect()))
+
+
 def test_sessionize_known_gaps(spark):
     rows = [
         ("u1", "2024-01-01 10:00:00"),
