@@ -888,6 +888,34 @@ FROM documents GROUP BY source
 """
 
 
+def q_top_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction (lab4 nb cell 16, json 991 ``extract_keywords``):
+    clean → tokenize → stopword + length>3 filter → global top-15 by
+    frequency, alphabetical tie-break. Executes as explode → hash agg →
+    TakeOrderedAndProject (no global sort materialization)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tx.tokens(tx.clean_text("text"))).alias("tok"))
+    return (
+        toks.filter((F.length("tok") > 3) & ~F.col("tok").isin(tx.STOPWORDS))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(15)
+    )
+
+
+def _sql_top_keywords() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in tx.STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split({_CLEAN_SQL}, ' ')) AS tok FROM documents
+)
+SELECT tok, count(*)::BIGINT AS n FROM toks
+WHERE length(tok) > 3 AND tok NOT IN ({stoplist})
+GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 15
+"""
+
+
 def q_lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-based language-ID heuristic vs the labeled lang column."""
     docs = _t(spark, sf_dir, "documents")
@@ -3258,6 +3286,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "srp_topk_embeddings": (q_srp_topk_embeddings, _sql_srp()),
     "ivf_topk_embeddings": (q_ivf_topk_embeddings, _SQL_IVF),
     "token_stats_docs": (q_token_stats_docs, _SQL_TOKENS),
+    "top_keywords_docs": (q_top_keywords_docs, _sql_top_keywords()),
     "lang_id_docs": (q_lang_id_docs, _SQL_LANG),
     "quality_score_docs": (q_quality_score_docs, _SQL_QUALITY),
     "knn_embeddings": (q_knn_embeddings, _SQL_KNN),
