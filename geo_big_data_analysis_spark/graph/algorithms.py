@@ -159,6 +159,58 @@ def shortest_path_length(
     return row["dist"] if row else None
 
 
+def _route_driver(
+    edges: DataFrame, source: int, target: int, weight: str, src: str,
+    dst: str, directed: bool,
+) -> DataFrame:
+    """Small-graph route path: heap Dijkstra + min-id tree-edge
+    predecessors on collected edges (numerically and tie-break
+    identical to the distributed path)."""
+    import heapq
+
+    rows = edges.select(
+        F.col(src).cast("bigint"), F.col(dst).cast("bigint"),
+        F.col(weight).cast("double"),
+    ).collect()
+    adj: dict[int, list[tuple[int, float]]] = {}
+    radj: dict[int, list[tuple[int, float]]] = {}
+    for u, v, w in rows:
+        adj.setdefault(u, []).append((v, w))
+        radj.setdefault(v, []).append((u, w))
+        if not directed:
+            adj.setdefault(v, []).append((u, w))
+            radj.setdefault(u, []).append((v, w))
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    schema = "seq bigint, node_id bigint, dist_along double"
+    if target not in dist:
+        return edges.sparkSession.createDataFrame([], schema)
+    path = [target]
+    while path[-1] != source:
+        node = path[-1]
+        cands = [
+            u
+            for u, w in radj.get(node, [])
+            if u in dist and abs(dist[u] + w - dist[node]) < 1e-9
+        ]
+        if not cands:
+            break
+        path.append(min(cands))
+    path.reverse()
+    return edges.sparkSession.createDataFrame(
+        [(i, n, float(dist[n])) for i, n in enumerate(path)], schema
+    )
+
+
 def shortest_path_route(
     edges: DataFrame,
     source: int,
@@ -168,6 +220,7 @@ def shortest_path_route(
     dst: str = "dst",
     directed: bool = True,
     collect_threshold: int = 1_000_000,
+    driver_threshold: int = 200_000,
     **kw,
 ) -> DataFrame:
     """G4 — reconstruct the actual shortest route source→target
@@ -176,7 +229,7 @@ def shortest_path_route(
     its length). Returns ``(seq, node_id, dist_along)`` ordered from
     the source; empty if the target is unreachable.
 
-    Physical strategy, scale-first:
+    Physical strategy, scale-first (size-dispatched like :func:`sssp`):
     1. ``dist`` — distributed SSSP (frontier relaxation at scale).
     2. Shortest-path-tree predecessors, fully distributed: edge (u,v)
        is a tree edge iff dist(u) + w(u,v) = dist(v) (1e-9 tolerance);
@@ -187,7 +240,12 @@ def shortest_path_route(
        when they fit the driver (city-scale graphs); above
        ``collect_threshold`` the walk issues one bounded filter job per
        hop against the cached predecessor table instead of collecting.
+    Edge lists that fit the driver (the reference's road networks,
+    SURVEY §2.10) skip the join machinery: one collect, same Dijkstra,
+    same predecessor rule — identical output, ~4 fewer jobs.
     """
+    if edges.count() <= driver_threshold:
+        return _route_driver(edges, source, target, weight, src, dst, directed)
     dist = sssp(edges, source, weight, src, dst, directed=directed, **kw)
     dist = dist.localCheckpoint()
     trow = dist.filter(F.col("id") == target).first()

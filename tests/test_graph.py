@@ -148,6 +148,19 @@ def test_shortest_path_route_unreachable(spark):
     assert shortest_path_route(edf, 0, 5, directed=False).count() == 0
 
 
+def test_shortest_path_route_distributed_matches_driver(spark):
+    _, edges = _grid_graph()
+    edf = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    tgt = max(max(s, d) for s, d, _ in edges)
+    drv = shortest_path_route(edf, 0, tgt, directed=False).collect()
+    dst = shortest_path_route(
+        edf, 0, tgt, directed=False, driver_threshold=0
+    ).collect()
+    assert [(r.seq, r.node_id) for r in drv] == [(r.seq, r.node_id) for r in dst]
+    for a, b in zip(drv, dst):
+        assert abs(a.dist_along - b.dist_along) < 1e-9
+
+
 def test_convex_hull_and_membership(spark):
     pts = spark.createDataFrame(
         [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (2.0, 2.0), (1.0, 3.0)],
