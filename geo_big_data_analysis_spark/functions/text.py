@@ -71,6 +71,35 @@ def bpe_ish_token_count(col) -> Column:
     return F.size(pieces).cast("bigint")
 
 
+PII_URL_RE = r"https?://\S+"
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+LONG_DIGITS_RE = r"[0-9]{6,}"
+
+
+def pii_counts(col) -> tuple[Column, Column, Column]:
+    """(urls, emails, long-digit-runs) match counts per document —
+    the audit side of PII scrubbing (codegen'd regexp_count; Java and
+    DuckDB/RE2 agree on these anchored-free character-class patterns)."""
+    c = _c(col)
+    return (
+        F.regexp_count(c, F.lit(PII_URL_RE)),
+        F.regexp_count(c, F.lit(EMAIL_RE)),
+        F.regexp_count(c, F.lit(LONG_DIGITS_RE)),
+    )
+
+
+def scrub_pii(col) -> Column:
+    """Training-corpus PII redaction: URLs → <URL>, emails → <EMAIL>,
+    long digit runs (ids/phones) → <NUM>. Order matters — URL first so
+    query-string digits don't half-match; placeholders introduce no new
+    matches for later patterns."""
+    c = _c(col)
+    c = F.regexp_replace(c, PII_URL_RE, "<URL>")
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, LONG_DIGITS_RE, "<NUM>")
+    return c
+
+
 def stopword_ratio(col) -> Column:
     """share of tokens that are stopwords (quality-scoring feature)."""
     t = tokens(ascii_lower(col))

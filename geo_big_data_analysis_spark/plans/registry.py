@@ -888,6 +888,85 @@ FROM documents GROUP BY source
 """
 
 
+def q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus PII scrub + audit (extension op, same family as
+    quality/token stats): deterministic synthetic PII is planted per doc
+    (the derived-columns convention — the fixture corpus is PII-free),
+    then counted (`text.pii_counts`) and redacted (`text.scrub_pii`).
+    Per source: match counts, chars removed, and residual matches after
+    the scrub (must be 0). Everything is codegen'd regexp work; the
+    oracle replays both the planting and the scrub."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "ptext",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ref "),
+            (F.col("doc_id") * 37 + 100000).cast("string"),
+            F.lit(" via https://ex.example.com/t?u="),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    urls, emails, digits = tx.pii_counts("ptext")
+    scrubbed = tx.scrub_pii("ptext")
+    r_urls, r_emails, r_digits = tx.pii_counts("scrubbed")
+    return (
+        planted.withColumn("scrubbed", scrubbed)
+        .select(
+            "source",
+            urls.alias("u"),
+            emails.alias("e"),
+            digits.alias("d"),
+            (F.length("ptext") - F.length("scrubbed")).alias("delta"),
+            (r_urls + r_emails + r_digits).alias("resid"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("u").alias("n_urls"),
+            F.sum("e").alias("n_emails"),
+            F.sum("d").alias("n_digit_runs"),
+            F.sum("delta").alias("chars_removed"),
+            F.sum("resid").alias("n_residual"),
+        )
+        .orderBy("source")
+    )
+
+
+_PII_PLANT_SQL = (
+    "text || ' contact user' || doc_id::VARCHAR || '@mail.example.com ref '"
+    " || (doc_id * 37 + 100000)::VARCHAR"
+    " || ' via https://ex.example.com/t?u=' || doc_id::VARCHAR"
+)
+_PII_URL = r"https?://\S+"
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_DIGITS = r"[0-9]{6,}"
+
+_SQL_PII_SCRUB = f"""
+WITH planted AS (SELECT source, {_PII_PLANT_SQL} AS ptext FROM documents),
+scrubbed AS (
+  SELECT source, ptext,
+         regexp_replace(regexp_replace(regexp_replace(ptext,
+           '{_PII_URL}', '<URL>', 'g'),
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_DIGITS}', '<NUM>', 'g') AS stext
+  FROM planted
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(len(regexp_extract_all(ptext, '{_PII_URL}')))::BIGINT AS n_urls,
+       sum(len(regexp_extract_all(ptext, '{_PII_EMAIL}')))::BIGINT AS n_emails,
+       sum(len(regexp_extract_all(ptext, '{_PII_DIGITS}')))::BIGINT AS n_digit_runs,
+       sum(length(ptext) - length(stext))::BIGINT AS chars_removed,
+       sum(len(regexp_extract_all(stext, '{_PII_URL}'))
+           + len(regexp_extract_all(stext, '{_PII_EMAIL}'))
+           + len(regexp_extract_all(stext, '{_PII_DIGITS}')))::BIGINT AS n_residual
+FROM scrubbed GROUP BY source ORDER BY source
+"""
+
+
 def q_top_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword extraction (lab4 nb cell 16, json 991 ``extract_keywords``):
     clean → tokenize → stopword + length>3 filter → global top-15 by
@@ -3287,6 +3366,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ivf_topk_embeddings": (q_ivf_topk_embeddings, _SQL_IVF),
     "token_stats_docs": (q_token_stats_docs, _SQL_TOKENS),
     "top_keywords_docs": (q_top_keywords_docs, _sql_top_keywords()),
+    "pii_scrub_docs": (q_pii_scrub_docs, _SQL_PII_SCRUB),
     "lang_id_docs": (q_lang_id_docs, _SQL_LANG),
     "quality_score_docs": (q_quality_score_docs, _SQL_QUALITY),
     "knn_embeddings": (q_knn_embeddings, _SQL_KNN),

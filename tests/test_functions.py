@@ -79,6 +79,29 @@ def test_clean_text_and_tokens(spark):
     assert r.lang == "en"
 
 
+def test_pii_scrub_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@ex-mail.org or call 5551234567 see https://a.b/c?d=9"),
+            (2, "clean text only"),
+        ],
+        ["id", "t"],
+    )
+    u, e, d = tx.pii_counts("t")
+    out = df.select("id", u.alias("u"), e.alias("e"), d.alias("d"),
+                    tx.scrub_pii("t").alias("s")).collect()
+    r1 = next(r for r in out if r.id == 1)
+    assert (r1.u, r1.e, r1.d) == (1, 1, 1)
+    assert r1.s == "mail me at <EMAIL> or call <NUM> see <URL>"
+    r2 = next(r for r in out if r.id == 2)
+    assert (r2.u, r2.e, r2.d) == (0, 0, 0) and r2.s == "clean text only"
+    # scrub output has no residual matches
+    resid = df.select(tx.scrub_pii("t").alias("s")).select(
+        *[c.alias(f"c{i}") for i, c in enumerate(tx.pii_counts("s"))]
+    ).collect()
+    assert all(r.c0 == r.c1 == r.c2 == 0 for r in resid)
+
+
 def test_quality_score_bounds(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     mn, mx = (
