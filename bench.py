@@ -60,6 +60,9 @@ HEADLINE = [
     "bias_audit_summary",
     "shortest_path_route_grid",
     "avg_rank_suppliers",
+    "top_keywords_docs",
+    "pii_scrub_docs",
+    "near_dup_clusters_docs",
 ]
 
 

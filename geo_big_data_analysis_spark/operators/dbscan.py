@@ -218,6 +218,22 @@ def dbscan(
     return pts.join(loc_labels, ["x", "y"], "left").select("id", "cluster")
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id",
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Public CC over undirected (a, b) pair edges → (id, comp),
+    comp = min reachable id. Size-dispatched exactly like the DBSCAN
+    internals: union-find on collected edges when they fit the driver,
+    min-label propagation + pointer jumping otherwise (both paths
+    bit-identical). Reused by near-dup clustering (dedup) — duplicate
+    groups ARE the components of the near-dup pair graph."""
+    e = pairs.select(F.col(a_col).alias("a_id"), F.col(b_col).alias("b_id"))
+    if e.count() <= driver_threshold:
+        return _cc_driver(e)
+    return _connected_components(e)
+
+
 def cluster_census(labels: DataFrame) -> DataFrame:
     """A17 — (n_clusters, n_noise) summary (test.py:172-173)."""
     return labels.agg(

@@ -1071,6 +1071,57 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.
 """
 
 
+def q_near_dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster census: MinHash-LSH near-dup pairs (Jaccard ≥
+    0.8) grouped into duplicate clusters via connected components
+    (`operators/dbscan.connected_components` — union-find / min-label
+    propagation, size-dispatched). The canonical corpus-dedup shape:
+    keep one representative per component, not per pair. Output one row
+    per cluster (rep = min doc_id, n_members ≥ 2). Oracle replays
+    brute-force pairs + a recursive-CTE reachability closure."""
+    from ..operators.dbscan import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_dup_pairs(
+        docs, "text", "doc_id", jaccard_threshold=0.8, num_hashes=64, bands=32
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        comp.groupBy(F.col("comp").alias("cluster_rep"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_rep")
+    )
+
+
+_SQL_NEAR_DUP_CLUSTERS = f"""
+WITH RECURSIVE docs AS (SELECT doc_id, {_CLEAN_SQL} AS ct FROM documents),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(ct, ' ') AS toks FROM docs)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+),
+edges2 AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM edges2
+  UNION
+  SELECT e.a, r.r FROM edges2 e JOIN reach r ON r.id = e.b
+),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+SELECT comp AS cluster_rep, count(*)::BIGINT AS n_members
+FROM comp GROUP BY comp ORDER BY cluster_rep
+"""
+
+
 def q_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship training-data pipeline, end-to-end in ONE lazy DAG:
     raw documents → exact dedup (keep min doc_id per normalized text)
@@ -3357,6 +3408,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "haversine_stats": (q_haversine_stats, _SQL_HAVERSINE),
     "exact_dedup_docs": (q_exact_dedup_docs, _SQL_DEDUP),
     "minhash_near_dup_docs": (q_minhash_near_dup_docs, _SQL_MINHASH_NEAR_DUP),
+    "near_dup_clusters_docs": (q_near_dup_clusters_docs, _SQL_NEAR_DUP_CLUSTERS),
     "training_corpus_pipeline": (q_training_corpus_pipeline, _SQL_CORPUS_PIPELINE),
     "simhash_docs": (q_simhash_docs, _sql_simhash()),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _SQL_NGRAM_JACCARD),
