@@ -1453,6 +1453,83 @@ FROM (
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — recall@5 of the two approximate paths
+    (SRP-LSH buckets, IVF probe) against the exact brute-force top-5 on
+    their own query sets. recall = Σ|approx ∩ exact| / (5·n_queries),
+    computed identically in both engines (sum-then-divide, no
+    per-query averaging ambiguity). The oracle nests the already-proven
+    exact/SRP/IVF SQL replays as subqueries — the engine literally
+    grades its own index structures."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+    def recall_row(method, queries, approx):
+        exact = cosine_topk_bruteforce(queries, emb, k=5, dim=64).select(
+            "query_id", "neighbor_id"
+        )
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        ).agg(F.count(F.lit(1)).alias("s"))
+        nq = queries.agg(F.count(F.lit(1)).alias("n"))
+        return hits.crossJoin(nq).select(
+            F.lit(method).alias("method"),
+            F.col("n").cast("bigint").alias("n_queries"),
+            F.round(F.col("s") / (F.lit(5.0) * F.col("n")), 6).alias("recall_at_5"),
+        )
+
+    q_srp = emb.filter(F.col("vec_id") < 32)
+    srp = cosine_topk_srp(q_srp, emb, k=5, planes=_srp_planes())
+    q_ivf = emb.filter(F.col("vec_id") % 25 == 0)
+    ivf = cosine_topk_ivf(
+        q_ivf, emb, k=5, centers=label_centroids(emb, "embedding", "label"), nprobe=3
+    )
+    return recall_row("ivf", q_ivf, ivf).unionByName(
+        recall_row("srp", q_srp, srp)
+    ).orderBy("method")
+
+
+def _sql_exact_topk(where: str) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE {where}),
+pairs AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_dot_product(q.qv::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine
+  FROM q, embeddings b WHERE b.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id FROM ranked WHERE rn <= 5
+"""
+
+
+def _sql_ann_recall() -> str:
+    return f"""
+SELECT 'ivf' AS method,
+       (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0)::BIGINT AS n_queries,
+       round(
+         (SELECT count(*) FROM ({_sql_exact_topk('vec_id % 25 = 0')}) e
+            JOIN ({_SQL_IVF}) a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+         / (5.0 * (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0)), 6
+       ) AS recall_at_5
+UNION ALL
+SELECT 'srp' AS method,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 32)::BIGINT AS n_queries,
+       round(
+         (SELECT count(*) FROM ({_sql_exact_topk('vec_id < 32')}) e
+            JOIN ({_sql_srp()}) a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+         / (5.0 * (SELECT count(*) FROM embeddings WHERE vec_id < 32)), 6
+       ) AS recall_at_5
+ORDER BY method
+"""
+
+
 def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10/ANN — exact cosine top-5 neighbors for a query subset.
 
@@ -3416,6 +3493,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),
     "srp_topk_embeddings": (q_srp_topk_embeddings, _sql_srp()),
     "ivf_topk_embeddings": (q_ivf_topk_embeddings, _SQL_IVF),
+    "ann_recall": (q_ann_recall, _sql_ann_recall()),
     "token_stats_docs": (q_token_stats_docs, _SQL_TOKENS),
     "top_keywords_docs": (q_top_keywords_docs, _sql_top_keywords()),
     "pii_scrub_docs": (q_pii_scrub_docs, _SQL_PII_SCRUB),
