@@ -63,6 +63,7 @@ HEADLINE = [
     "top_keywords_docs",
     "pii_scrub_docs",
     "near_dup_clusters_docs",
+    "srp_multi_topk_embeddings",
 ]
 
 

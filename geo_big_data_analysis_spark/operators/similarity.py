@@ -154,6 +154,64 @@ def cosine_topk_srp(
     return _topk(pairs.withColumn("cosine", _cosine_col("_qv", "_bv", dim)), k)
 
 
+def _srp_sig_expr(planes: list[list[float]], vec_col: str) -> Column:
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        bit = (_dot(F.col(vec_col), _const_array(plane)) > 0).cast("bigint")
+        sig = sig + bit * F.lit(1 << i).cast("bigint")
+    return sig
+
+
+def cosine_topk_srp_multi(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    tables: list[list[list[float]]],
+    q_id: str = "vec_id",
+    b_id: str = "vec_id",
+    q_vec: str = "embedding",
+    b_vec: str = "embedding",
+) -> DataFrame:
+    """Multi-table SRP-LSH — the standard recall amplifier: L
+    independent plane sets, candidates = UNION of per-table bucket
+    matches (a near-neighbor is missed only if it collides in NONE of
+    the L tables: miss ≈ (1-p^b)^L vs (1-p^b) single-table), then one
+    exact rerank over the deduped candidate set.
+
+    Scale shape: each side explodes to L (table, sig) rows — the same
+    banding pattern as MinHash-LSH — so the probe is one equi-join on
+    (table, sig); candidates dedup on ids BEFORE vectors are re-joined
+    for the rerank, so the wide arrays never ride through the
+    explode/union."""
+    dim = len(tables[0][0])
+
+    def banded(df: DataFrame, idc: str, vecc: str, out_id: str) -> DataFrame:
+        d = df.select(F.col(idc).alias(out_id), F.col(vecc).alias("_v"))
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"), _srp_sig_expr(pl, "_v").alias("sig")
+                )
+                for t, pl in enumerate(tables)
+            ]
+        )
+        return d.select(out_id, F.explode(structs).alias("ts")).select(
+            out_id, F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
+        )
+
+    cand = (
+        banded(queries, q_id, q_vec, "query_id")
+        .join(banded(base, b_id, b_vec, "neighbor_id"), ["t", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
+    bv = base.select(F.col(b_id).alias("neighbor_id"), F.col(b_vec).alias("_bv"))
+    pairs = cand.join(qv, "query_id").join(bv, "neighbor_id")
+    return _topk(pairs.withColumn("cosine", _cosine_col("_qv", "_bv", dim)), k)
+
+
 def label_centroids(df: DataFrame, vec_col: str, label_col: str) -> list[tuple[int, list[float]]]:
     """Element-wise mean vector per label → [(label, center), …] sorted
     by label. Driver-side collect of (n_labels × dim) doubles — the

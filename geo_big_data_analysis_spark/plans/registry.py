@@ -36,6 +36,7 @@ from ..operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_srp,
+    cosine_topk_srp_multi,
     label_centroids,
     with_cosine,
 )
@@ -1453,6 +1454,66 @@ FROM (
 """
 
 
+def _srp_tables(n_tables: int = 8, n_planes: int = 4, dim: int = 64) -> list[list[list[float]]]:
+    """L independent deterministic plane sets = the 32-plane LCG stream
+    chunked into 8 tables of 4 bits (same dyadic-rational construction
+    as _srp_planes, so both engines round-trip bit-exactly)."""
+    flat = _srp_planes(n_tables * n_planes, dim)
+    return [flat[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
+
+
+def q_srp_multi_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SRP-LSH ANN (8 tables × 4 bits): union of per-table
+    bucket candidates → exact rerank. The recall amplification over the
+    single-table path is measured by `ann_recall`; the oracle
+    recomputes every table's buckets and the candidate union."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 32)
+    return cosine_topk_srp_multi(
+        queries, emb, k=5, tables=_srp_tables()
+    ).select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _sql_srp_multi_cand() -> str:
+    """Candidate-pair CTE text for the multi-table SRP oracle."""
+    tables = _srp_tables()
+    selects = []
+    for planes in tables:
+        sig_terms = " + ".join(
+            f"(CASE WHEN list_inner_product(v, [{', '.join(repr(x) for x in p)}]) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        selects.append(
+            f"SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id\n"
+            f"  FROM (SELECT vec_id, {sig_terms} AS s FROM emb WHERE vec_id < 32) q\n"
+            f"  JOIN (SELECT vec_id, {sig_terms} AS s FROM emb) b ON q.s = b.s\n"
+            f"  WHERE q.vec_id <> b.vec_id"
+        )
+    return "\nUNION\n".join(selects)
+
+
+def _sql_srp_multi() -> str:
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cand AS (
+{_sql_srp_multi_cand()}
+),
+pairs AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(q.v, b.v)
+           / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM cand c JOIN emb q ON q.vec_id = c.query_id JOIN emb b ON b.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM ranked WHERE rn <= 5
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation — recall@5 of the two approximate paths
     (SRP-LSH buckets, IVF probe) against the exact brute-force top-5 on
@@ -1481,13 +1542,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q_srp = emb.filter(F.col("vec_id") < 32)
     srp = cosine_topk_srp(q_srp, emb, k=5, planes=_srp_planes())
+    srp_multi = cosine_topk_srp_multi(q_srp, emb, k=5, tables=_srp_tables())
     q_ivf = emb.filter(F.col("vec_id") % 25 == 0)
     ivf = cosine_topk_ivf(
         q_ivf, emb, k=5, centers=label_centroids(emb, "embedding", "label"), nprobe=3
     )
-    return recall_row("ivf", q_ivf, ivf).unionByName(
-        recall_row("srp", q_srp, srp)
-    ).orderBy("method")
+    return (
+        recall_row("ivf", q_ivf, ivf)
+        .unionByName(recall_row("srp", q_srp, srp))
+        .unionByName(recall_row("srp_multi", q_srp, srp_multi))
+        .orderBy("method")
+    )
 
 
 def _sql_exact_topk(where: str) -> str:
@@ -1523,6 +1588,15 @@ SELECT 'srp' AS method,
        round(
          (SELECT count(*) FROM ({_sql_exact_topk('vec_id < 32')}) e
             JOIN ({_sql_srp()}) a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+         / (5.0 * (SELECT count(*) FROM embeddings WHERE vec_id < 32)), 6
+       ) AS recall_at_5
+UNION ALL
+SELECT 'srp_multi' AS method,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 32)::BIGINT AS n_queries,
+       round(
+         (SELECT count(*) FROM ({_sql_exact_topk('vec_id < 32')}) e
+            JOIN ({_sql_srp_multi()}) a
               ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
          / (5.0 * (SELECT count(*) FROM embeddings WHERE vec_id < 32)), 6
        ) AS recall_at_5
@@ -3492,6 +3566,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_fingerprint_dups": (q_doc_fingerprint_dups, _SQL_FINGERPRINT),
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),
     "srp_topk_embeddings": (q_srp_topk_embeddings, _sql_srp()),
+    "srp_multi_topk_embeddings": (q_srp_multi_topk_embeddings, _sql_srp_multi()),
     "ivf_topk_embeddings": (q_ivf_topk_embeddings, _SQL_IVF),
     "ann_recall": (q_ann_recall, _sql_ann_recall()),
     "token_stats_docs": (q_token_stats_docs, _SQL_TOKENS),
