@@ -268,3 +268,30 @@ def test_srp_topk_recall_on_clustered_vectors(spark):
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall > 0.8  # same-cluster vectors share SRP signs w.h.p.
+
+
+def test_srp_multi_table_dominates_single(spark):
+    # table 0 of the multi set IS the single-table plane set, so the
+    # multi-table candidate set is a superset and recall can only rise
+    import random
+
+    rnd = random.Random(9)
+    dim = 16
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    flat = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(12)]
+    tables = [flat[t * 3 : (t + 1) * 3] for t in range(4)]
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(q, emb, k=3).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_srp(q, emb, k=3, planes=tables[0]).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_srp_multi(q, emb, k=3, tables=tables).collect()
+    }
+    assert len(exact & multi) >= len(exact & single)
