@@ -712,6 +712,86 @@ FROM events GROUP BY 1
 # Geospatial (derived points; SURVEY §2.3 J5, §2.8 geo)
 # --------------------------------------------------------------------------
 
+# Convex polygons (ccw vertex rings, lon/lat) for the J5
+# point-in-polygon join — literal geometry shared by both engines.
+_POLYGONS: list[list[tuple[float, float]]] = [
+    [(-74.28, 40.52), (-74.02, 40.55), (-74.20, 40.80)],
+    [(-73.98, 40.60), (-73.75, 40.62), (-73.72, 40.90), (-73.95, 40.95)],
+    [(-74.15, 40.82), (-73.90, 40.70), (-73.80, 40.97)],
+]
+
+
+def _inside_convex_expr(poly: list[tuple[float, float]], lon: str, lat: str):
+    """CCW half-plane conjunction: cross((v2-v1),(p-v1)) >= 0 per edge —
+    pure codegen'd arithmetic, identical expression text in the oracle."""
+    cond = F.lit(True)
+    for (x1, y1), (x2, y2) in zip(poly, poly[1:] + poly[:1]):
+        cross = (F.lit(x2 - x1)) * (F.col(lat) - F.lit(y1)) - (
+            F.lit(y2 - y1)
+        ) * (F.col(lon) - F.lit(x1))
+        cond = cond & (cross >= 0)
+    return cond
+
+
+def _inside_convex_sql(poly: list[tuple[float, float]]) -> str:
+    terms = [
+        f"(({x2 - x1!r}) * (lat - ({y1!r})) - ({y2 - y1!r}) * (lon - ({x1!r})) >= 0)"
+        for (x1, y1), (x2, y2) in zip(poly, poly[1:] + poly[:1])
+    ]
+    return " AND ".join(terms)
+
+
+def q_polygon_points_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5, the full grid-join shape (gpd.sjoin predicate='within',
+    lab2 nb cell 20 / lab3a cell 15): polygons pre-expand to covering
+    grid cells, points tag their cell, hash equi-join on (gx, gy), then
+    the exact convex point-in-polygon half-plane refine — all codegen'd
+    arithmetic, no cross product, shuffle keyed on integer cells.
+    Per-polygon point count + mean value. The oracle skips the grid
+    (a physical detail) and tests the same half-planes directly —
+    a match proves the cell cover loses no points."""
+    from ..operators.spatial_join import point_in_cell_join
+
+    o_lat, o_lon, cell = 40.5, -74.3, 0.05
+    cell_rows = []
+    for pid, poly in enumerate(_POLYGONS):
+        xs = [p[0] for p in poly]
+        ys = [p[1] for p in poly]
+        gx0, gx1 = int((min(xs) - o_lon) / cell), int((max(xs) - o_lon) / cell)
+        gy0, gy1 = int((min(ys) - o_lat) / cell), int((max(ys) - o_lat) / cell)
+        cell_rows += [
+            (gx, gy, pid)
+            for gx in range(gx0, gx1 + 1)
+            for gy in range(gy0, gy1 + 1)
+        ]
+    cells = spark.createDataFrame(cell_rows, "gx bigint, gy bigint, poly_id int")
+
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    joined = point_in_cell_join(pts, F.broadcast(cells), "lat", "lon", o_lat, o_lon, cell)
+    inside = F.lit(False)
+    for pid, poly in enumerate(_POLYGONS):
+        inside = F.when(F.col("poly_id") == pid, _inside_convex_expr(poly, "lon", "lat")).otherwise(inside)
+    return (
+        joined.filter(inside)
+        .groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("poly_id")
+    )
+
+
+def _sql_polygon_points() -> str:
+    selects = [
+        f"SELECT {pid} AS poly_id, count(*)::BIGINT AS n_points,"
+        f" round(avg(value), 6) AS avg_value FROM pts WHERE {_inside_convex_sql(poly)}"
+        for pid, poly in enumerate(_POLYGONS)
+    ]
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH pts AS ({_DERIVED_POINTS_SQL})\n{body}\nORDER BY poly_id"
+
+
 def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 + grid-cell assignment + A13-style 2-D bin density."""
     pts = _derived_points(_t(spark, sf_dir, "events"))
@@ -3556,6 +3636,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "event_value_stats": (q_event_value_stats, _SQL_VALUE_STATS),
     "json_extract_events": (q_json_extract_events, _SQL_JSON),
     "geo_grid_density": (q_geo_grid_density, _SQL_GRID),
+    "polygon_points_join": (q_polygon_points_join, _sql_polygon_points()),
     "haversine_stats": (q_haversine_stats, _SQL_HAVERSINE),
     "exact_dedup_docs": (q_exact_dedup_docs, _SQL_DEDUP),
     "minhash_near_dup_docs": (q_minhash_near_dup_docs, _SQL_MINHASH_NEAR_DUP),

@@ -38,6 +38,7 @@ ALLOWLIST_NLJ = {
     "lisa_moran_events": "1-row mean/std broadcast for z-standardization",
     "lab1_noise_pipeline": "1-row mu/sigma broadcast threshold (via high_density_hours)",
     "hot_cold_grid_cells": "1-row q75/q25 broadcast threshold over cell counts",
+    "ann_recall": "exact brute-force baseline (tiny query set) + 1-row hit/count crossJoins",
 }
 
 
