@@ -18,8 +18,6 @@ opinion-laden a word is, 0..1).
 
 from __future__ import annotations
 
-from itertools import chain
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -47,11 +45,12 @@ LEXICON: dict[str, tuple[float, float]] = {
 
 
 def _valence_map(idx: int) -> Column:
-    return F.create_map(
-        *chain.from_iterable(
-            (F.lit(w), F.lit(vals[idx])) for w, vals in LEXICON.items()
-        )
+    # one parsed map literal (one py4j round-trip) instead of 2×|lexicon|
+    # F.lit calls — same plan-build rationale as the MinHash signature
+    entries = ", ".join(
+        f"'{w}', {vals[idx]!r}D" for w, vals in LEXICON.items()
     )
+    return F.expr(f"map({entries})")
 
 
 def _avg_hits(col, idx: int) -> Column:
