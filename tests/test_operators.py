@@ -41,6 +41,38 @@ def test_replace_values(spark):
     assert sorted(r.pc for r in out.collect()) == [1, 3, 6]
 
 
+def test_convex_halfplane_membership_matches_raycast(spark):
+    # the registry's codegen'd convex half-plane refine must agree with
+    # the general ray-casting UDF on the same polygon
+    from geo_big_data_analysis_spark.plans.registry import (
+        _POLYGONS,
+        _inside_convex_expr,
+    )
+
+    poly = _POLYGONS[1]
+    wkt = (
+        "POLYGON (("
+        + ", ".join(f"{x} {y}" for x, y in poly + poly[:1])
+        + "))"
+    )
+    import random
+
+    rnd = random.Random(11)
+    rows = [
+        (i, rnd.uniform(40.5, 41.0), rnd.uniform(-74.3, -73.7), wkt)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["id", "lat", "lon", "poly"])
+    half = {r.id for r in df.filter(_inside_convex_expr(poly, "lon", "lat")).collect()}
+    ray = {
+        r.id
+        for r in spatial_join.point_in_polygon_refine(df, "lat", "lon", "poly").collect()
+    }
+    # boundary points are measure-zero under uniform sampling; sets match
+    assert half == ray
+    assert len(half) > 0
+
+
 def test_bucketed_range_join_matches_nlj(spark):
     import random
 
