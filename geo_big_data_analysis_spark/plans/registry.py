@@ -2431,6 +2431,45 @@ FROM events GROUP BY 1 ORDER BY hour_start
 """
 
 
+# static event_type → (category, weight) dim for the stream-static join;
+# literal on both sides
+_EVENT_DIM = [
+    ("click", "engagement", 1.0),
+    ("view", "engagement", 0.5),
+    ("purchase", "revenue", 3.0),
+    ("signup", "growth", 2.0),
+    ("error", "ops", 0.25),
+]
+
+
+def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — stream–static dimension join: the event stream broadcast-
+    joins a static event_type→(category, weight) dim inside each
+    micro-batch, then watermarked 1-hour windows aggregate per category.
+    availableNow drain ⇒ the batch SQL oracle (VALUES dim join) applies
+    verbatim."""
+    from ..streaming.windows import enriched_counts_stream, run_to_memory, stream_events
+
+    dim = spark.createDataFrame(
+        _EVENT_DIM, "event_type string, category string, weight double"
+    )
+    out = run_to_memory(
+        enriched_counts_stream(stream_events(spark, sf_dir), dim, "event_type")
+    )
+    return out.orderBy("hour_start", "category")
+
+
+def _sql_stream_enriched() -> str:
+    rows = ", ".join(f"('{t}', '{c}', {w!r})" for t, c, w in _EVENT_DIM)
+    return f"""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, d.category,
+       count(*)::BIGINT AS n, round(sum(e.value * d.weight), 4) AS wsum
+FROM events e JOIN (VALUES {rows}) AS d(event_type, category, weight)
+  ON e.event_type = d.event_type
+GROUP BY 1, 2 ORDER BY hour_start, category
+"""
+
+
 def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 streamed — watermarked streaming dedup on (user_id,
     event_type): with an availableNow drain every key emits exactly
@@ -3669,6 +3708,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "param_search_gbt": (q_param_search_gbt, None),
     "ndjson_scan_docs": (q_ndjson_scan_docs, _SQL_NDJSON_SCAN),
     "streaming_hourly_counts": (q_streaming_hourly_counts, _SQL_STREAM_HOURLY),
+    "streaming_enriched_counts": (q_streaming_enriched_counts, _sql_stream_enriched()),
     "streaming_user_sessions": (q_streaming_user_sessions, _SQL_STREAM_SESSIONS),
     "streaming_dedup_counts": (q_streaming_dedup_counts, _SQL_STREAM_DEDUP),
     "streaming_user_state": (q_streaming_user_state, _SQL_STREAM_STATE),

@@ -166,6 +166,30 @@ def user_running_stats_stream(
     )
 
 
+def enriched_counts_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    join_key: str,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream–static enrichment join — the standard dimension-join
+    pattern: the static side broadcasts into every micro-batch (no
+    state, no watermark needed on the dim), then a watermarked windowed
+    aggregation over the enriched stream. At scale the dim refresh is a
+    re-broadcast per batch, never a stateful stream-stream join."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .join(F.broadcast(dim), join_key, "inner")
+        .groupBy(F.window(ts_col, "1 hour").alias("w"), "category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 4).alias("wsum"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "category", "n", "wsum")
+    )
+
+
 def session_window_stream(
     events: DataFrame,
     ts_col: str = "ts",
