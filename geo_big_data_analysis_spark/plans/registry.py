@@ -2296,6 +2296,38 @@ def q_raster_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_raster_tiled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/S11 scale path — the SAME sampling semantics as
+    `raster_sample_stats`, but over the tiled raster layout
+    (tile-table equi-join + element_at instead of a broadcast numpy
+    array; `sources/raster.sample_raster_tiled`). Shares the broadcast
+    path's oracle — a match proves layout equivalence."""
+    from ..sources.raster import (
+        RASTER_NODATA,
+        RASTER_T,
+        raster_valid_mean,
+        sample_raster_tiled,
+        synthetic_raster,
+        tiled_raster_df,
+    )
+
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    fill = raster_valid_mean(synthetic_raster(), RASTER_NODATA)
+    s = sample_raster_tiled(
+        pts, tiled_raster_df(spark), RASTER_T, RASTER_NODATA, fill
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("raster_value"), 6).alias("avg_density"),
+            F.round(F.min("raster_value"), 6).alias("min_density"),
+            F.round(F.max("raster_value"), 6).alias("max_density"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _sql_raster_stats() -> str:
     from ..sources.raster import raster_value_sql
 
@@ -3715,6 +3747,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),
+    "raster_tiled_stats": (q_raster_tiled_stats, _sql_raster_stats()),
     "road_density_grid": (q_road_density_grid, _SQL_ROAD_DENSITY),
     "isochrone_poi_access": (q_isochrone_poi_access, _SQL_ISOCHRONE),
     "sentiment_docs": (q_sentiment_docs, _sql_sentiment_docs()),

@@ -123,6 +123,76 @@ def sample_raster(
     return df.withColumn(out, _sample(F.col(lon_col), F.col(lat_col)))
 
 
+def tiled_raster_df(spark, tile_h: int = 25, tile_w: int = 30) -> DataFrame:
+    """S10 scale path (SURVEY §1.1 "large raster"): the raster as a
+    (tile_row, tile_col, vals) DataFrame — one row per tile, pixel
+    values flattened row-major. This is the parquet landing format for
+    rasters too big to broadcast; here the tiles are generated from the
+    synthetic raster's closed form entirely in SQL expressions, so no
+    array ever ships from the driver."""
+    assert RASTER_H % tile_h == 0 and RASTER_W % tile_w == 0
+    n_tc = RASTER_W // tile_w
+    n_tiles = (RASTER_H // tile_h) * n_tc
+    r = f"((id div {n_tc}) * {tile_h} + i div {tile_w})"
+    c = f"((id % {n_tc}) * {tile_w} + i % {tile_w})"
+    return spark.range(n_tiles).selectExpr(
+        f"id div {n_tc} AS tile_row",
+        f"id % {n_tc} AS tile_col",
+        f"transform(sequence(0, {tile_h * tile_w - 1}), i -> "
+        f"CASE WHEN ({r} * 31 + {c} * 13) % 97 = 0 THEN {RASTER_NODATA}D "
+        f"ELSE (({r} * 37 + {c} * 17) % 1000) / 10.0 END) AS vals",
+    )
+
+
+def sample_raster_tiled(
+    df: DataFrame,
+    tiles: DataFrame,
+    t: Affine,
+    nodata: float,
+    fill: float,
+    tile_h: int = 25,
+    tile_w: int = 30,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    out: str = "raster_value",
+    broadcast_tiles: bool = True,
+) -> DataFrame:
+    """S11/J7 over the tiled layout: points compute their clipped
+    (row, col), derive (tile_row, tile_col) + within-tile offset, hash
+    equi-join the tile table on the tile key, and `element_at` into the
+    tile's value array — all JVM-side, the raster-lookup twin of the
+    grid spatial join. Identical clip/nodata/mean-fill semantics to the
+    broadcast `sample_raster` path (tests assert bit-parity). At scale
+    drop ``broadcast_tiles`` and co-partition points and tiles on the
+    tile key."""
+    row = F.least(
+        F.greatest(
+            F.floor((F.lit(t.y0) - F.col(lat_col)) / F.lit(t.dy)), F.lit(0)
+        ),
+        F.lit(RASTER_H - 1),
+    ).cast("bigint")
+    col = F.least(
+        F.greatest(
+            F.floor((F.col(lon_col) - F.lit(t.x0)) / F.lit(t.dx)), F.lit(0)
+        ),
+        F.lit(RASTER_W - 1),
+    ).cast("bigint")
+    tagged = (
+        df.withColumn("__r", row)
+        .withColumn("__c", col)
+        .withColumn("tile_row", F.expr(f"__r div {tile_h}"))
+        .withColumn("tile_col", F.expr(f"__c div {tile_w}"))
+        .withColumn("__idx", (F.col("__r") % tile_h) * tile_w + F.col("__c") % tile_w)
+    )
+    rhs = F.broadcast(tiles) if broadcast_tiles else tiles
+    v = F.element_at("vals", (F.col("__idx") + 1).cast("int"))
+    return (
+        tagged.join(rhs, ["tile_row", "tile_col"])
+        .withColumn(out, F.when(v == nodata, F.lit(fill)).otherwise(v))
+        .drop("__r", "__c", "__idx", "tile_row", "tile_col", "vals")
+    )
+
+
 def raster_value_sql(lon_sql: str, lat_sql: str) -> str:
     """The oracle's closed-form equivalent of sample_raster over the
     synthetic raster (identical clip + nodata + mean-fill semantics)."""

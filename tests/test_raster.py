@@ -14,7 +14,9 @@ from geo_big_data_analysis_spark.sources.raster import (
     raster_valid_mean,
     read_geotiff,
     sample_raster,
+    sample_raster_tiled,
     synthetic_raster,
+    tiled_raster_df,
 )
 
 
@@ -76,6 +78,31 @@ def test_nodata_mean_fill(spark):
     # explicit fill overrides the mean
     got2 = sample_raster(df, arr, t, nodata=-1.0, fill=0.0).collect()[0]["raster_value"]
     assert got2 == 0.0
+
+
+def test_tiled_sampling_bit_matches_broadcast(spark):
+    import random
+
+    rnd = random.Random(5)
+    rows = [
+        (i, rnd.uniform(-74.5, -73.5), rnd.uniform(40.3, 41.2))  # incl. off-raster
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, lon double, lat double")
+    arr = synthetic_raster()
+    fill = raster_valid_mean(arr, RASTER_NODATA)
+    bc = {
+        r["id"]: r["raster_value"]
+        for r in sample_raster(df, arr, RASTER_T, RASTER_NODATA).collect()
+    }
+    tiles = tiled_raster_df(spark)
+    td = {
+        r["id"]: r["raster_value"]
+        for r in sample_raster_tiled(
+            df, tiles, RASTER_T, RASTER_NODATA, fill
+        ).collect()
+    }
+    assert bc == td  # bit-identical across physical layouts
 
 
 def test_synthetic_raster_matches_formula():
