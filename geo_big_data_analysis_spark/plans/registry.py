@@ -2594,6 +2594,42 @@ FROM per GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — stream–stream interval join (the one stateful join shape
+    the other streaming queries don't cover): every click pairs with the
+    same user's purchases landing within 2 h after it, both sides
+    watermarked so join state is bounded by watermark + interval width.
+    availableNow drain ⇒ the batch interval-join SQL is the oracle.
+    Summarized per user (pair count, attributed purchase value)."""
+    from ..streaming.windows import interval_join_stream, run_to_memory, stream_events
+
+    clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = interval_join_stream(
+        clicks, purchases, key="user_id", max_delay_minutes=120
+    )
+    out = run_to_memory(joined, output_mode="append")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("r_value"), 4).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_STREAM_CLICK_PURCHASE = """
+SELECT c.user_id, count(*)::BIGINT AS n_pairs,
+       round(sum(p.value), 4) AS attributed_value
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+GROUP BY c.user_id ORDER BY c.user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal binary columns (training-data pipeline extension)
 # --------------------------------------------------------------------------
@@ -3673,6 +3709,94 @@ GROUP BY 1, 2
 """
 
 
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped HAVING-threshold join (the group-filter relational
+    shape: aggregate → threshold → join back to dims). Spark-first
+    plan: lineitem pre-aggregates to per-order quantity FIRST — the
+    fact table shrinks ~15× before any join — then the surviving
+    orderkeys join orders (equi, AQE picks broadcast when the filtered
+    side is small) and customer broadcasts. TakeOrdered global top-20
+    with a deterministic o_orderkey tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_SQL_LARGE_ORDERS = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, b.sum_qty
+FROM orders o
+JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) b
+  ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3-shaped 3-way join + date-window filter + grouped revenue
+    top-k. customer filters on segment then broadcasts; orders filters
+    on date before the fact join (predicate placed ahead of the
+    shuffle); revenue is the Q1 discount expression. Ordering ties
+    break on l_orderkey so the global top-10 is deterministic; the sort
+    key is the 2-dp-rounded revenue so fp reassociation can't reorder
+    near-equal rows between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    facts = li.filter(F.col("l_shipdate") > cutoff).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(facts, ords.o_orderkey == facts.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+_SQL_SHIPPING_PRIORITY = """
+SELECT l.l_orderkey, round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3744,6 +3868,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "streaming_user_sessions": (q_streaming_user_sessions, _SQL_STREAM_SESSIONS),
     "streaming_dedup_counts": (q_streaming_dedup_counts, _SQL_STREAM_DEDUP),
     "streaming_user_state": (q_streaming_user_state, _SQL_STREAM_STATE),
+    "streaming_click_purchase": (q_streaming_click_purchase, _SQL_STREAM_CLICK_PURCHASE),
+    "large_order_customers": (q_large_order_customers, _SQL_LARGE_ORDERS),
+    "shipping_priority": (q_shipping_priority, _SQL_SHIPPING_PRIORITY),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),

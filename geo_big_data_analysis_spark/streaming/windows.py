@@ -190,6 +190,50 @@ def enriched_counts_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    right_val_col: str = "value",
+    max_delay_minutes: int = 120,
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream–stream inner join on ``key`` with an event-time interval
+    condition: a right row matches a left row when it lands in
+    ``[left_ts, left_ts + max_delay]`` (click→conversion attribution
+    shape).
+
+    The scale story is the state bound: both sides are watermarked and
+    the join condition carries explicit event-time bounds, so Spark
+    derives a state-eviction horizon per side — buffered rows age out
+    ``watermark + max_delay`` behind the stream head instead of
+    accumulating forever (an unconstrained stream-stream join is
+    unbounded state). With an availableNow drain everything lands in one
+    micro-batch and the result equals the batch interval join, which is
+    what the oracle checks.
+    """
+    l = left.select(
+        F.col(key).alias("l_key"), F.col(ts_col).alias("l_ts")
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col(ts_col).alias("r_ts"),
+        F.col(right_val_col).alias("r_value"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (
+            F.col("r_ts")
+            <= F.col("l_ts") + F.expr(f"INTERVAL {int(max_delay_minutes)} MINUTE")
+        )
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_key").alias(key), "l_ts", "r_ts", "r_value"
+    )
+
+
 def session_window_stream(
     events: DataFrame,
     ts_col: str = "ts",

@@ -327,3 +327,28 @@ def test_srp_multi_table_dominates_single(spark):
         for r in similarity.cosine_topk_srp_multi(q, emb, k=3, tables=tables).collect()
     }
     assert len(exact & multi) >= len(exact & single)
+
+
+def test_large_order_customers_contract(spark, sf_dir):
+    """Q18-shape: every returned order exceeds the quantity threshold,
+    result is totalprice-desc sorted with deterministic tie-break."""
+    from geo_big_data_analysis_spark.plans.registry import q_large_order_customers
+
+    rows = q_large_order_customers(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["sum_qty"] > 250 for r in rows)
+    keys = [(-r["o_totalprice"], r["o_orderkey"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_shipping_priority_contract(spark, sf_dir):
+    """Q3-shape: revenue-desc top-10, all orders predate the cutoff."""
+    from datetime import datetime
+
+    from geo_big_data_analysis_spark.plans.registry import q_shipping_priority
+
+    rows = q_shipping_priority(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    assert all(r["o_orderdate"] < datetime(1998, 1, 1) for r in rows)
+    keys = [(-r["revenue"], r["l_orderkey"]) for r in rows]
+    assert keys == sorted(keys)

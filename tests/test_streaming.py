@@ -103,3 +103,40 @@ def test_stateful_user_stats_match_batch(spark, sf_dir):
     got = {r["user_id"]: (r["n_events"], r["n_types"]) for r in final.collect()}
     exp = {r["user_id"]: (r["n_events"], r["n_types"]) for r in want.collect()}
     assert got == exp
+
+
+def test_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (click→purchase within 2h, per user)
+    drained availableNow equals the batch interval join over the same
+    file — Structured Streaming's incremental-execution promise for
+    stateful joins."""
+    from geo_big_data_analysis_spark.streaming.windows import interval_join_stream
+
+    clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    out = run_to_memory(
+        interval_join_stream(clicks, purchases, key="user_id", max_delay_minutes=120),
+        output_mode="append",
+    )
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(batch.dtypes)["ts"] == "bigint":
+        batch = batch.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dict(batch.dtypes)["ts"] == "timestamp_ntz":
+        batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), "value"
+    )
+    want = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    got = sorted(
+        (r["user_id"], r["l_ts"], r["r_ts"], r["r_value"]) for r in out.collect()
+    )
+    exp = sorted((r["cu"], r["cts"], r["pts"], r["value"]) for r in want.collect())
+    assert got == exp and len(got) > 0
