@@ -64,6 +64,9 @@ HEADLINE = [
     "pii_scrub_docs",
     "near_dup_clusters_docs",
     "srp_multi_topk_embeddings",
+    "shipping_priority",
+    "large_order_customers",
+    "asof_last_purchase",
 ]
 
 

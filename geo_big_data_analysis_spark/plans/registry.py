@@ -3797,6 +3797,47 @@ LIMIT 10
 """
 
 
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join (operators/asof): every click gets the same
+    user's latest purchase at-or-before it. One hash exchange on
+    user_id + partition-local sort — no range explode, no NLJ. DuckDB's
+    native ASOF LEFT JOIN is the oracle; (user_id, ts) is unique among
+    purchases so the match is deterministic."""
+    from ..operators.asof import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_backward(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["value"],
+    )
+    # no-match rows keep NULLs from the operator; the value-compare
+    # harness sorts nulls engine-specifically, so project sentinels
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("asof_ts", epoch).alias("asof_ts"),
+        F.coalesce("asof_value", F.lit(-1.0)).alias("asof_value"),
+    )
+
+
+_SQL_ASOF = """
+SELECT c.event_id, c.user_id, c.ts,
+       coalesce(p.ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_ts,
+       coalesce(p.value, -1.0) AS asof_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3871,6 +3912,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "streaming_click_purchase": (q_streaming_click_purchase, _SQL_STREAM_CLICK_PURCHASE),
     "large_order_customers": (q_large_order_customers, _SQL_LARGE_ORDERS),
     "shipping_priority": (q_shipping_priority, _SQL_SHIPPING_PRIORITY),
+    "asof_last_purchase": (q_asof_last_purchase, _SQL_ASOF),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),

@@ -352,3 +352,32 @@ def test_shipping_priority_contract(spark, sf_dir):
     assert all(r["o_orderdate"] < datetime(1998, 1, 1) for r in rows)
     keys = [(-r["revenue"], r["l_orderkey"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_asof_join_backward_semantics(spark):
+    """merge_asof backward-inclusive contract: equal timestamps match
+    (right sorts before left), later rights don't leak backward, and
+    keys with no prior right row yield nulls."""
+    from datetime import datetime
+
+    from geo_big_data_analysis_spark.operators.asof import asof_join_backward
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(10)), (3, 20, t(1)), (4, 30, t(9))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, t(5), 1.0), (10, t(8), 2.0), (20, t(2), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join_backward(
+            left, right, "user_id", "ts", "ts", ["value"]
+        ).collect()
+    }
+    assert got[1] == (t(5), 1.0)      # equal ts is inclusive
+    assert got[2] == (t(8), 2.0)      # latest prior, not first
+    assert got[3] == (None, None)     # right row is later -> no match
+    assert got[4] == (None, None)     # key absent on right
