@@ -3797,6 +3797,51 @@ LIMIT 10
 """
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy agg (region → nation → total): Catalyst's
+    Expand-based grouping sets — one scan produces all three grouping
+    levels, vs three separate aggregations + union. Subtotal rows are
+    labeled 'ALL' (dim names are non-null in the fixtures, so the
+    coalesce is unambiguous); grouping level disambiguates on both
+    sides."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.grouping_id().alias("lvl"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            "n_orders",
+            "revenue",
+            "lvl",
+        )
+    )
+
+
+_SQL_ROLLUP_REVENUE = """
+SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
+       count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS revenue,
+       GROUPING(r_name, n_name)::BIGINT AS lvl
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
 def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of backward join (operators/asof): every click gets the same
     user's latest purchase at-or-before it. One hash exchange on
@@ -3913,6 +3958,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "large_order_customers": (q_large_order_customers, _SQL_LARGE_ORDERS),
     "shipping_priority": (q_shipping_priority, _SQL_SHIPPING_PRIORITY),
     "asof_last_purchase": (q_asof_last_purchase, _SQL_ASOF),
+    "rollup_revenue": (q_rollup_revenue, _SQL_ROLLUP_REVENUE),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),

@@ -381,3 +381,18 @@ def test_asof_join_backward_semantics(spark):
     assert got[2] == (t(8), 2.0)      # latest prior, not first
     assert got[3] == (None, None)     # right row is later -> no match
     assert got[4] == (None, None)     # key absent on right
+
+
+def test_rollup_revenue_levels(spark, sf_dir):
+    """ROLLUP produces detail + per-region subtotal + grand total, and
+    subtotals equal the sum of their detail rows."""
+    from geo_big_data_analysis_spark.plans.registry import q_rollup_revenue
+
+    rows = q_rollup_revenue(spark, sf_dir).collect()
+    detail = [r for r in rows if r["lvl"] == 0]
+    sub = {r["r_name"]: r["n_orders"] for r in rows if r["lvl"] == 1}
+    total = [r for r in rows if r["lvl"] == 3]
+    assert len(total) == 1 and total[0]["r_name"] == "ALL"
+    assert total[0]["n_orders"] == sum(r["n_orders"] for r in detail)
+    for region, n in sub.items():
+        assert n == sum(r["n_orders"] for r in detail if r["r_name"] == region)
