@@ -118,6 +118,44 @@ def extract_features(df: DataFrame, decode=FAKE_DECODE) -> DataFrame:
     return df.mapInPandas(gen, schema)
 
 
+def resize_image(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Image-resize plumbing: nearest-neighbor resample of the fake
+    byte-"pixel" grid to (out_w, out_h), with media.width/height
+    metadata rewritten to match — the metadata-consistency contract a
+    real resizer must keep. Non-image rows pass through unchanged.
+
+    The payload is treated as a row-major width×height grid (trimmed to
+    the largest full grid, padded when short — deterministic either
+    way); a real deploy swaps the byte indexing for a pillow/cv2 resize
+    inside the same Arrow batch loop. Schema is preserved.
+    """
+    schema = df.schema
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, medias = [], []
+            for p, m in zip(pdf["payload"], pdf["media"]):
+                m = dict(m)
+                if m["media_type"] != "image" or not m["width"] or not m["height"]:
+                    payloads.append(bytes(p))
+                    medias.append(m)
+                    continue
+                w, h = int(m["width"]), int(m["height"])
+                raw = np.frombuffer(bytes(p), dtype=np.uint8)
+                grid = np.resize(raw, (h, w))  # pad-by-repeat when short
+                ys = (np.arange(out_h) * h // out_h).astype(int)
+                xs = (np.arange(out_w) * w // out_w).astype(int)
+                payloads.append(grid[np.ix_(ys, xs)].tobytes())
+                m["width"], m["height"] = out_w, out_h
+                medias.append(m)
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            pdf["media"] = medias
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
 def frame_sample(df: DataFrame, every_k: int = 4) -> DataFrame:
     """Video frame-sampling plumbing: keep every k-th byte-"frame" of
     the payload (deterministic stand-in for a real frame extractor —

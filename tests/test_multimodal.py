@@ -87,3 +87,42 @@ def test_custom_decode_is_pluggable(spark):
     r = calls.limit(1).collect()[0]
     # all-zero "decoded" array -> histogram mass in bin 0
     assert r["feature"][0] == pytest.approx(1.0)
+
+
+def test_resize_image_metadata_and_size(spark):
+    """resize_image: image payloads become out_w*out_h bytes with
+    metadata rewritten to match; audio/video rows untouched."""
+    from geo_big_data_analysis_spark.sources.multimodal import resize_image
+
+    m = synthesize_media(_corpus(spark), "doc_id", "text")
+    before = {r["item_id"]: r for r in m.collect()}
+    out = {r["item_id"]: r for r in resize_image(m, out_w=8, out_h=4).collect()}
+    assert set(out) == set(before)
+    for i, r in out.items():
+        if before[i]["media"]["media_type"] == "image":
+            assert len(r["payload"]) == 8 * 4
+            assert r["media"]["width"] == 8 and r["media"]["height"] == 4
+        else:
+            assert bytes(r["payload"]) == bytes(before[i]["payload"])
+            assert r["media"] == before[i]["media"]
+
+
+def test_resize_image_nearest_neighbor_values(spark):
+    """The resample is deterministic nearest-neighbor over the byte
+    grid: spot-check one image against the numpy reference."""
+    from geo_big_data_analysis_spark.sources.multimodal import resize_image
+
+    m = synthesize_media(_corpus(spark), "doc_id", "text")
+    img = next(
+        r for r in m.collect() if r["media"]["media_type"] == "image"
+    )
+    got = next(
+        r
+        for r in resize_image(m, out_w=8, out_h=4).collect()
+        if r["item_id"] == img["item_id"]
+    )
+    w, h = img["media"]["width"], img["media"]["height"]
+    grid = np.resize(np.frombuffer(bytes(img["payload"]), np.uint8), (h, w))
+    ys = (np.arange(4) * h // 4).astype(int)
+    xs = (np.arange(8) * w // 8).astype(int)
+    assert bytes(got["payload"]) == grid[np.ix_(ys, xs)].tobytes()

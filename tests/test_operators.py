@@ -396,3 +396,55 @@ def test_rollup_revenue_levels(spark, sf_dir):
     assert total[0]["n_orders"] == sum(r["n_orders"] for r in detail)
     for region, n in sub.items():
         assert n == sum(r["n_orders"] for r in detail if r["r_name"] == region)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized parity vs pandas merge_asof (backward, by-key) —
+    200 seeded rows, duplicate timestamps excluded per key (the match
+    is otherwise ambiguous in pandas too)."""
+    import numpy as np
+    import pandas as pd
+
+    from geo_big_data_analysis_spark.operators.asof import asof_join_backward
+
+    rng = np.random.default_rng(42)
+    base = pd.Timestamp("2026-01-01")
+    lp = pd.DataFrame(
+        {
+            "event_id": np.arange(200),
+            "user_id": rng.integers(0, 5, 200),
+            "ts": base + pd.to_timedelta(rng.choice(10_000, 200, replace=False), "s"),
+        }
+    )
+    rp = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 5, 80),
+            "ts": base + pd.to_timedelta(rng.choice(10_000, 80, replace=False), "s"),
+            "value": rng.random(80).round(6),
+        }
+    )
+    want = pd.merge_asof(
+        lp.sort_values("ts"),
+        rp.sort_values("ts").rename(columns={"ts": "asof_ts", "value": "asof_value"}),
+        left_on="ts",
+        right_on="asof_ts",
+        by="user_id",
+        direction="backward",
+    ).set_index("event_id")
+    got = (
+        asof_join_backward(
+            spark.createDataFrame(lp),
+            spark.createDataFrame(rp),
+            "user_id",
+            "ts",
+            "ts",
+            ["value"],
+        )
+        .toPandas()
+        .set_index("event_id")
+    )
+    for eid in lp["event_id"]:
+        g, w = got.loc[eid], want.loc[eid]
+        assert (g["asof_ts"] == w["asof_ts"]) or (
+            pd.isna(g["asof_ts"]) and pd.isna(w["asof_ts"])
+        ), eid
