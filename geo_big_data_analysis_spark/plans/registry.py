@@ -2608,7 +2608,17 @@ def q_streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = interval_join_stream(
         clicks, purchases, key="user_id", max_delay_minutes=120
     )
-    out = run_to_memory(joined, output_mode="append")
+    # State-store instances = shuffle partitions × stateful sides, and
+    # their init dominates wall time at test SFs (~13 s at 32
+    # partitions). Scope the stream's state partitioning down; the
+    # post-drain batch agg is planned separately and unaffected. At
+    # production volume this knob goes UP with key cardinality instead.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_to_memory(joined, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return (
         out.groupBy("user_id")
         .agg(
