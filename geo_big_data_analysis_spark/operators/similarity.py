@@ -155,11 +155,26 @@ def cosine_topk_srp(
 
 
 def _srp_sig_expr(planes: list[list[float]], vec_col: str) -> Column:
-    sig = F.lit(0).cast("bigint")
+    """Signature as ONE parsed expression per table. The dot stays an
+    aggregate/zip_with HOF — bit-identical fp order to the Column-API
+    fold it replaced and the same interpreted evaluation — but parsing
+    one string replaces ~60 py4j round-trips per table (measured ~2 s
+    of driver plan-build across 8 tables). NOTE: an unrolled 64-term
+    constant dot was tried and REVERTED — 8 tables × 4 planes × 64
+    terms in one Generate projection overflows janino's method limit,
+    and the whole-stage fallback ran ~30× slower interpreted."""
+    terms = []
     for i, plane in enumerate(planes):
-        bit = (_dot(F.col(vec_col), _const_array(plane)) > 0).cast("bigint")
-        sig = sig + bit * F.lit(1 << i).cast("bigint")
-    return sig
+        arr = "array(" + ", ".join(f"{float(v)!r}D" for v in plane) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), "
+            f"0D, (acc, v) -> acc + v)"
+        )
+        terms.append(
+            f"(CASE WHEN ({dot}) > 0D THEN CAST({1 << i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def cosine_topk_srp_multi(
