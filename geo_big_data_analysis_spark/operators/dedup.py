@@ -314,6 +314,52 @@ def jaccard_from_shingle_rows(sh_rows: DataFrame, pairs: DataFrame) -> DataFrame
     return out.select("doc_a", "doc_b", "jaccard")
 
 
+def ngram_jaccard_capped_df(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_df: int = 64,
+) -> DataFrame:
+    """DF-capped inverted-index Jaccard — the documented scale knob of
+    :func:`ngram_jaccard_all_pairs` made concrete (PPJoin-flavored):
+    shingles appearing in more than ``max_df`` documents are dropped
+    from CANDIDATE GENERATION only — a df-k shingle contributes
+    k·(k−1)/2 pair rows, so the hottest shingles dominate the join
+    quadratically while carrying the least signal. Surviving candidate
+    pairs are then verified with the EXACT Jaccard over the full
+    (uncapped) shingle sets (:func:`jaccard_from_shingle_rows`), so
+    reported similarities are never approximated — only recall is: a
+    pair sharing exclusively >max_df shingles (template-clone corpora)
+    is missed, which is precisely when MinHash-LSH is the right path.
+    With ``max_df >= n_docs`` this is equivalent to the exact operator
+    (pinned in pytest).
+    """
+    sh = shingle_hash_rows(df, text_col, id_col, shingle_n).distinct()
+    sh = sh.localCheckpoint()
+    from pyspark.sql import Window
+
+    rare = sh.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).filter(F.col("_df") <= max_df)
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return jaccard_from_shingle_rows(sh, cand).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def ngram_jaccard_all_pairs(
     df: DataFrame,
     text_col: str,

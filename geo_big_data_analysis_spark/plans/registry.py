@@ -3719,6 +3719,46 @@ GROUP BY 1, 2
 """
 
 
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF-capped inverted-index Jaccard (max_df=8): candidates only
+    from shingles in ≤8 docs (kills the quadratic hot-shingle join
+    rows), exact verify on full shingle sets. Oracle replays the cap in
+    SQL: unnest shingles → df census → candidate pairs from rare
+    shingles → exact list_intersect Jaccard on candidates."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.ngram_jaccard_capped_df(
+        docs, "text", "doc_id", threshold=0.5, max_df=8
+    )
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_SQL_NGRAM_CAPPED = f"""
+WITH docs AS (SELECT doc_id, {_CLEAN_SQL} AS ct FROM documents),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(ct, ' ') AS toks FROM docs)
+),
+flat AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+rare AS (
+  SELECT doc_id, s FROM flat
+  QUALIFY count(*) OVER (PARTITION BY s) <= 8
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
 def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18-shaped HAVING-threshold join (the group-filter relational
     shape: aggregate → threshold → join back to dims). Spark-first
@@ -3969,6 +4009,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "shipping_priority": (q_shipping_priority, _SQL_SHIPPING_PRIORITY),
     "asof_last_purchase": (q_asof_last_purchase, _SQL_ASOF),
     "rollup_revenue": (q_rollup_revenue, _SQL_ROLLUP_REVENUE),
+    "ngram_jaccard_capped": (q_ngram_jaccard_capped, _SQL_NGRAM_CAPPED),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),

@@ -448,3 +448,35 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         assert (g["asof_ts"] == w["asof_ts"]) or (
             pd.isna(g["asof_ts"]) and pd.isna(w["asof_ts"])
         ), eid
+
+
+def test_ngram_jaccard_capped_df_equivalence_and_subset(spark, sf_dir):
+    """max_df >= n_docs reproduces the exact operator; a tight cap
+    yields a subset with identical jaccard values on surviving pairs."""
+    from geo_big_data_analysis_spark.operators.dedup import (
+        ngram_jaccard_all_pairs,
+        ngram_jaccard_capped_df,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_all_pairs(docs, "text", "doc_id", 0.5).collect()
+    }
+    n = docs.count()
+    full = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_capped_df(
+            docs, "text", "doc_id", 0.5, max_df=n
+        ).collect()
+    }
+    assert full == exact and len(exact) > 0
+    capped = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 9)
+        for r in ngram_jaccard_capped_df(
+            docs, "text", "doc_id", 0.5, max_df=2
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert v == exact[k]
