@@ -3759,6 +3759,43 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= 0
 """
 
 
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the DAILY answer
+    is computed FROM the hourly pre-aggregate, not from raw events —
+    the decomposable-aggregate algebra (count=Σcount, sum=Σsum,
+    max=max(max), avg=Σsum/Σcount) that lets a 100 TB store answer
+    coarse windows from materialized fine windows it already keeps.
+    The oracle aggregates raw events straight to days — equality IS
+    the correctness of the recombination. Sums round 2dp (fp
+    reassociation differs between one-level and two-level grouping);
+    avg derives from the rounded sum so its 6dp rounding can't sit on
+    a reassociation-shifted boundary (bit it once at sf0.001)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sv"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "h").alias("day"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sv"), 2).alias("sum_value"),
+            F.max("mx").alias("max_value"),
+            F.round(F.round(F.sum("sv"), 2) / F.sum("n"), 6).alias("avg_value"),
+        )
+        .orderBy("day")
+    )
+
+
+_SQL_HYPERTABLE = """
+SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS sum_value, max(value) AS max_value,
+       round(round(sum(value), 2) / count(*), 6) AS avg_value
+FROM events GROUP BY 1 ORDER BY day
+"""
+
+
 def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18-shaped HAVING-threshold join (the group-filter relational
     shape: aggregate → threshold → join back to dims). Spark-first
@@ -4010,6 +4047,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "asof_last_purchase": (q_asof_last_purchase, _SQL_ASOF),
     "rollup_revenue": (q_rollup_revenue, _SQL_ROLLUP_REVENUE),
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, _SQL_NGRAM_CAPPED),
+    "hypertable_rollup": (q_hypertable_rollup, _SQL_HYPERTABLE),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),
