@@ -67,6 +67,8 @@ HEADLINE = [
     "shipping_priority",
     "large_order_customers",
     "asof_last_purchase",
+    "knn_embeddings_pandas",
+    "hypertable_rollup",
 ]
 
 

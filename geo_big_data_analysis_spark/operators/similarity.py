@@ -110,6 +110,66 @@ def cosine_topk_bruteforce(
     return _topk(pairs.withColumn("cosine", _cosine_col("_qv", "_bv", dim)), k)
 
 
+def cosine_topk_pandas(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    q_id: str = "vec_id",
+    b_id: str = "vec_id",
+    q_vec: str = "embedding",
+    b_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k, Arrow/numpy path: the vectorized-Pandas-UDF
+    alternative to the codegen'd unrolled cosine
+    (:func:`cosine_topk_bruteforce`). The (small) query matrix is
+    row-normalized on the driver and broadcast; each base Arrow batch
+    is one ``numpy`` matmul (batch×dim @ dim×q) followed by a
+    per-column argpartition for the batch-local top-k, so only
+    queries×k candidate rows per batch reach the global top-k window —
+    the partial-top-k-then-merge shape that scales with base rows, not
+    pairs. Same tie rule (cosine desc, neighbor id asc) as the JVM
+    path; fp sums differ in association order, so cosines agree to
+    ~1e-12 relative, not bitwise (pytest pins set-parity)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(q_id, q_vec).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = base.sparkSession.sparkContext.broadcast((qids, Qn))
+
+    def gen(batches):
+        bqids, bQn = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            B = np.stack(pdf["_bv"].to_numpy())
+            ids = pdf["_bid"].to_numpy()
+            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+            S = Bn @ bQn.T  # batch × queries
+            kk = min(k + 1, len(ids))  # +1 absorbs a possible self-hit
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(bqids):
+                col = S[:, j]
+                top = np.argpartition(-col, kk - 1)[:kk]
+                for t in top:
+                    if exclude_self and ids[t] == qid:
+                        continue
+                    out_q.append(qid)
+                    out_n.append(ids[t])
+                    out_c.append(col[t])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    cand = base.select(
+        F.col(b_id).alias("_bid"), F.col(b_vec).alias("_bv")
+    ).mapInPandas(gen, "query_id bigint, neighbor_id bigint, cosine double")
+    return _topk(cand, k)
+
+
 def srp_signature(
     df: DataFrame, vec_col: str, planes: list[list[float]], out: str = "srp_sig"
 ) -> DataFrame:

