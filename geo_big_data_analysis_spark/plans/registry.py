@@ -3777,6 +3777,25 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= 0
 """
 
 
+def q_salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew fallback on the oracle surface: two-phase salted
+    aggregation (partial agg on (key, salt) → final agg on key) over
+    event_type — 5 distinct keys on a 32-way cluster is exactly the
+    low-cardinality-hot-key shape AQE can't rebalance (one reducer per
+    key at best). Semantics-preserving by construction; the oracle is
+    the plain GROUP BY."""
+    from ..operators.scale import salted_agg_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg_count(ev, "event_type", n_salts=16).orderBy("event_type")
+
+
+_SQL_SALTED = """
+SELECT event_type, count(*)::BIGINT AS count
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous-aggregate rollup: the DAILY answer
     is computed FROM the hourly pre-aggregate, not from raw events —
@@ -4067,6 +4086,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rollup_revenue": (q_rollup_revenue, _SQL_ROLLUP_REVENUE),
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, _SQL_NGRAM_CAPPED),
     "hypertable_rollup": (q_hypertable_rollup, _SQL_HYPERTABLE),
+    "salted_event_type_counts": (q_salted_event_type_counts, _SQL_SALTED),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),
