@@ -140,3 +140,42 @@ def test_interval_join_matches_batch(spark, sf_dir):
     )
     exp = sorted((r["cu"], r["cts"], r["pts"], r["value"]) for r in want.collect())
     assert got == exp and len(got) > 0
+
+
+def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch dynamic-partition-overwrite sink: the maintained
+    parquet table equals the batch aggregation, and replaying the whole
+    stream (fresh checkpoint, same input) leaves the table unchanged —
+    the exactly-once-by-idempotence contract."""
+    from geo_big_data_analysis_spark.streaming.sinks import (
+        hourly_counts_upsert_stream,
+        read_hourly_table,
+    )
+
+    out = str(tmp_path / "hourly")
+
+    def run(tag):
+        q = hourly_counts_upsert_stream(
+            stream_events(spark, sf_dir), out, str(tmp_path / f"ck_{tag}")
+        )
+        q.awaitTermination()
+        return {
+            r["hour_start"]: (r["n"], round(r["sum_value"], 6))
+            for r in read_hourly_table(spark, out).collect()
+        }
+
+    first = run("a")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(batch.dtypes)["ts"] == "bigint":
+        batch = batch.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dict(batch.dtypes)["ts"] == "timestamp_ntz":
+        batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        r["h"]: (r["n"], round(r["sv"], 6))
+        for r in batch.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert first == want
+    second = run("b")
+    assert second == first
