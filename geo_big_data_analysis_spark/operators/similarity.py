@@ -306,22 +306,37 @@ def label_centroids(df: DataFrame, vec_col: str, label_col: str) -> list[tuple[i
     ]
 
 
-def _cell_scores(vec: Column, centers: list[tuple[int, list[float]]]) -> Column:
+def _norm_sql(vec_col: str) -> str:
+    """Same fp order as :func:`_norm` (left-assoc fold with the
+    defensive double cast), as a parsable string."""
+    return (
+        f"sqrt(aggregate({vec_col}, 0D, "
+        f"(acc, v) -> acc + CAST(v AS DOUBLE) * v))"
+    )
+
+
+def _cell_scores_sql(
+    vec_col: str, norm_col: str, centers: list[tuple[int, list[float]]]
+) -> str:
     """array<struct<neg_cos, cell>> — sortable cell ranking by cosine
-    desc, cell asc. Centers are constant arrays (broadcast in the
-    plan); the row-norm subtree is shared by reference across the k
-    structs, so codegen evaluates it once."""
-    n = _norm(vec)
-    scored = []
+    desc, cell asc — as ONE parsed expression (the per-center
+    Column-API/HOF loop cost ~1 s of py4j plan-build for ~10 centers;
+    same fp order, so cell assignment is bit-identical). The row norm
+    is referenced as a pre-projected column so interpreted HOF eval
+    computes it once per row, not once per center."""
+    structs = []
     for cell, c in centers:
         cnorm = sum(v * v for v in c) ** 0.5
-        scored.append(
-            F.struct(
-                (-(_dot(vec, _const_array(c)) / (n * F.lit(cnorm)))).alias("neg_cos"),
-                F.lit(int(cell)).alias("cell"),
-            )
+        arr = "array(" + ", ".join(f"{float(v)!r}D" for v in c) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y), "
+            f"0D, (acc, v) -> acc + v)"
         )
-    return F.array(*scored)
+        structs.append(
+            f"named_struct('neg_cos', -({dot} / ({norm_col} * {float(cnorm)!r}D)), "
+            f"'cell', {int(cell)})"
+        )
+    return "array(" + ", ".join(structs) + ")"
 
 
 def cosine_topk_ivf(
@@ -347,22 +362,34 @@ def cosine_topk_ivf(
     exact answer. At 100 TB: repartition the base by cell (co-located
     probe join), broadcast the (tiny) query-probe side."""
     dim = len(centers[0][1])
-    bs = base.select(
-        F.col(b_id).alias("neighbor_id"), F.col(b_vec).alias("_bv")
-    ).withColumn(
-        "cell",
-        F.element_at(F.array_sort(_cell_scores(F.col("_bv"), centers)), 1)["cell"],
+    bs = (
+        base.select(F.col(b_id).alias("neighbor_id"), F.col(b_vec).alias("_bv"))
+        .withColumn("_n", F.expr(_norm_sql("_bv")))
+        .withColumn(
+            "cell",
+            F.element_at(
+                F.array_sort(F.expr(_cell_scores_sql("_bv", "_n", centers))), 1
+            )["cell"],
+        )
+        .drop("_n")
     )
-    qs = queries.select(
-        F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv")
-    ).withColumn(
-        "cell",
-        F.explode(
-            F.transform(
-                F.slice(F.array_sort(_cell_scores(F.col("_qv"), centers)), 1, nprobe),
-                lambda s: s["cell"],
-            )
-        ),
+    qs = (
+        queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
+        .withColumn("_n", F.expr(_norm_sql("_qv")))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(F.expr(_cell_scores_sql("_qv", "_n", centers))),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s["cell"],
+                )
+            ),
+        )
+        .drop("_n")
     )
     pairs = qs.join(bs, "cell", "inner").filter(
         F.col("query_id") != F.col("neighbor_id")
