@@ -126,3 +126,29 @@ def test_resize_image_nearest_neighbor_values(spark):
     ys = (np.arange(4) * h // 4).astype(int)
     xs = (np.arange(8) * w // 8).astype(int)
     assert bytes(got["payload"]) == grid[np.ix_(ys, xs)].tobytes()
+
+
+def test_byte_histogram_properties():
+    """Property-based: any payload yields a 16-bin histogram that is
+    L1-normalized (nonempty) or all-zero (empty), with bin counts
+    matching a naive per-byte loop."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=512))
+    def check(payload):
+        raw = np.frombuffer(payload, dtype=np.uint8)
+        h = byte_histogram(raw)
+        assert len(h) == FEATURE_DIM
+        if len(payload) == 0:
+            assert h.sum() == 0
+            return
+        assert abs(h.sum() - 1.0) < 1e-12
+        naive = [0] * FEATURE_DIM
+        for b in payload:
+            naive[min(b // 16, FEATURE_DIM - 1)] += 1
+        for i in range(FEATURE_DIM):
+            assert abs(h[i] - naive[i] / len(payload)) < 1e-12
+
+    check()
