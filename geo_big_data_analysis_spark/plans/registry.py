@@ -3777,6 +3777,74 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM scored WHERE jaccard >= 0
 """
 
 
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 collapse (gaps-and-islands): each user's event_type stream
+    becomes versioned validity ranges — consecutive equal states merge,
+    a version closes when the next different state begins. One hash
+    exchange on user_id; closed-history merge path tested in pytest
+    (`operators/scd.scd2_merge`). effective_to coalesces to a 2100
+    sentinel (comparator nulls); is_current as int."""
+    from ..operators.scd import scd2_collapse
+
+    ev = _t(spark, sf_dir, "events")
+    out = scd2_collapse(ev, "user_id", "event_type", "ts")
+    hi = F.lit("2100-01-01 00:00:00").cast("timestamp")
+    return out.select(
+        "user_id",
+        "event_type",
+        "effective_from",
+        F.coalesce("effective_to", hi).alias("effective_to"),
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+_SQL_SCD2 = """
+WITH m AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), p AS (SELECT user_id, event_type, ts FROM m WHERE chg = 1)
+SELECT user_id, event_type, ts AS effective_from,
+       coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                TIMESTAMP '2100-01-01 00:00:00') AS effective_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)::INT AS is_current
+FROM p
+"""
+
+
+def q_unpivot_pricing_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of A2's pivot): per-returnflag totals
+    of three measures rotate into (flag, measure, value) long form via
+    ``stack`` — the Expand-based Spark unpivot, one scan. Long form is
+    what metric stores and chart layers consume."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price, "
+        "'sum_disc', sum_disc) AS (measure, value)",
+    ).orderBy("l_returnflag", "measure")
+
+
+_SQL_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(sum(l_discount), 2) AS sum_disc
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, measure, value
+FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+ORDER BY l_returnflag, measure
+"""
+
+
 def q_salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew fallback on the oracle surface: two-phase salted
     aggregation (partial agg on (key, salt) → final agg on key) over
@@ -4087,6 +4155,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_jaccard_capped": (q_ngram_jaccard_capped, _SQL_NGRAM_CAPPED),
     "hypertable_rollup": (q_hypertable_rollup, _SQL_HYPERTABLE),
     "salted_event_type_counts": (q_salted_event_type_counts, _SQL_SALTED),
+    "unpivot_pricing_measures": (q_unpivot_pricing_measures, _SQL_UNPIVOT),
+    "scd2_user_state": (q_scd2_user_state, _SQL_SCD2),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),

@@ -92,3 +92,70 @@ def test_empty_input(spark):
     empty = spark.createDataFrame([], "row_id bigint, v bigint")
     assert tp.global_row_number(empty, [F.col("row_id").asc()]).count() == 0
     assert tp.global_cumsum(empty, [F.col("row_id").asc()], "v").count() == 0
+
+
+def test_scd2_collapse_runs(spark):
+    """Consecutive equal states merge into one validity range; ranges
+    chain (effective_to = next effective_from) and only the last
+    version per key is open."""
+    from datetime import datetime
+
+    from geo_big_data_analysis_spark.operators.scd import scd2_collapse
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)  # noqa: E731
+    obs = spark.createDataFrame(
+        [(1, "a", t(0)), (1, "a", t(5)), (1, "b", t(10)), (1, "a", t(15)),
+         (2, "x", t(3))],
+        "k long, state string, ts timestamp",
+    )
+    rows = sorted(
+        scd2_collapse(obs, "k", "state", "ts").collect(),
+        key=lambda r: (r["k"], r["effective_from"]),
+    )
+    got = [
+        (r["k"], r["state"], r["effective_from"], r["effective_to"], r["is_current"])
+        for r in rows
+    ]
+    assert got == [
+        (1, "a", t(0), t(10), False),
+        (1, "b", t(10), t(15), False),
+        (1, "a", t(15), None, True),
+        (2, "x", t(3), None, True),
+    ]
+
+
+def test_scd2_merge_idempotent_and_incremental(spark):
+    """Merging updates closes changed open versions and appends new
+    ones; closed history is untouched; re-merging the same batch is a
+    no-op (idempotence — the replay-safety contract of the MERGE
+    emulation)."""
+    from datetime import datetime
+
+    from geo_big_data_analysis_spark.operators.scd import scd2_collapse, scd2_merge
+
+    t = lambda m: datetime(2026, 1, 1, 0, m)  # noqa: E731
+    base = spark.createDataFrame(
+        [(1, "a", t(0)), (1, "b", t(10)), (2, "x", t(3))],
+        "k long, state string, ts timestamp",
+    )
+    current = scd2_collapse(base, "k", "state", "ts")
+    updates = spark.createDataFrame(
+        [(1, "c", t(20)), (2, "x", t(30)), (3, "q", t(7))],
+        "k long, state string, ts timestamp",
+    )
+
+    def snap(df):
+        return sorted(
+            (r["k"], r["state"], r["effective_from"], r["effective_to"], r["is_current"])
+            for r in df.collect()
+        )
+
+    once = scd2_merge(current, updates, "k", "state", "ts")
+    got = snap(once)
+    assert (1, "b", t(10), t(20), False) in got      # open row closed
+    assert (1, "c", t(20), None, True) in got        # new version opened
+    assert (2, "x", t(3), None, True) in got         # unchanged state: no new version
+    assert (3, "q", t(7), None, True) in got         # brand-new key
+    assert (1, "a", t(0), t(10), False) in got       # closed history untouched
+    twice = scd2_merge(once, updates, "k", "state", "ts")
+    assert snap(twice) == got
