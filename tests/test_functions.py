@@ -145,3 +145,16 @@ def test_equirect_consistent_with_haversine(spark):
         geo.haversine_km("lat1", "lon1", "lat2", "lon2").alias("hav"),
     ).first()
     assert abs(r.planar - r.hav) / r.hav < 0.01
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    """The HLL++ approximate distinct (the 100 TB path for A-style
+    distinct counts) lands within its configured rsd of the exact
+    count on every fixture column we'd use it on."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for col in ["user_id", "event_type", "event_id"]:
+        exact = ev.select(col).distinct().count()
+        approx = ev.agg(F.approx_count_distinct(col, rsd=0.02)).collect()[0][0]
+        assert abs(approx - exact) <= max(3, 0.06 * exact), (col, exact, approx)
