@@ -3813,6 +3813,62 @@ FROM p
 """
 
 
+def q_trailing_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (the interval frame no other query uses):
+    7-day trailing revenue sum/avg over daily order totals, frame keyed
+    on days-since-epoch so RANGE -6..0 means calendar days, not rows
+    (gaps in the date axis are handled correctly — a ROWS frame would
+    be wrong on missing days). The window is unpartitioned but runs on
+    the DAILY pre-aggregate — cardinality is time-span-bounded
+    (~2.4k rows for 7 fixture years), the same documented exception
+    class as lab-1's anomalous-hour ordering. The window sums the
+    ALREADY-2dp-rounded daily values — identical on both engines — so
+    sliding-frame reassociation can't shift a rounding boundary (it
+    did, once, over raw doubles). The per-order avg ships UNROUNDED:
+    its inputs are bit-identical on both engines, so the IEEE quotient
+    is too — while rounding it would re-introduce exact-tie
+    HALF_UP-vs-HALF_EVEN flips (cents/integer is rational and lands
+    on .5 systematically, seen at 1998-02-22)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev"), F.count(F.lit(1)).alias("n")
+    )
+    daynum = (F.unix_timestamp("day") / F.lit(86400)).cast("long")
+    w = (
+        Window.orderBy(daynum.cast("long"))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.withColumn("t_sum", F.round(F.sum("rev").over(w), 2))
+        .withColumn("t_n", F.sum("n").over(w))
+        .select(
+            "day",
+            "rev",
+            "t_sum",
+            (F.col("t_sum") / F.col("t_n")).alias("t_avg_per_order"),
+        )
+        .orderBy("day")
+    )
+
+
+_SQL_TRAILING = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         round(sum(o_totalprice), 2) AS rev, count(*) AS n
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT day, rev,
+         round(sum(rev) OVER w, 2) AS t_sum,
+         sum(n) OVER w AS t_n
+  FROM daily
+  WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+)
+SELECT day, rev, t_sum,
+       t_sum / t_n AS t_avg_per_order
+FROM t ORDER BY day
+"""
+
+
 def q_unpivot_pricing_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (the inverse of A2's pivot): per-returnflag totals
     of three measures rotate into (flag, measure, value) long form via
@@ -4157,6 +4213,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "salted_event_type_counts": (q_salted_event_type_counts, _SQL_SALTED),
     "unpivot_pricing_measures": (q_unpivot_pricing_measures, _SQL_UNPIVOT),
     "scd2_user_state": (q_scd2_user_state, _SQL_SCD2),
+    "trailing_7day_revenue": (q_trailing_7day_revenue, _SQL_TRAILING),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),

@@ -47,6 +47,7 @@ ALLOWLIST_NLJ = {
 ALLOWLIST_GLOBAL_WINDOW = {
     "sentiment_source_ranks": "sorts per-source aggregates (#sources rows)",
     "lab1_noise_pipeline": "keyless sessionization over anomalous hourly buckets (time-span-bounded)",
+    "trailing_7day_revenue": "RANGE frame over the daily pre-aggregate (time-span-bounded, ~2.4k rows/7y)",
 }
 
 
