@@ -69,6 +69,13 @@ HEADLINE = [
     "asof_last_purchase",
     "knn_embeddings_pandas",
     "hypertable_rollup",
+    "custdist_orders",
+    "small_quantity_revenue",
+    "exists_priority_orders",
+    "latest_event_per_user",
+    "pagerank_mod",
+    "stratified_sample_docs",
+    "pack_sequences_docs",
 ]
 
 

@@ -359,3 +359,94 @@ def points_in_hull(points: DataFrame, hull: list[tuple[float, float]], x: str = 
         )
         pred = pred & (cross >= 0)
     return points.filter(pred)
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts (undirected).
+
+    Beyond the reference's degree/density analytics (lab3a nb cell 20) —
+    the standard clustering building block. Canonicalize each edge to
+    (u < v) and dedup, then count wedges u<v<w closed by an (u,w) edge:
+    two hash joins on node ids, no per-node adjacency materialization.
+    Each triangle is emitted once and credited to all three corners.
+
+    Scale: both joins are integer equi-joins; the first join's fan-out
+    is Σ deg²(v) (wedge count), the known cost of exact triangle
+    counting. At skewed degree distributions, AQE skew-split applies;
+    the canonical u<v orientation already halves wedge work by routing
+    each wedge through its middle vertex only once per direction.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    closing = e.select(F.col("u").alias("a2"), F.col("v").alias("c2"))
+    tri = wedges.join(
+        closing, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2"))
+    ).select("a", "b", "c")
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionByName(tri.select(F.col("b").alias("id")))
+        .unionByName(tri.select(F.col("c").alias("id")))
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("tri_count"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 6,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank as an iterative DataFrame program.
+
+    Power iteration: rank(v) = (1-d)/N + d·Σ_{u→v} rank(u)/outdeg(u).
+    Requires every node to have ≥1 out-edge (no dangling-mass term —
+    callers with dangling nodes should add self-loops first); nodes with
+    no in-edges keep the (1-d)/N floor.
+
+    Scale: the edge list is joined ``iterations`` times on src — at
+    cluster scale pre-partition edges by src once so every round's join
+    is co-located and only the O(N) rank table reshuffles. Each round is
+    one join + one hash agg; ranks are localCheckpointed per round to
+    cut the exponential lineage replay.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges annotated with the sender's out-degree, reused every round
+    e_deg = e.join(outdeg, "src").localCheckpoint()
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(ranks, e_deg["src"] == ranks["id"])
+            .select(F.col("dst"), (F.col("pr") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -4131,6 +4131,380 @@ ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purcha
 """
 
 
+def q_custdist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped order-count distribution: customer LEFT OUTER JOIN a
+    filtered orders side, count per customer (including zero-order
+    customers — the J4 anti-join semantics folded into one outer join),
+    then the distribution of those counts. Two aggregation levels over
+    one shuffle each; the second agg's key (c_count) is tiny.
+    """
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_SQL_CUSTDIST = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped correlated scalar subquery, decorrelated: revenue from
+    Brand#1 line items whose quantity is below 20% of that part's average
+    quantity. The correlated ``(SELECT 0.2*avg(..) WHERE same part)`` is
+    expressed as a per-part aggregate joined back — exactly Catalyst's
+    own decorrelation. The brand key-set is small → broadcast semi-join
+    prunes lineitem before the per-part agg (filter first, agg second:
+    the agg only runs over the pruned 1/25th of rows).
+
+    Float note: l_quantity is integral so per-part avg = exact-sum /
+    count is bit-identical on both engines; the strict ``<`` threshold
+    compare is therefore exact, no boundary tolerance needed.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    li_b = li.join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi"
+    )
+    thr = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        li_b.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_SQL_SMALL_QTY = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+
+def q_exists_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped EXISTS: count orders per priority having at least one
+    returned line item shipped after the order date. The correlated
+    EXISTS is a left-semi join with an equi key plus a non-equi residual
+    (l_shipdate > o_orderdate) — hashed on the key, residual evaluated
+    post-probe; semi-join short-circuits on first match so fan-out on
+    multi-line orders never materializes.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_shipdate")
+    matched = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_EXISTS_PRIORITY = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_returnflag = 'R'
+    AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key dedup (the mutable-table "current state" read,
+    complementing SCD2's full history): one ``max_by`` over a struct
+    ordering key (ts, event_id — unique, so ties are impossible).
+
+    Scale: a single hash aggregate with map-side partial aggregation —
+    strictly cheaper than the window row_number()+filter form, which
+    must shuffle and sort EVERY row; the agg carries one struct per key
+    per partition. The oracle uses the window form, proving equivalence.
+    """
+    ev = _t(spark, sf_dir, "events")
+    last = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("ts", "event_id", "event_type", "value"),
+            F.struct("ts", "event_id"),
+        ).alias("last")
+    )
+    return last.select(
+        "user_id",
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.event_type").alias("last_event_type"),
+        F.col("last.value").alias("last_value"),
+    )
+
+
+_SQL_LATEST_EVENT = """
+SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+       event_type AS last_event_type, value AS last_value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+# Deterministic modular graph for triangle/PageRank queries: 300 nodes,
+# three out-edges per node by fixed congruences (self-loops dropped).
+# Unlike the 20×20 lattice (which is triangle-free and rank-uniform),
+# this graph has triangles and a skewed in-degree distribution.
+_MOD_N = 300
+
+_SQL_MOD_GRAPH = """
+ids AS (SELECT range::BIGINT AS i FROM range(300)),
+raw AS (
+  SELECT i AS src, (2*i+1) % 300 AS dst FROM ids
+  UNION ALL SELECT i, (3*i+7) % 300 FROM ids
+  UNION ALL SELECT i, (i*i+3) % 300 FROM ids
+),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst)
+"""
+
+
+def _mod_graph_edges(spark: SparkSession) -> DataFrame:
+    n = _MOD_N
+    ids = spark.range(n).select(F.col("id").cast("bigint").alias("i"))
+    rules = [
+        ((F.lit(2) * F.col("i") + 1) % n),
+        ((F.lit(3) * F.col("i") + 7) % n),
+        ((F.col("i") * F.col("i") + 3) % n),
+    ]
+    raw = None
+    for r in rules:
+        part = ids.select(F.col("i").alias("src"), r.alias("dst"))
+        raw = part if raw is None else raw.unionByName(part)
+    return raw.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def q_triangle_counts_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph triangle counting (extension beyond lab-3's degree/density
+    analytics; `graph/algorithms.triangle_counts`): per-node triangle
+    participation over the deterministic modular graph. The oracle
+    replays edge canonicalization and the wedge-close 3-way join in SQL.
+    """
+    from ..graph.algorithms import triangle_counts
+
+    return triangle_counts(_mod_graph_edges(spark)).orderBy("id")
+
+
+_SQL_TRIANGLES = f"""
+WITH {_SQL_MOD_GRAPH},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT id, count(*)::BIGINT AS tri_count FROM corners GROUP BY id ORDER BY id
+"""
+
+
+def q_pagerank_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (6 rounds, d=0.85) over the modular
+    graph — the iterative-DataFrame-program pattern shared with SSSP and
+    Lloyd's KMeans (`graph/algorithms.pagerank`). Every node has an
+    out-edge by construction (no dangling mass). The oracle unrolls all
+    six power iterations as chained CTEs, so the rank values themselves
+    are checked, not just the shape. Rounded to 8dp (sums of ≤~20 terms
+    of ~3e-3: reassociation error ≪ 1e-8 unit).
+    """
+    from ..graph.algorithms import pagerank
+
+    ranks = pagerank(_mod_graph_edges(spark), iterations=6, damping=0.85)
+    return ranks.select("id", F.round("pr", 8).alias("pr")).orderBy("id")
+
+
+def _sql_pagerank() -> str:
+    prev = "r0"
+    its = []
+    for k in range(1, 7):
+        its.append(
+            f"""r{k} AS (
+  SELECT n.id, (1.0 - 0.85)/300 + 0.85 * coalesce(s.x, 0.0) AS pr
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst, sum(r.pr / d.outdeg) AS x
+    FROM e JOIN {prev} r ON r.id = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.dst = n.id
+)"""
+        )
+        prev = f"r{k}"
+    chain = ",\n".join(its)
+    return f"""
+WITH {_SQL_MOD_GRAPH},
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT id, 1.0/300 AS pr FROM nodes),
+{chain}
+SELECT id, round(pr, 8) AS pr FROM r6 ORDER BY id
+"""
+
+
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling for corpus mixing (the
+    training-data twin of F14's seeded `sample`): each source gets its
+    own keep-rate (derived from the source id), membership decided by a
+    Knuth multiplicative hash of doc_id — reproducible across engines,
+    partitionings, and reruns, unlike RNG-based sampleBy. Audit output
+    per source: total/kept counts, achieved fraction, kept-doc size.
+
+    Scale: the sample predicate is a pure column expression evaluated
+    in the scan stage (no shuffle, no RNG state); downstream sees only
+    kept rows.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 8).cast("int")
+    rate = (src_num * 50) % 900 + 50  # per-mille, deterministic per source
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)
+    kept = (h % 1000) < rate
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.round(
+                F.sum(kept.cast("bigint")) / F.count(F.lit(1)), 6
+            ).alias("kept_frac"),
+            F.coalesce(
+                F.round(F.avg(F.when(kept, F.col("n_chars"))), 6), F.lit(-1.0)
+            ).alias("kept_avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_STRATIFIED = """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       round(sum(CASE WHEN kept THEN 1 ELSE 0 END) / count(*), 6) AS kept_frac,
+       coalesce(round(avg(CASE WHEN kept THEN n_chars END), 6), -1.0)
+         AS kept_avg_chars
+FROM (
+  SELECT source, n_chars,
+         ((doc_id * 2654435761) % 1000003) % 1000
+           < (substr(source, 4)::INT * 50) % 900 + 50 AS kept
+  FROM documents
+)
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: per source, docs in
+    doc_id order are packed into fixed token-budget bins (2048) by
+    exclusive-prefix-sum division — the deterministic streaming
+    approximation of greedy first-fit (a doc whose prefix starts in bin
+    k belongs to bin k; bins may overflow by at most one doc rather than
+    splitting documents). Output: per-(source, bin) doc count, token
+    load, and the doc-id span (the contiguous pack manifest).
+
+    Scale: one partitioned window (prefix sum within source) + one hash
+    agg — no global ordering anywhere; sources pack independently and
+    in parallel, which is exactly how a 100 TB corpus shards.
+    """
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", tx.token_count("text")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin", F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(2048))
+    )
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+_SQL_PACK = """
+WITH t AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (
+    PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT source, ((cum - n_tokens) // 2048)::BIGINT AS bin,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS bin_tokens,
+       min(doc_id)::BIGINT AS first_doc,
+       max(doc_id)::BIGINT AS last_doc
+FROM c
+GROUP BY source, bin
+ORDER BY source, bin
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4241,6 +4615,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lab2_taxi_features": (q_lab2_taxi_features, _SQL_LAB2),
     "kde_grid_density": (q_kde_grid_density, _SQL_KDE),
     "status_remap_counts": (q_status_remap_counts, _SQL_REMAP),
+    "custdist_orders": (q_custdist_orders, _SQL_CUSTDIST),
+    "small_quantity_revenue": (q_small_quantity_revenue, _SQL_SMALL_QTY),
+    "exists_priority_orders": (q_exists_priority_orders, _SQL_EXISTS_PRIORITY),
+    "latest_event_per_user": (q_latest_event_per_user, _SQL_LATEST_EVENT),
+    "triangle_counts_mod": (q_triangle_counts_mod, _SQL_TRIANGLES),
+    "pagerank_mod": (q_pagerank_mod, _sql_pagerank()),
+    "stratified_sample_docs": (q_stratified_sample_docs, _SQL_STRATIFIED),
+    "pack_sequences_docs": (q_pack_sequences_docs, _SQL_PACK),
 }
 
 

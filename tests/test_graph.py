@@ -171,3 +171,59 @@ def test_convex_hull_and_membership(spark):
     probe = spark.createDataFrame([(1, 2.0, 2.0), (2, 5.0, 2.0)], ["id", "x", "y"])
     inside = points_in_hull(probe, hull)
     assert [r.id for r in inside.collect()] == [1]
+
+
+def test_triangle_counts_known_graph(spark):
+    from geo_big_data_analysis_spark.graph.algorithms import triangle_counts
+
+    # K4 on {0,1,2,3} plus a pendant edge (4,5): 4 triangles, each K4
+    # node in exactly 3; pendant nodes in none. Edges given in mixed
+    # orientation with a duplicate to exercise canonicalization.
+    edges = [(0, 1), (1, 0), (2, 0), (1, 2), (0, 3), (3, 1), (2, 3), (4, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["tri_count"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_triangle_free(spark):
+    from geo_big_data_analysis_spark.graph.algorithms import triangle_counts
+
+    # bipartite square 0-1-2-3-0 has no triangles
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)], ["src", "dst"])
+    assert triangle_counts(df).count() == 0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from geo_big_data_analysis_spark.graph.algorithms import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 0), (1, 3)]
+    n, d, iters = 4, 0.85, 10
+    A = np.zeros((n, n))
+    for s, t in edges:
+        A[t, s] = 1.0
+    outdeg = A.sum(axis=0)
+    M = A / outdeg
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - d) / n + d * (M @ r)
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {row["id"]: row["pr"] for row in pagerank(df, iterations=iters, damping=d).collect()}
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+
+
+def test_pagerank_sums_to_one(spark):
+    from geo_big_data_analysis_spark.graph.algorithms import pagerank
+
+    # ring 0→1→…→5→0: uniform stationary distribution, mass conserved
+    edges = [(i, (i + 1) % 6) for i in range(6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = pagerank(df, iterations=4).collect()
+    total = sum(r["pr"] for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    for r in rows:
+        assert abs(r["pr"] - 1.0 / 6) < 1e-12
