@@ -76,6 +76,9 @@ HEADLINE = [
     "pagerank_mod",
     "stratified_sample_docs",
     "pack_sequences_docs",
+    "cube_priority_status",
+    "incremental_hourly_merge",
+    "interleave_corpus_docs",
 ]
 
 

@@ -4505,6 +4505,137 @@ ORDER BY source, bin
 """
 
 
+def q_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over orders (priority × status): all four
+    grouping levels — (both), (priority), (status), () — from ONE scan
+    via Catalyst's Expand node, completing the grouping-sets family next
+    to `rollup_revenue`'s hierarchy form. Subtotals labeled 'ALL';
+    grouping_id disambiguates."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.grouping_id().alias("lvl"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            "n_orders",
+            "revenue",
+            "lvl",
+        )
+    )
+
+
+_SQL_CUBE = """
+SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       GROUPING(o_orderpriority, o_orderstatus)::BIGINT AS lvl
+FROM orders
+GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
+def q_incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a new micro-batch's partial
+    hourly aggregates merge into the stored rollup state by
+    decomposable-agg algebra (sum-of-sums, min-of-mins, count-of-counts;
+    avg recomputed from merged sum/count) — the batch twin of the
+    `hypertable_rollup` recombination and the foreachBatch upsert sink.
+    Here the events table is split 80/20 by event_id into "state" and
+    "delta" batches, each partially aggregated, then merged. The oracle
+    aggregates the full table directly in one pass — proving
+    merge(partial(A), partial(B)) ≡ full(A ∪ B), the property that lets
+    a 100 TB rollup absorb an hourly ingest without rescanning history.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(hour.alias("bucket_ts")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    state = partial(ev.filter(F.col("event_id") % 10 < 8))
+    delta = partial(ev.filter(F.col("event_id") % 10 >= 8))
+    return (
+        state.unionByName(delta)
+        .groupBy("bucket_ts")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        .select(
+            "bucket_ts",
+            "n",
+            F.round("s", 2).alias("sum_value"),
+            F.round(F.col("s") / F.col("n"), 6).alias("avg_value"),
+            "mn",
+            "mx",
+        )
+        .orderBy("bucket_ts")
+    )
+
+
+_SQL_INCREMENTAL = """
+SELECT date_trunc('hour', ts) AS bucket_ts,
+       count(*)::BIGINT AS n,
+       round(sum(value), 2) AS sum_value,
+       round(sum(value) / count(*), 6) AS avg_value,
+       min(value) AS mn,
+       max(value) AS mx
+FROM events
+GROUP BY 1
+ORDER BY bucket_ts
+"""
+
+
+def q_interleave_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus interleave (training-data scheduling): each
+    source gets a mixing weight (1–4×, derived from its id); docs are
+    emitted in "virtual time" rank/weight order — a deterministic
+    weighted round-robin, so a 3×-weight source appears 3× as often in
+    any prefix of the schedule. Returns the first 100 schedule slots.
+
+    Scale: per-source rank is a partitioned window (sources shard
+    independently); the global cut is TakeOrdered(100) — top-k merge,
+    never a full global sort.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    src_num = F.substring("source", 4, 8).cast("int")
+    weight = (src_num % 4 + 1).cast("double")
+    return (
+        docs.withColumn("r", F.row_number().over(w))
+        .withColumn("vt", F.round(F.col("r") / weight, 6))
+        .select("source", "doc_id", "vt")
+        .orderBy("vt", "source", "doc_id")
+        .limit(100)
+    )
+
+
+_SQL_INTERLEAVE = """
+SELECT source, doc_id, vt
+FROM (
+  SELECT source, doc_id,
+         round(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               / ((substr(source, 4)::INT % 4 + 1)::DOUBLE), 6) AS vt
+  FROM documents
+)
+ORDER BY vt, source, doc_id
+LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4623,6 +4754,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pagerank_mod": (q_pagerank_mod, _sql_pagerank()),
     "stratified_sample_docs": (q_stratified_sample_docs, _SQL_STRATIFIED),
     "pack_sequences_docs": (q_pack_sequences_docs, _SQL_PACK),
+    "cube_priority_status": (q_cube_priority_status, _SQL_CUBE),
+    "incremental_hourly_merge": (q_incremental_hourly_merge, _SQL_INCREMENTAL),
+    "interleave_corpus_docs": (q_interleave_corpus_docs, _SQL_INTERLEAVE),
 }
 
 

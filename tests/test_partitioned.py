@@ -44,3 +44,75 @@ def test_spatially_sorted_layout_roundtrip(spark, tmp_path):
     got = back.filter(F.col("lon").between(-74.1, -74.0) & F.col("lat").between(40.6, 40.7))
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual(lon" in plan, plan
+
+
+def _rowgroup_envelopes(path):
+    """(lon_min, lon_max, lat_min, lat_max) per Parquet row group."""
+    import glob
+    import pyarrow.parquet as pq
+
+    envs = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            lo = g.column(names["lon"]).statistics
+            la = g.column(names["lat"]).statistics
+            envs.append((lo.min, lo.max, la.min, la.max))
+    return envs
+
+
+def test_zorder_layout_tightens_rowgroup_envelopes(spark, tmp_path):
+    from geo_big_data_analysis_spark.sources.partitioned import write_zordered
+
+    # many small row groups so stats pruning granularity is visible
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+    pts = _points(spark, n=20000)
+    zpath = str(tmp_path / "zorder")
+    upath = str(tmp_path / "unsorted")
+    write_zordered(pts, zpath, "lat", "lon", 40.5, -74.3, 0.05, files=16)
+    pts.repartition(16).write.mode("overwrite").parquet(upath)
+
+    bbox = (-74.12, -74.02, 40.62, 40.72)  # ~1/36 of the extent per axis pair
+
+    def hit_fraction(path):
+        envs = _rowgroup_envelopes(path)
+        hits = [
+            e for e in envs
+            if e[0] <= bbox[1] and e[1] >= bbox[0] and e[2] <= bbox[3] and e[3] >= bbox[2]
+        ]
+        return len(hits) / len(envs)
+
+    zfrac, ufrac = hit_fraction(zpath), hit_fraction(upath)
+    # unsorted row groups all span the full extent (no pruning possible);
+    # z-ordered tiles are compact in both dims so most groups miss the bbox
+    assert ufrac == 1.0, ufrac
+    assert zfrac < 0.5, (zfrac, ufrac)
+
+    # layout changes bytes, never results
+    back = spark.read.parquet(zpath).filter(
+        F.col("lon").between(bbox[0], bbox[1]) & F.col("lat").between(bbox[2], bbox[3])
+    )
+    full = pts.filter(
+        F.col("lon").between(bbox[0], bbox[1]) & F.col("lat").between(bbox[2], bbox[3])
+    )
+    assert back.count() == full.count()
+
+
+def test_zorder_key_locality():
+    # Morton key of neighboring cells differs in low bits only: the key
+    # for (x, y) interleaves bits, so a 2x2 block shares all high bits
+    def spread(v):
+        v &= 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    def z(x, y):
+        return spread(x) | (spread(y) << 1)
+
+    assert {z(0, 0), z(1, 0), z(0, 1), z(1, 1)} == {0, 1, 2, 3}
+    assert {z(2, 2), z(3, 2), z(2, 3), z(3, 3)} == {12, 13, 14, 15}
