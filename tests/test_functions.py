@@ -158,3 +158,69 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
         exact = ev.select(col).distinct().count()
         approx = ev.agg(F.approx_count_distinct(col, rsd=0.02)).collect()[0][0]
         assert abs(approx - exact) <= max(3, 0.06 * exact), (col, exact, approx)
+
+
+def test_to_tz_dst_edges_match_pandas(spark):
+    """SURVEY §7.3: America/New_York DST transitions. `to_tz` renders an
+    instant in NY wall-clock (pandas tz_convert semantics under the
+    engine's UTC session default). Spring-forward 2020-03-08: the 2 AM
+    hour does not exist; fall-back 2020-11-01: 1 AM occurs twice."""
+    import pandas as pd
+
+    from geo_big_data_analysis_spark.functions import temporal
+
+    instants_utc = [
+        "2020-03-08 06:59:00",  # EST, minute before spring-forward
+        "2020-03-08 07:00:00",  # first EDT instant (02:00 EST skipped)
+        "2020-11-01 05:30:00",  # 01:30 EDT (first pass through 1 AM)
+        "2020-11-01 06:30:00",  # 01:30 EST (second pass — ambiguous hour)
+    ]
+    df = spark.createDataFrame([(s,) for s in instants_utc], ["s"]).select(
+        F.to_timestamp("s").alias("utc_ts")
+    )
+    got = [
+        r["ny"].strftime("%Y-%m-%d %H:%M:%S")
+        for r in df.select(temporal.to_tz("utc_ts").alias("ny")).collect()
+    ]
+    want = [
+        pd.Timestamp(s, tz="UTC").tz_convert("America/New_York").strftime("%Y-%m-%d %H:%M:%S")
+        for s in instants_utc
+    ]
+    assert got == want
+    assert got[0] == "2020-03-08 01:59:00" and got[1] == "2020-03-08 03:00:00"
+    assert got[2] == got[3] == "2020-11-01 01:30:00"
+
+
+def test_dayofweek_monday0_across_dst_boundary(spark):
+    """Weekday extraction is wall-clock-stable across the DST jump
+    (both instants above are the same NY Sunday)."""
+    from geo_big_data_analysis_spark.functions import temporal
+
+    df = spark.createDataFrame(
+        [("2020-03-08 06:59:00",), ("2020-03-08 07:00:00",)], ["s"]
+    ).select(temporal.to_tz(F.to_timestamp("s")).alias("ny"))
+    dows = [r["d"] for r in df.select(temporal.dayofweek_monday0("ny").alias("d")).collect()]
+    assert dows == [6, 6]  # pandas Monday=0 → Sunday=6
+
+
+def test_approx_percentile_tolerance(spark, sf_dir):
+    """The mergeable approx_percentile sketch (the 100 TB swap-in for
+    the exact percentiles used by F17/F18/A8/A10 oracles, per their
+    docstrings) lands within accuracy-bound rank error of exact on the
+    fixture value column."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("value")
+    n = ev.count()
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.95]
+    acc = 1000  # rank error <= n / acc per the sketch contract
+    approx = ev.agg(
+        F.percentile_approx("value", qs, F.lit(acc)).alias("p")
+    ).collect()[0]["p"]
+    values = sorted(r["value"] for r in ev.collect())
+    max_rank_err = max(1, (n + acc - 1) // acc)
+    for q, a in zip(qs, approx):
+        target = int(q * (n - 1))
+        lo = values[max(0, target - 2 * max_rank_err)]
+        hi = values[min(n - 1, target + 2 * max_rank_err)]
+        assert lo <= a <= hi, (q, a, lo, hi)
