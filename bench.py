@@ -79,6 +79,8 @@ HEADLINE = [
     "cube_priority_status",
     "incremental_hourly_merge",
     "interleave_corpus_docs",
+    "decontaminate_docs",
+    "shuffled_export_manifest",
 ]
 
 

@@ -4636,6 +4636,130 @@ LIMIT 100
 """
 
 
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data pipeline op): flag
+    training docs sharing ≥3 distinct 3-gram shingles with any held-out
+    benchmark doc (stand-in eval set: doc_id % 50 == 0). The overlap
+    test is the standard n-gram contamination check run before training.
+
+    Scale: the benchmark side is small by construction → its shingle
+    set broadcasts; the train side streams through an integer
+    xxhash64-shingle hash join (same bijectivity argument as the
+    n-gram Jaccard family — tokens can't contain the delimiter), then
+    one (train, bench) group-count enforces the ≥3 threshold so a
+    single shared phrase can't flag a doc. Per-source audit output.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id", "source")
+    is_bench = F.col("doc_id") % 50 == 0
+    sh = dd.shingle_hash_rows(docs, "text", "doc_id", n=3).distinct()
+    bench_sh = sh.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    train_sh = sh.filter(F.col("doc_id") % 50 != 0)
+    flagged = (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .select("doc_id")
+        .distinct()
+        .withColumn("flag", F.lit(1))
+    )
+    return (
+        ids.filter(~is_bench)
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.coalesce("flag", F.lit(0))).alias("n_flagged"),
+            F.round(
+                F.sum(F.coalesce("flag", F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("flagged_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_DECONTAMINATE = f"""
+WITH docs AS (SELECT doc_id, {_CLEAN_SQL} AS ct FROM documents),
+sh AS (
+  SELECT doc_id, unnest(shingles) AS shingle
+  FROM (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles
+    FROM (SELECT doc_id, string_split(ct, ' ') AS toks FROM docs)
+  )
+),
+ov AS (
+  SELECT t.doc_id
+  FROM (SELECT * FROM sh WHERE doc_id % 50 <> 0) t
+  JOIN (SELECT * FROM sh WHERE doc_id % 50 = 0) b ON t.shingle = b.shingle
+  GROUP BY t.doc_id, b.doc_id
+  HAVING count(*) >= 3
+),
+flagged AS (SELECT DISTINCT doc_id FROM ov)
+SELECT d.source,
+       count(*)::BIGINT AS n_train,
+       sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+       round(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6)
+         AS flagged_frac
+FROM (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0) d
+LEFT JOIN flagged f ON f.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+def q_shuffled_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: every doc gets
+    a multiplicative-hash position, shard = hash % 8 — the
+    hash-partitioned shuffle that breaks source ordering before
+    training (reproducible across engines/reruns, unlike RNG shuffles).
+    The per-shard manifest (doc count, distinct sources mixed in,
+    payload bytes, hash range) is what an export job publishes next to
+    the data. Every shard mixes all 20 sources — the mixedness the
+    shuffle exists to produce.
+
+    Scale: shard assignment is a scan-stage column expression; the
+    manifest is one hash agg. The actual file write is
+    ``df.repartition(n_shards, shard).write`` — same key, no extra
+    shuffle beyond the one the export inherently needs.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761) + F.lit(40503)) % F.lit(1000003)
+    return (
+        docs.withColumn("h", h)
+        .withColumn("shard", F.col("h") % 8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("h").alias("h_min"),
+            F.max("h").alias("h_max"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SQL_SHUFFLED_EXPORT = """
+SELECT shard,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       sum(n_chars)::BIGINT AS total_chars,
+       min(h)::BIGINT AS h_min,
+       max(h)::BIGINT AS h_max
+FROM (
+  SELECT source, n_chars,
+         (doc_id * 2654435761 + 40503) % 1000003 AS h,
+         ((doc_id * 2654435761 + 40503) % 1000003) % 8 AS shard
+  FROM documents
+)
+GROUP BY shard
+ORDER BY shard
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4757,6 +4881,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "cube_priority_status": (q_cube_priority_status, _SQL_CUBE),
     "incremental_hourly_merge": (q_incremental_hourly_merge, _SQL_INCREMENTAL),
     "interleave_corpus_docs": (q_interleave_corpus_docs, _SQL_INTERLEAVE),
+    "decontaminate_docs": (q_decontaminate_docs, _SQL_DECONTAMINATE),
+    "shuffled_export_manifest": (q_shuffled_export_manifest, _SQL_SHUFFLED_EXPORT),
 }
 
 
