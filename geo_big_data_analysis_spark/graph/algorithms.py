@@ -407,6 +407,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Fixed-iteration PageRank as an iterative DataFrame program.
 
@@ -418,8 +419,13 @@ def pagerank(
     Scale: the edge list is joined ``iterations`` times on src — at
     cluster scale pre-partition edges by src once so every round's join
     is co-located and only the O(N) rank table reshuffles. Each round is
-    one join + one hash agg; ranks are localCheckpointed per round to
-    cut the exponential lineage replay.
+    one join + one hash agg. Unlike SSSP (whose frontier is consumed
+    twice per round), each rank table is consumed exactly once by the
+    next round, so lineage is linear, not exponential — ranks are
+    localCheckpointed only every ``checkpoint_every`` rounds, purely to
+    bound plan depth / analysis cost; a handful of rounds run as one
+    lazy DAG (measured: per-round eager checkpoints tripled wall time
+    on small graphs — driver round-trips dominate).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
@@ -434,19 +440,17 @@ def pagerank(
     e_deg = e.join(outdeg, "src").localCheckpoint()
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             e_deg.join(ranks, e_deg["src"] == ranks["id"])
             .select(F.col("dst"), (F.col("pr") / F.col("outdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
-        ranks = (
-            nodes.join(contrib, nodes["id"] == contrib["dst"], "left")
-            .select(
-                "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias("pr"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contrib, nodes["id"] == contrib["dst"], "left").select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias("pr"),
         )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks

@@ -4364,7 +4364,13 @@ def q_pagerank_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..graph.algorithms import pagerank
 
-    ranks = pagerank(_mod_graph_edges(spark), iterations=6, damping=0.85)
+    # 6 rounds run as ONE lazy DAG (checkpoint_every > iterations):
+    # measured 1.0-1.4 s vs 3.6 s with per-round localCheckpoints —
+    # rank lineage is linear, so eager materialization only buys
+    # plan-depth bounds, which 6 rounds don't need.
+    ranks = pagerank(
+        _mod_graph_edges(spark), iterations=6, damping=0.85, checkpoint_every=10
+    )
     return ranks.select("id", F.round("pr", 8).alias("pr")).orderBy("id")
 
 
