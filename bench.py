@@ -81,6 +81,7 @@ HEADLINE = [
     "interleave_corpus_docs",
     "decontaminate_docs",
     "shuffled_export_manifest",
+    "top_customers_per_nation",
 ]
 
 

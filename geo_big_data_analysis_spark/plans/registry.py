@@ -4766,6 +4766,44 @@ ORDER BY shard
 """
 
 
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (the canonical partitioned-window shape, distinct
+    from `rank_suppliers`' GLOBAL ranking): top-3 customers by account
+    balance within each nation, ties broken by key.
+
+    Scale: Window.partitionBy shards by nation — no global sort, no
+    single-partition window; Spark pushes a per-partition top-K
+    (WindowGroupLimit) below the full sort when the rn filter is this
+    shape, so only K rows per group survive the shuffle.
+    """
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "rn", "c_custkey", "c_name", "c_acctbal")
+        .orderBy("n_name", "rn")
+    )
+
+
+_SQL_TOP_PER_NATION = """
+SELECT n_name, rn, c_custkey, c_name, c_acctbal
+FROM (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         row_number() OVER (
+           PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+)
+JOIN nation ON c_nationkey = n_nationkey
+WHERE rn <= 3
+ORDER BY n_name, rn
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4889,6 +4927,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "interleave_corpus_docs": (q_interleave_corpus_docs, _SQL_INTERLEAVE),
     "decontaminate_docs": (q_decontaminate_docs, _SQL_DECONTAMINATE),
     "shuffled_export_manifest": (q_shuffled_export_manifest, _SQL_SHUFFLED_EXPORT),
+    "top_customers_per_nation": (q_top_customers_per_nation, _SQL_TOP_PER_NATION),
 }
 
 

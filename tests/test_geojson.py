@@ -77,3 +77,89 @@ def test_feature_structs_distributed(spark):
     s = json.loads(to_feature_structs(df).collect()[0]["feature_json"])
     assert s["geometry"]["coordinates"] == [-73.5, 40.6]
     assert s["properties"] == {"id": 7}
+
+
+def _write_geojson(tmp_path):
+    import json
+
+    fc1 = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "id": 1,
+             "geometry": {"type": "Point", "coordinates": [-74.0, 40.7]},
+             "properties": {"name": "a", "count": 3}},
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [-73.9, 40.8]},
+             "properties": {"name": "b", "tags": ["x", "y"]}},
+            {"type": "Feature",
+             "geometry": {"type": "LineString",
+                          "coordinates": [[-74.0, 40.7], [-73.9, 40.8]]},
+             "properties": {"name": "road"}},
+            {"type": "Feature", "geometry": None, "properties": {"bad": True}},
+            {"not": "a feature"},
+        ],
+    }
+    fc2 = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "id": "f9",
+             "geometry": {"type": "Point", "coordinates": [-73.8, 40.9]},
+             "properties": {"name": "c"}},
+        ],
+    }
+    (tmp_path / "a.geojson").write_text(json.dumps(fc1))
+    (tmp_path / "b.geojson").write_text(json.dumps(fc2))
+    return str(tmp_path)
+
+
+def test_geojson_datasource_reads_directory(spark, tmp_path):
+    from geo_big_data_analysis_spark.sources import geojson_datasource as gds
+
+    path = _write_geojson(tmp_path)
+    gds.register(spark)
+    df = spark.read.format("geojson").load(path)
+    rows = {(r["geom_type"], r["properties"].get("name")): r for r in df.collect()}
+    # malformed features skipped, all geometry types kept
+    assert len(rows) == 4
+    pt = rows[("Point", "a")]
+    assert (pt["lon"], pt["lat"]) == (-74.0, 40.7)
+    assert pt["feature_id"] == "1" and pt["src_file"] == "a.geojson"
+    assert pt["properties"]["count"] == "3"
+    # nested property values survive as JSON strings
+    assert rows[("Point", "b")]["properties"]["tags"] == '["x", "y"]'
+    # non-point keeps coords in coordinates_json, lon/lat null
+    line = rows[("LineString", "road")]
+    assert line["lon"] is None and "[-74.0, 40.7]" in line["coordinates_json"]
+    # one partition per file — files parallelize across executors
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_geojson_datasource_point_parity_with_json_reader(spark, tmp_path):
+    """The datasource's Point view matches the existing
+    spark.read.json-based S6 reader on a points-only collection."""
+    import json
+
+    from geo_big_data_analysis_spark.sources import geojson_datasource as gds
+    from geo_big_data_analysis_spark.sources.geojson import read_geojson_points
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [-74.0 - i / 100, 40.7 + i / 100]},
+             "properties": {"name": f"p{i}"}}
+            for i in range(10)
+        ],
+    }
+    f = tmp_path / "pts.geojson"
+    f.write_text(json.dumps(fc))
+    gds.register(spark)
+    via_ds = {
+        (r["lon"], r["lat"], r["properties"]["name"])
+        for r in spark.read.format("geojson").load(str(f)).collect()
+    }
+    via_json = {
+        (r["lon"], r["lat"], r["name"])
+        for r in read_geojson_points(spark, str(f)).collect()
+    }
+    assert via_ds == via_json
