@@ -179,3 +179,54 @@ def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
     assert first == want
     second = run("b")
     assert second == first
+
+
+def test_eventgen_stream_drains_to_batch_twin(spark):
+    """The custom Python streaming source replays deterministically:
+    draining it and aggregating per hour equals the pure-batch
+    computation of the same generator formula, exactly."""
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from geo_big_data_analysis_spark.streaming import eventgen as eg
+
+    eg.register(spark)
+    max_rows = 600
+    name = f"eventgen_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("eventgen")
+        .option("rows_per_batch", 250)
+        .option("max_rows", max_rows)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= max_rows:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    streamed = spark.table(name)
+    assert streamed.count() == max_rows  # no gaps, no duplicates
+
+    def hourly(df):
+        return (
+            df.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 6).alias("s"),
+                F.countDistinct("user_id").alias("u"),
+            )
+        )
+
+    got = {tuple(r) for r in hourly(streamed).collect()}
+    want = {tuple(r) for r in hourly(eg.eventgen_batch_df(spark, max_rows)).collect()}
+    assert got == want
