@@ -31,7 +31,13 @@ import glob
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 GEOJSON_SCHEMA = (
     "feature_id string, geom_type string, lon double, lat double, "
@@ -81,11 +87,16 @@ class _GeoJSONReader(DataSourceReader):
 
     def _files(self) -> list[str]:
         if os.path.isdir(self.path):
-            pats = [f"{self.path}/*.geojson", f"{self.path}/*.json"]
+            pats = [
+                f"{self.path}/*.geojson",
+                f"{self.path}/*.json",
+                f"{self.path}/*.geojsonl",
+            ]
             out: list[str] = []
             for p in pats:
                 out.extend(glob.glob(p))
-            return sorted(out)
+            # skip metadata files (_MANIFEST.json etc., Hadoop convention)
+            return sorted(f for f in out if not os.path.basename(f).startswith("_"))
         return sorted(glob.glob(self.path)) or [self.path]
 
     def partitions(self):
@@ -93,6 +104,23 @@ class _GeoJSONReader(DataSourceReader):
 
     def read(self, partition):
         src = partition.value
+        base = os.path.basename(src)
+        if src.endswith(".geojsonl"):
+            # newline-delimited Features (GeoJSONSeq) — the at-scale
+            # flavor; malformed LINES skip (S4 permissive convention)
+            with open(src) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        feat = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    row = _feature_row(feat, base)
+                    if row is not None:
+                        yield row
+            return
         with open(src) as fh:
             doc = json.load(fh)
         if doc.get("type") == "FeatureCollection":
@@ -101,11 +129,72 @@ class _GeoJSONReader(DataSourceReader):
             feats = [doc]
         else:
             raise ValueError(f"{src}: not a GeoJSON Feature/FeatureCollection")
-        base = os.path.basename(src)
         for feat in feats:
             row = _feature_row(feat, base)
             if row is not None:
                 yield row
+
+
+class _GeoJSONCommit(WriterCommitMessage):
+    def __init__(self, file: str, count: int):
+        self.file = file
+        self.count = count
+
+
+class _GeoJSONWriter(DataSourceWriter):
+    """S8 sink as a first-class format: each partition writes one
+    ``.geojsonl`` file of Feature objects (newline-delimited GeoJSON —
+    the flavor that parallelizes on read), columns ``lon``/``lat``
+    become the Point geometry, every other column a property. The
+    driver-side ``commit`` publishes a ``_MANIFEST.json`` with per-file
+    row counts — readers can detect partial/aborted writes."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("geojson sink requires a path")
+        self.lon_col = options.get("lon_col", "lon")
+        self.lat_col = options.get("lat_col", "lat")
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.geojsonl"
+        n = 0
+        with open(os.path.join(self.path, fname), "w") as fh:
+            for row in iterator:
+                d = row.asDict()
+                lon = d.pop(self.lon_col, None)
+                lat = d.pop(self.lat_col, None)
+                if lon is None or lat is None:
+                    continue
+                feat = {
+                    "type": "Feature",
+                    "geometry": {
+                        "type": "Point",
+                        "coordinates": [float(lon), float(lat)],
+                    },
+                    "properties": d,
+                }
+                fh.write(json.dumps(feat, default=str) + "\n")
+                n += 1
+        return _GeoJSONCommit(fname, n)
+
+    def commit(self, messages):
+        manifest = {
+            "files": {m.file: m.count for m in messages},
+            "total": sum(m.count for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.file))
+            except OSError:
+                pass
 
 
 class GeoJSONDataSource(DataSource):
@@ -118,6 +207,9 @@ class GeoJSONDataSource(DataSource):
 
     def reader(self, schema):
         return _GeoJSONReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return _GeoJSONWriter(self.options)
 
 
 def register(spark) -> None:

@@ -163,3 +163,39 @@ def test_geojson_datasource_point_parity_with_json_reader(spark, tmp_path):
         for r in read_geojson_points(spark, str(f)).collect()
     }
     assert via_ds == via_json
+
+
+def test_geojson_datasource_write_read_roundtrip(spark, tmp_path):
+    """S8 sink via the DataSource writer: partitions write .geojsonl
+    Feature files + a commit manifest; reading the directory back with
+    the same format recovers every row."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from geo_big_data_analysis_spark.sources import geojson_datasource as gds
+
+    gds.register(spark)
+    df = spark.range(50).select(
+        (F.lit(-74.3) + F.col("id") / 100.0).alias("lon"),
+        (F.lit(40.5) + F.col("id") / 200.0).alias("lat"),
+        F.concat(F.lit("site"), F.col("id")).alias("name"),
+        (F.col("id") * 2).alias("score"),
+    ).repartition(4)
+    out = str(tmp_path / "sink")
+    df.write.format("geojson").option("path", out).mode("append").save()
+
+    manifest = _json.loads((tmp_path / "sink" / "_MANIFEST.json").read_text())
+    assert manifest["total"] == 50 and len(manifest["files"]) == 4
+
+    back = spark.read.format("geojson").load(out)
+    assert back.count() == 50
+    got = {
+        (r["lon"], r["lat"], r["properties"]["name"], r["properties"]["score"])
+        for r in back.collect()
+    }
+    want = {
+        (r["lon"], r["lat"], r["name"], str(r["score"])) for r in df.collect()
+    }
+    assert got == want
+    assert all(r["geom_type"] == "Point" for r in back.collect())
