@@ -227,3 +227,37 @@ def test_pagerank_sums_to_one(spark):
     assert abs(total - 1.0) < 1e-9
     for r in rows:
         assert abs(r["pr"] - 1.0 / 6) < 1e-12
+
+
+def test_triangle_counts_property_random_graphs(spark):
+    """Property-based: on arbitrary small graphs, the distributed
+    wedge-close counts match a brute-force itertools enumeration."""
+    from itertools import combinations
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.sets(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=0, max_size=25,
+        )
+    )
+    def check(edge_set):
+        from geo_big_data_analysis_spark.graph.algorithms import triangle_counts
+
+        und = {(min(a, b), max(a, b)) for a, b in edge_set if a != b}
+        nodes = {v for e in und for v in e}
+        want: dict[int, int] = {}
+        for a, b, c in combinations(sorted(nodes), 3):
+            if {(a, b), (b, c), (a, c)} <= und:
+                for v in (a, b, c):
+                    want[v] = want.get(v, 0) + 1
+        if not edge_set:
+            return
+        df = spark.createDataFrame(list(edge_set), ["src", "dst"])
+        got = {r["id"]: r["tri_count"] for r in triangle_counts(df).collect()}
+        assert got == want
+
+    check()
