@@ -82,6 +82,7 @@ HEADLINE = [
     "decontaminate_docs",
     "shuffled_export_manifest",
     "top_customers_per_nation",
+    "variant_extract_events",
 ]
 
 

@@ -4804,6 +4804,45 @@ ORDER BY n_name, rn
 """
 
 
+def q_variant_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics via Spark 4's VARIANT type — the
+    parse-once twin of `json_extract_events`' per-path string
+    extraction: ``parse_json`` builds the binary variant a single time,
+    then typed ``try_variant_get`` paths read it without re-parsing.
+    At 100 TB the difference is real — N path extractions over string
+    JSON re-tokenize the document N times; a variant column parses
+    once (and lands in Parquet as a shredded binary at rest). Output
+    joins a derived field against the event value so two typed gets
+    feed one aggregate.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.withColumn("v", v)
+        .select(
+            F.try_variant_get("v", "$.k", "bigint").alias("k"),
+            "event_type",
+            "value",
+        )
+        .groupBy((F.col("k") % 7).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+_SQL_VARIANT = """
+SELECT (json_extract_string(props, '$.k')::BIGINT % 7) AS k_mod,
+       count(*)::BIGINT AS n,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1 ORDER BY k_mod
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4928,6 +4967,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decontaminate_docs": (q_decontaminate_docs, _SQL_DECONTAMINATE),
     "shuffled_export_manifest": (q_shuffled_export_manifest, _SQL_SHUFFLED_EXPORT),
     "top_customers_per_nation": (q_top_customers_per_nation, _SQL_TOP_PER_NATION),
+    "variant_extract_events": (q_variant_extract_events, _SQL_VARIANT),
 }
 
 
