@@ -2467,11 +2467,13 @@ def q_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import (
         hourly_event_counts_stream,
         run_to_memory,
+        scoped_shuffle_partitions,
         stream_events,
     )
 
     ev = stream_events(spark, sf_dir)
-    out = run_to_memory(hourly_event_counts_stream(ev))
+    with scoped_shuffle_partitions(spark):
+        out = run_to_memory(hourly_event_counts_stream(ev))
     return out.orderBy("hour_start")
 
 
@@ -2498,14 +2500,20 @@ def q_streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch, then watermarked 1-hour windows aggregate per category.
     availableNow drain ⇒ the batch SQL oracle (VALUES dim join) applies
     verbatim."""
-    from ..streaming.windows import enriched_counts_stream, run_to_memory, stream_events
+    from ..streaming.windows import (
+        enriched_counts_stream,
+        run_to_memory,
+        scoped_shuffle_partitions,
+        stream_events,
+    )
 
     dim = spark.createDataFrame(
         _EVENT_DIM, "event_type string, category string, weight double"
     )
-    out = run_to_memory(
-        enriched_counts_stream(stream_events(spark, sf_dir), dim, "event_type")
-    )
+    with scoped_shuffle_partitions(spark):
+        out = run_to_memory(
+            enriched_counts_stream(stream_events(spark, sf_dir), dim, "event_type")
+        )
     return out.orderBy("hour_start", "category")
 
 
@@ -2524,11 +2532,17 @@ def q_streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 streamed — watermarked streaming dedup on (user_id,
     event_type): with an availableNow drain every key emits exactly
     once, so per-type distinct-user counts equal the batch DISTINCT."""
-    from ..streaming.windows import dedup_stream, run_to_memory, stream_events
+    from ..streaming.windows import (
+        dedup_stream,
+        run_to_memory,
+        scoped_shuffle_partitions,
+        stream_events,
+    )
 
     ev = stream_events(spark, sf_dir)
     dd_s = dedup_stream(ev, ["user_id", "event_type"])
-    out = run_to_memory(dd_s, output_mode="append")
+    with scoped_shuffle_partitions(spark):
+        out = run_to_memory(dd_s, output_mode="append")
     return (
         out.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_distinct_users"))
@@ -2548,11 +2562,17 @@ def q_streaming_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     Final state after an availableNow drain ≡ the batch groupBy — the
     oracle below. Update-mode emits one row per user per micro-batch;
     the last row per user is the final state (max n_events)."""
-    from ..streaming.windows import run_to_memory, stream_events, user_running_stats_stream
+    from ..streaming.windows import (
+        run_to_memory,
+        scoped_shuffle_partitions,
+        stream_events,
+        user_running_stats_stream,
+    )
 
     ev = stream_events(spark, sf_dir)
     st = user_running_stats_stream(ev)
-    out = run_to_memory(st, output_mode="update")
+    with scoped_shuffle_partitions(spark):
+        out = run_to_memory(st, output_mode="update")
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     final = out.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") == 1)
     return final.select(
@@ -2577,11 +2597,17 @@ def q_streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events, max session length). Session-window semantics match the
     batch sessionize operator at every non-boundary timestamp, so the
     batch lag/cumsum SQL is the oracle."""
-    from ..streaming.windows import run_to_memory, session_window_stream, stream_events
+    from ..streaming.windows import (
+        run_to_memory,
+        scoped_shuffle_partitions,
+        session_window_stream,
+        stream_events,
+    )
 
     ev = stream_events(spark, sf_dir)
     sw = session_window_stream(ev, gap_minutes=30.0, keys=["user_id"])
-    out = run_to_memory(sw)
+    with scoped_shuffle_partitions(spark):
+        out = run_to_memory(sw)
     return (
         out.groupBy("user_id")
         .agg(
@@ -2619,24 +2645,20 @@ def q_streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarked so join state is bounded by watermark + interval width.
     availableNow drain ⇒ the batch interval-join SQL is the oracle.
     Summarized per user (pair count, attributed purchase value)."""
-    from ..streaming.windows import interval_join_stream, run_to_memory, stream_events
+    from ..streaming.windows import (
+        interval_join_stream,
+        run_to_memory,
+        scoped_shuffle_partitions,
+        stream_events,
+    )
 
     clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
     purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
     joined = interval_join_stream(
         clicks, purchases, key="user_id", max_delay_minutes=120
     )
-    # State-store instances = shuffle partitions × stateful sides, and
-    # their init dominates wall time at test SFs (~13 s at 32
-    # partitions). Scope the stream's state partitioning down; the
-    # post-drain batch agg is planned separately and unaffected. At
-    # production volume this knob goes UP with key cardinality instead.
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with scoped_shuffle_partitions(spark):
         out = run_to_memory(joined, output_mode="append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
     return (
         out.groupBy("user_id")
         .agg(

@@ -23,9 +23,31 @@ the batch SQL oracle is valid for the streaming query.
 from __future__ import annotations
 
 import itertools
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` for a streaming drain.
+
+    State-store instances = shuffle partitions × stateful operators,
+    and their INIT cost dominates wall time at test scale factors
+    (~13 s for a 2-sided interval join at 32 partitions; data volume
+    barely matters). Every stateful streaming query drains under this
+    scope; the conf is captured at query START, so post-drain batch
+    aggregation planned outside the scope is unaffected. At production
+    volume this knob goes UP with key cardinality instead — the
+    setting is per-query state parallelism, not a global.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 _SINK_IDS = itertools.count()
 
