@@ -83,6 +83,7 @@ HEADLINE = [
     "shuffled_export_manifest",
     "top_customers_per_nation",
     "variant_extract_events",
+    "chunk_docs_manifest",
 ]
 
 

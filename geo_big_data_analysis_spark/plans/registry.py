@@ -4865,6 +4865,64 @@ FROM events GROUP BY 1 ORDER BY k_mod
 """
 
 
+def q_chunk_docs_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for embedding pipelines (the RAG/similarity
+    prep op): fixed 32-token windows with stride 24 (8-token overlap),
+    final partial chunk kept. Chunk starts come from a ``sequence`` +
+    ``explode`` — pure column expressions, no UDTF in the hot path
+    (tests/test_udtf.py proves a Python UDTF computes the identical
+    chunk set, demonstrating that surface without paying per-row Python
+    here). Per-source manifest: chunk count, token load incl. overlap
+    duplication, average chunk fill.
+
+    Scale: explode fan-out is rows × chunks-per-doc; everything stays
+    in whole-stage codegen and shuffles once for the final agg.
+    """
+    c, s = 32, 24
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n", tx.token_count("text").cast("bigint")
+    )
+    n_starts = F.greatest(
+        F.ceil((F.col("n") - c) / F.lit(float(s))).cast("bigint"), F.lit(0)
+    )
+    chunks = docs.select(
+        "source",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_starts)).alias("start"),
+    ).withColumn("chunk_tokens", F.least(F.lit(c), F.col("n") - F.col("start") * s))
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").alias("chunk_token_load"),
+            F.round(F.avg("chunk_tokens"), 6).alias("avg_chunk_fill"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_CHUNKS = """
+WITH t AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n
+  FROM documents
+),
+ch AS (
+  SELECT source, n,
+         unnest(range(0, greatest(CAST(ceil((n - 32) / 24.0) AS BIGINT), 0) + 1))
+           AS start
+  FROM t
+)
+SELECT source,
+       count(*)::BIGINT AS n_chunks,
+       sum(least(32, n - start * 24))::BIGINT AS chunk_token_load,
+       round(avg(least(32, n - start * 24)), 6) AS avg_chunk_fill
+FROM ch
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4990,6 +5048,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "shuffled_export_manifest": (q_shuffled_export_manifest, _SQL_SHUFFLED_EXPORT),
     "top_customers_per_nation": (q_top_customers_per_nation, _SQL_TOP_PER_NATION),
     "variant_extract_events": (q_variant_extract_events, _SQL_VARIANT),
+    "chunk_docs_manifest": (q_chunk_docs_manifest, _SQL_CHUNKS),
 }
 
 
