@@ -84,6 +84,12 @@ HEADLINE = [
     "top_customers_per_nation",
     "variant_extract_events",
     "chunk_docs_manifest",
+    "local_supplier_volume",
+    "volume_shipping_pairs",
+    "product_profit_by_nation",
+    "returned_items_topk",
+    "window_suite_orders",
+    "kmv_distinct_sketch",
 ]
 
 

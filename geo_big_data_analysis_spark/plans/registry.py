@@ -4924,6 +4924,568 @@ ORDER BY source
 
 
 # --------------------------------------------------------------------------
+# TPC-H relational-breadth suite (adapted to the fixture schemas: no
+# partsupp / l_shipmode / l_commitdate columns exist, so Q12/Q21 and the
+# partsupp queries are re-expressed on the available columns while keeping
+# the plan SHAPE that matters: join topology, predicate placement,
+# scalar subqueries, disjunctive join filters).
+# --------------------------------------------------------------------------
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: 6-table snowflake join (customer⋈orders⋈lineitem⋈
+    supplier⋈nation⋈region) with the extra c_nationkey = s_nationkey
+    equality that makes join ORDER matter. Region filter reduces nation
+    to 1/5 before it reaches the fact side; supplier (100×SF rows) and
+    the dim chain broadcast, so the only shuffle is orders⋈lineitem.
+    At 100 TB that one shuffle is hash-partitioned on orderkey; all
+    dimension lookups stay map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    dim = (
+        supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region.filter(F.col("r_name") == "ASIA"),
+              nation.n_regionkey == F.col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+_SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+def q_volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bidirectional nation-pair trade volume by ship year.
+    The nation dimension joins TWICE under different roles (supplier
+    nation n1, customer nation n2) with a disjunctive pair predicate —
+    the classic self-role join Catalyst must alias apart. Both nation
+    sides broadcast; the orders⋈lineitem shuffle is shared with Q5's
+    shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount")
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_SQL_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::INT AS l_year,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: conditional share-of-total per group —
+    sum(CASE WHEN nation THEN volume)/sum(volume) by order year, over a
+    region- and part-type-restricted join. One aggregation computes
+    both numerator and denominator (no second scan, no self-join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    cust_region = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    region.filter(F.col("r_name") == "AMERICA"),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            customer.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount")
+        .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")
+                          .select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                      .otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_SQL_MARKET_SHARE = """
+SELECT year(o_orderdate)::INT AS o_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1.0 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by supplier nation × order year with a
+    substring part-name filter. The fixture has no partsupp, so supply
+    cost is modeled as 60% of p_retailprice — the join topology
+    (part-name filter feeding the fact join, two broadcast dims, one
+    orders shuffle) is what's exercised. `contains` on p_name reaches
+    the parquet scan as a pushed StringContains filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    profit = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                  "l_extendedprice", "l_discount")
+        .join(F.broadcast(part.filter(F.col("p_name").contains("widget"))
+                          .select("p_partkey", "p_retailprice")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(
+            supplier.join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                          supplier.s_nationkey == F.col("n_nationkey"))
+            .select("s_suppkey", "n_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_SQL_PRODUCT_PROFIT = """
+SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       round(sum(l_extendedprice * (1.0 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_returned_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: lost-revenue ranking of customers on returned items
+    (l_returnflag='R') within one quarter-year order window. Group keys
+    include the functionally-dependent customer attributes (name,
+    acctbal, nation) — carried through the agg instead of re-joined
+    after, same as TPC-H. Top-20 ties break on c_custkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-07-01").cast("timestamp")
+    return (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+        .join(li.filter(F.col("l_returnflag") == "R")
+              .select("l_orderkey", "l_extendedprice", "l_discount"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_SQL_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: revenue view + scalar-subquery max — supplier(s)
+    whose quarter revenue equals the global maximum. The max is NOT
+    collected to the driver: the 1-row agg cross-joins back (broadcast
+    nested loop on a single row), keeping the whole plan lazy. Revenue
+    is rounded to 2 dp on both engines BEFORE the equality compare so
+    fp reassociation can't make the max miss its own row."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    revenue = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(mx),
+                     F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_SQL_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_disjunctive_pred_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: join with OR-of-conjunction residual predicates
+    (brand/size/quantity brackets). The equi-key (partkey) still drives
+    a broadcast hash join; the disjunction evaluates as a post-join
+    filter inside the same codegen stage. Single-row scalar output."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    brackets = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20)
+           & F.col("l_quantity").between(5, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(10, 40))
+    )
+    return joined.filter(brackets).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_SQL_DISJUNCTIVE = """
+SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 5 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40)
+"""
+
+
+def q_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: customers with above-average balance and NO orders,
+    grouped by a derived code (digits 7-8 of the customer name — the
+    fixture's stand-in for Q22's phone country code). Three classic
+    pieces in one plan: a global scalar subquery (avg balance, cross-
+    joined as a broadcast single row, never collected), an anti-join
+    against orders, and a derived-key aggregation. Every fixture
+    customer has SOME order, so the anti side is 'orders placed since
+    2001' — the NOT EXISTS is against recent activity, keeping the
+    result non-degenerate."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cust = customer.withColumn("cntrycode", F.substring("c_name", 16, 2))
+    codes = ["00", "01", "02", "03", "04", "05", "06"]
+    cust = cust.filter(F.col("cntrycode").isin(codes))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+_SQL_GLOBAL_SALES_OPP = """
+WITH cust AS (
+  SELECT *, substr(c_name, 16, 2) AS cntrycode FROM customer
+  WHERE substr(c_name, 16, 2) IN ('00','01','02','03','04','05','06')
+)
+SELECT cntrycode, count(*)::BIGINT AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM cust
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+def q_window_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth beyond the reference's lag/rank/cumsum:
+    lead, first_value, last_value (full frame), ntile(4), percent_rank
+    and cume_dist over per-customer order history. One Window spec =
+    one shuffle on o_custkey; every function shares the same sort. The
+    (o_orderdate, o_orderkey) ordering is a total order (orderkey
+    unique), so ntile/lead are deterministic across engines."""
+    orders = _t(spark, sf_dir, "orders")
+    sub = orders.filter(F.col("o_custkey") % 37 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return sub.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("last_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_SQL_WINDOW_SUITE = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 2) AS price,
+       round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+       round(last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+         AS last_price,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cum_dist
+FROM orders
+WHERE o_custkey % 37 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=64, per event
+    type — the mergeable-sketch pattern for COUNT(DISTINCT) at 100 TB:
+    each partition keeps only its k smallest hashes (constant memory),
+    merge = k-smallest of the union, estimate = (k-1)/h_k normalized.
+    The md5-prefix hash is bit-identical in DuckDB so the oracle
+    replays the sketch EXACTLY — estimate, not just the exact count.
+    Exact countDistinct runs alongside to report the observed error.
+    At scale the window-per-type top-k is a partial agg (top-k heap),
+    not a global sort; event_type cardinality is tiny."""
+    ev = _t(spark, sf_dir, "events")
+    two60 = F.lit(float(1 << 60))
+    hashed = (
+        ev.select("event_type", "user_id").distinct()
+        .select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                   16, 10).cast("bigint").alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmin = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        kmin.groupBy("event_type")
+        .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("m"))
+        .select(
+            "event_type",
+            F.when(F.col("m") < 64, F.col("m").cast("double"))
+            .otherwise(F.round((F.col("m") - 1) * two60 / F.col("h_k"), 2))
+            .alias("est_distinct"),
+        )
+        .join(F.broadcast(exact), "event_type")
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_KMV_SKETCH = """
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+),
+kmin AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+),
+sk AS (
+  SELECT event_type, max(h) AS h_k, count(*)::BIGINT AS m
+  FROM kmin WHERE rn <= 64 GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT sk.event_type,
+       CASE WHEN m < 64 THEN m::DOUBLE
+            ELSE round((m - 1) * 1152921504606846976.0 / h_k, 2) END
+         AS est_distinct,
+       exact_distinct,
+       round(abs(CASE WHEN m < 64 THEN m::DOUBLE
+                      ELSE round((m - 1) * 1152921504606846976.0 / h_k, 2) END
+                 - exact_distinct) / exact_distinct, 4) AS rel_err
+FROM sk JOIN exact ON sk.event_type = exact.event_type
+ORDER BY sk.event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5049,6 +5611,16 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "top_customers_per_nation": (q_top_customers_per_nation, _SQL_TOP_PER_NATION),
     "variant_extract_events": (q_variant_extract_events, _SQL_VARIANT),
     "chunk_docs_manifest": (q_chunk_docs_manifest, _SQL_CHUNKS),
+    "local_supplier_volume": (q_local_supplier_volume, _SQL_LOCAL_SUPPLIER_VOLUME),
+    "volume_shipping_pairs": (q_volume_shipping_pairs, _SQL_VOLUME_SHIPPING),
+    "market_share_by_year": (q_market_share_by_year, _SQL_MARKET_SHARE),
+    "product_profit_by_nation": (q_product_profit_by_nation, _SQL_PRODUCT_PROFIT),
+    "returned_items_topk": (q_returned_items_topk, _SQL_RETURNED_ITEMS),
+    "top_supplier_revenue": (q_top_supplier_revenue, _SQL_TOP_SUPPLIER),
+    "disjunctive_pred_revenue": (q_disjunctive_pred_revenue, _SQL_DISJUNCTIVE),
+    "global_sales_opportunity": (q_global_sales_opportunity, _SQL_GLOBAL_SALES_OPP),
+    "window_suite_orders": (q_window_suite_orders, _SQL_WINDOW_SUITE),
+    "kmv_distinct_sketch": (q_kmv_distinct_sketch, _SQL_KMV_SKETCH),
 }
 
 
