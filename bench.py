@@ -90,6 +90,8 @@ HEADLINE = [
     "returned_items_topk",
     "window_suite_orders",
     "kmv_distinct_sketch",
+    "auc_rank_metric",
+    "tfidf_top_terms",
 ]
 
 

@@ -2680,6 +2680,227 @@ GROUP BY c.user_id ORDER BY c.user_id
 """
 
 
+def q_streaming_click_nopurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — stream–stream LEFT OUTER interval join: clicks that did
+    NOT convert within 2 h emit with NULL right columns, but only after
+    the watermark proves no purchase can still arrive. Outer rows
+    within watermark+delay of the stream head are not final at drain
+    time, so both engine and oracle restrict to the CLOSED region —
+    and the horizon must come from the GLOBAL watermark, which is the
+    MIN of the per-stream watermarks: the purchase stream's max event
+    time trails the click stream's, so the closed region is
+    l_ts ≤ least(max click ts, max purchase ts) − 7 h (4 h watermark +
+    2 h join window + 1 h margin). Using the global max-ts instead
+    loses tail outer rows the join state hasn't evicted yet (caught by
+    the sf0.001 oracle). Per user: clicks, conversions, unconverted
+    clicks."""
+    from ..streaming.windows import (
+        interval_join_stream,
+        run_to_memory,
+        scoped_shuffle_partitions,
+        stream_events,
+    )
+
+    clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = stream_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = interval_join_stream(
+        clicks, purchases, key="user_id", max_delay_minutes=120, how="left_outer"
+    )
+    with scoped_shuffle_partitions(spark):
+        out = run_to_memory(joined, output_mode="append")
+    ev = _t(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 7 HOUR")
+        ).alias("h")
+    )
+    return (
+        out.join(F.broadcast(horizon))
+        .filter(F.col("l_ts") <= F.col("h"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("r_ts").isNotNull().cast("bigint")).alias("n_converted"),
+            F.sum(F.col("r_ts").isNull().cast("bigint")).alias("n_unconverted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_STREAM_CLICK_NOPURCHASE = """
+WITH c AS (
+  SELECT * FROM events
+  WHERE event_type = 'click'
+    AND ts <= least(
+          (SELECT max(ts) FROM events WHERE event_type = 'click'),
+          (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        - INTERVAL 7 HOUR
+)
+SELECT c.user_id, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_converted,
+       sum(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unconverted
+FROM c LEFT JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+GROUP BY c.user_id ORDER BY c.user_id
+"""
+
+
+def q_auc_rank_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC via the tied-rank Mann-Whitney identity —
+    the classifier-evaluation primitive a training pipeline needs at
+    100 TB, computed WITHOUT sorting individual rows: group by distinct
+    score (bounded domain), cumulative counts over the score groups
+    give each group's average rank, then
+    AUC = (Σ_pos avgrank − Np(Np+1)/2)/(Np·Nn). The only window runs
+    over score GROUPS (~550 rows regardless of data size), not rows.
+    Score is a fixed logistic of discount/quantity; label is
+    l_returnflag='R' — deterministic, so the oracle replays exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    score = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.col("l_discount") * 10.0
+                    - 0.5
+                    + (F.col("l_quantity") - 25.0) / 50.0
+                )
+            )
+        ),
+        9,
+    )
+    grouped = (
+        li.select(score.alias("score"),
+                  (F.col("l_returnflag") == "R").cast("bigint").alias("pos"))
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np"))
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grouped.withColumn(
+        "cum_prev", F.coalesce(F.sum("n").over(w), F.lit(0))
+    ).withColumn("avgrank", F.col("cum_prev") + (F.col("n") + 1) / 2.0)
+    return ranked.agg(
+        F.round(
+            (
+                F.sum(F.col("np") * F.col("avgrank"))
+                - F.sum("np") * (F.sum("np") + 1) / 2.0
+            )
+            / (F.sum("np") * (F.sum("n") - F.sum("np"))),
+            6,
+        ).alias("auc"),
+        F.sum("np").alias("n_pos"),
+        (F.sum("n") - F.sum("np")).alias("n_neg"),
+        F.count(F.lit(1)).alias("n_score_groups"),
+    )
+
+
+_SQL_AUC_RANK = """
+WITH scored AS (
+  SELECT round(1.0 / (1.0 + exp(-(l_discount * 10.0 - 0.5
+                                  + (l_quantity - 25.0) / 50.0))), 9) AS score,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+  FROM lineitem
+),
+grouped AS (
+  SELECT score, count(*)::BIGINT AS n, sum(pos)::BIGINT AS np
+  FROM scored GROUP BY score
+),
+ranked AS (
+  SELECT *,
+         coalesce(sum(n) OVER (ORDER BY score
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_prev
+  FROM grouped
+)
+SELECT round((sum(np * (cum_prev + (n + 1) / 2.0))
+              - sum(np) * (sum(np) + 1) / 2.0)
+             / (sum(np) * (sum(n) - sum(np))), 6) AS auc,
+       sum(np)::BIGINT AS n_pos,
+       (sum(n) - sum(np))::BIGINT AS n_neg,
+       count(*)::BIGINT AS n_score_groups
+FROM ranked
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF term scoring over the corpus: document frequency from a
+    distinct (term, doc) explode, smoothed idf = ln((N+1)/(df+1))+1,
+    per-doc term frequency, then top-3 terms per sampled doc by
+    tf·idf (ties break lexicographically). The df dimension joins the
+    tf fact on term — a hash shuffle at vocab scale; the per-doc top-k
+    is a partitioned window that takes Spark's WindowGroupLimit push.
+    N arrives as a broadcast 1-row agg (never collected)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    ).filter(F.length("tok") > 3)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_corpus"))
+    df_tbl = (
+        toks.distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    tf_tbl = (
+        toks.filter(F.col("doc_id") % 97 == 0)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        tf_tbl.join(df_tbl, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_corpus") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tfidf", "df")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+_SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+toks4 AS (SELECT * FROM toks WHERE length(tok) > 3),
+df_tbl AS (
+  SELECT tok, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM toks4) GROUP BY tok
+),
+tf_tbl AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf
+  FROM toks4 WHERE doc_id % 97 = 0 GROUP BY doc_id, tok
+),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         round(t.tf * (ln(((SELECT count(*) FROM documents) + 1.0)
+                          / (d.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf_tbl t JOIN df_tbl d ON t.tok = d.tok
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, tok) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk::INT AS rnk, tok, tfidf, df
+FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal binary columns (training-data pipeline extension)
 # --------------------------------------------------------------------------
@@ -5621,6 +5842,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "global_sales_opportunity": (q_global_sales_opportunity, _SQL_GLOBAL_SALES_OPP),
     "window_suite_orders": (q_window_suite_orders, _SQL_WINDOW_SUITE),
     "kmv_distinct_sketch": (q_kmv_distinct_sketch, _SQL_KMV_SKETCH),
+    "streaming_click_nopurchase": (
+        q_streaming_click_nopurchase,
+        _SQL_STREAM_CLICK_NOPURCHASE,
+    ),
+    "auc_rank_metric": (q_auc_rank_metric, _SQL_AUC_RANK),
+    "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF),
 }
 
 

@@ -220,11 +220,18 @@ def interval_join_stream(
     right_val_col: str = "value",
     max_delay_minutes: int = 120,
     watermark: str = "4 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream–stream inner join on ``key`` with an event-time interval
+    """Stream–stream join on ``key`` with an event-time interval
     condition: a right row matches a left row when it lands in
     ``[left_ts, left_ts + max_delay]`` (click→conversion attribution
-    shape).
+    shape). ``how='left_outer'`` additionally emits never-matched left
+    rows with NULL right columns — but only once the watermark proves
+    no match can still arrive (left state older than
+    ``l_ts + max_delay`` behind the right watermark), so outer results
+    within ``watermark + max_delay`` of the stream head are NOT final
+    at drain time; consumers must restrict to the closed region (see
+    q_streaming_click_nopurchase).
 
     The scale story is the state bound: both sides are watermarked and
     the join condition carries explicit event-time bounds, so Spark
@@ -251,7 +258,7 @@ def interval_join_stream(
             <= F.col("l_ts") + F.expr(f"INTERVAL {int(max_delay_minutes)} MINUTE")
         )
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col("l_key").alias(key), "l_ts", "r_ts", "r_value"
     )
 

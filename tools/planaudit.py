@@ -39,6 +39,9 @@ ALLOWLIST_NLJ = {
     "lab1_noise_pipeline": "1-row mu/sigma broadcast threshold (via high_density_hours)",
     "hot_cold_grid_cells": "1-row q75/q25 broadcast threshold over cell counts",
     "ann_recall": "exact brute-force baseline (tiny query set) + 1-row hit/count crossJoins",
+    "global_sales_opportunity": "Q22 scalar subquery: 1-row avg-balance broadcast threshold",
+    "tfidf_top_terms": "1-row corpus-size broadcast for the idf denominator",
+    "streaming_click_nopurchase": "1-row watermark-horizon broadcast over the drained batch",
 }
 
 
@@ -48,6 +51,7 @@ ALLOWLIST_GLOBAL_WINDOW = {
     "sentiment_source_ranks": "sorts per-source aggregates (#sources rows)",
     "lab1_noise_pipeline": "keyless sessionization over anomalous hourly buckets (time-span-bounded)",
     "trailing_7day_revenue": "RANGE frame over the daily pre-aggregate (time-span-bounded, ~2.4k rows/7y)",
+    "auc_rank_metric": "cumulative counts over distinct-score groups (~550 rows, domain-bounded)",
 }
 
 
