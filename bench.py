@@ -92,6 +92,9 @@ HEADLINE = [
     "kmv_distinct_sketch",
     "auc_rank_metric",
     "tfidf_top_terms",
+    "gap_fill_daily_revenue",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 

@@ -2901,6 +2901,191 @@ FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
 """
 
 
+def q_gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense calendar (codegen'd
+    sequence+explode between the observed min/max day — no driver
+    round-trip) left-joins the daily revenue pre-aggregate; missing
+    days get n_orders=0 and a forward-filled last-known revenue via
+    last(ignorenulls) over the date order. The window is unpartitioned
+    but runs over the DAILY PRE-AGGREGATE (time-span-bounded: ~2.4k
+    rows for 7 years regardless of fact volume) — the raw shuffle is
+    the daily groupBy, which is partial-agg'd map-side."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    cal = (
+        orders.agg(
+            F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+            F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+        )
+        .select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        cal.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.col("n_orders").isNull().cast("int").alias("is_gap"),
+            F.coalesce(
+                F.last("revenue", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("filled_revenue"),
+        )
+        .orderBy("day")
+    )
+
+
+_SQL_GAP_FILL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+),
+cal AS (
+  SELECT unnest(generate_series(
+           (SELECT date_trunc('day', min(o_orderdate)) FROM orders),
+           (SELECT date_trunc('day', max(o_orderdate)) FROM orders),
+           INTERVAL 1 DAY)) AS day
+)
+SELECT cal.day,
+       coalesce(n_orders, 0)::BIGINT AS n_orders,
+       coalesce(revenue, 0.0) AS revenue,
+       (CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END)::INT AS is_gap,
+       coalesce(last_value(revenue IGNORE NULLS)
+                  OVER (ORDER BY cal.day ROWS UNBOUNDED PRECEDING),
+                0.0) AS filled_revenue
+FROM cal LEFT JOIN daily ON cal.day = daily.day
+ORDER BY cal.day
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per user the first
+    view, the first click AT OR AFTER that view, and the first purchase
+    at or after that click — stage timestamps must respect event order,
+    which a plain per-type min would not. Three shuffles on user_id
+    (one per stage); each stage is a conditional-min agg joined back,
+    the decorrelated form of the correlated MIN subquery the oracle
+    states directly. Single-row output of stage counts + rates."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("tv")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    funnel = (
+        v.join(c, "user_id", "left").join(p, "user_id", "left")
+    )
+    n_view = F.count(F.lit(1))
+    n_click = F.sum(F.col("tc").isNotNull().cast("bigint"))
+    n_purchase = F.sum(F.col("tp").isNotNull().cast("bigint"))
+    return funnel.agg(
+        n_view.alias("n_view"),
+        n_click.alias("n_click_after_view"),
+        n_purchase.alias("n_purchase_after_click"),
+        F.round(n_click / n_view, 6).alias("view_to_click"),
+        F.round(n_purchase / n_click, 6).alias("click_to_purchase"),
+    )
+
+
+_SQL_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.tv
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS tp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.tc
+  GROUP BY e.user_id
+)
+SELECT count(*)::BIGINT AS n_view,
+       sum(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_click_after_view,
+       sum(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_purchase_after_click,
+       round(sum(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS view_to_click,
+       round(sum(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END)
+             / sum(CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE, 6)
+         AS click_to_purchase
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by the Monday
+    week of their first event; each (cohort_week, week_offset) cell
+    counts distinct users active that many weeks later. Two shuffles:
+    first-event agg on user_id, then the distinct-count agg on the
+    cell key — the first-seen dimension broadcasts back onto events.
+    Offsets are exact epoch arithmetic (date_trunc week is
+    Monday-start in both engines)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    week_len = F.lit(7 * 86400)
+    return (
+        ev.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp("cohort_week")
+                )
+                / week_len
+            ).cast("bigint").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_SQL_COHORT = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT cohort_week,
+       ((epoch(date_trunc('week', ts)) - epoch(cohort_week))
+        / (7 * 86400))::BIGINT AS week_offset,
+       count(DISTINCT e.user_id)::BIGINT AS n_active
+FROM events e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Multimodal binary columns (training-data pipeline extension)
 # --------------------------------------------------------------------------
@@ -5848,6 +6033,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "auc_rank_metric": (q_auc_rank_metric, _SQL_AUC_RANK),
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF),
+    "gap_fill_daily_revenue": (q_gap_fill_daily_revenue, _SQL_GAP_FILL),
+    "funnel_conversion": (q_funnel_conversion, _SQL_FUNNEL),
+    "cohort_retention": (q_cohort_retention, _SQL_COHORT),
 }
 
 

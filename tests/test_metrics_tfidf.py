@@ -59,3 +59,42 @@ def test_streaming_click_nopurchase_counts_consistent(spark):
     for r in rows:
         assert r.n_converted + r.n_unconverted == r.n_rows
         assert r.n_unconverted >= 0
+
+
+def test_gap_fill_dense_calendar(spark):
+    rows = REGISTRY["gap_fill_daily_revenue"][0](spark, SF).collect()
+    assert rows
+    days = [r.day for r in rows]
+    assert len(set(days)) == len(days)
+    # dense: consecutive days differ by exactly 1 day
+    for a, b in zip(days, days[1:]):
+        assert (b - a).total_seconds() == 86400
+    # forward fill: gap rows carry the previous non-gap revenue
+    last_rev = 0.0
+    for r in rows:
+        if r.is_gap:
+            assert r.n_orders == 0 and r.revenue == 0.0
+            assert r.filled_revenue == last_rev
+        else:
+            last_rev = r.revenue
+            assert r.filled_revenue == r.revenue
+
+
+def test_funnel_stages_monotone(spark):
+    row = REGISTRY["funnel_conversion"][0](spark, SF).collect()[0]
+    assert row.n_view >= row.n_click_after_view >= row.n_purchase_after_click
+    assert 0.0 <= row.view_to_click <= 1.0
+
+
+def test_cohort_retention_offsets(spark):
+    rows = REGISTRY["cohort_retention"][0](spark, SF).collect()
+    assert rows
+    # offset 0 of each cohort is its largest cell (everyone is active in
+    # their first week by construction of first-seen cohorting)
+    by_cohort: dict = {}
+    for r in rows:
+        assert r.week_offset >= 0
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r.n_active
+    for cells in by_cohort.values():
+        assert 0 in cells
+        assert cells[0] == max(cells.values())

@@ -52,6 +52,7 @@ ALLOWLIST_GLOBAL_WINDOW = {
     "lab1_noise_pipeline": "keyless sessionization over anomalous hourly buckets (time-span-bounded)",
     "trailing_7day_revenue": "RANGE frame over the daily pre-aggregate (time-span-bounded, ~2.4k rows/7y)",
     "auc_rank_metric": "cumulative counts over distinct-score groups (~550 rows, domain-bounded)",
+    "gap_fill_daily_revenue": "forward-fill over the daily pre-aggregate (time-span-bounded, ~2.4k rows/7y)",
 }
 
 
