@@ -156,6 +156,96 @@ def regression_metrics(
     )
 
 
+def logreg_fit(
+    train: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    max_iter: int = 50,
+    reg_param: float = 0.0,
+):
+    """Binary logistic regression fit (classification counterpart of
+    gbt_fit; LBFGS is deterministic given fixed partitioning of the
+    aggregated gradient, so metrics are stable run-to-run)."""
+    from pyspark.ml.classification import LogisticRegression
+
+    vec = assemble(train, feature_cols)
+    return LogisticRegression(
+        featuresCol="features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+    ).fit(vec)
+
+
+def logreg_predict(
+    model, df: DataFrame, feature_cols: list[str], out: str = "p1"
+) -> DataFrame:
+    """Score with P(label=1) extracted from the probability vector as a
+    plain double column (vector_to_array keeps it JVM-side)."""
+    from pyspark.ml.functions import vector_to_array
+
+    vec = assemble(df, feature_cols)
+    scored = model.transform(vec)
+    return scored.withColumn(
+        out, vector_to_array("probability")[1]
+    ).drop("features", "rawPrediction", "probability")
+
+
+def binary_metrics(
+    df: DataFrame, label_col: str, prob_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Single-row binary-classification metrics, all distributed:
+    accuracy / precision / recall / F1 at ``threshold`` in one
+    conditional-agg pass, plus ROC-AUC via the tied-rank Mann-Whitney
+    identity over score GROUPS (probabilities rounded to 6 dp bound the
+    group count; the only window runs over those groups, never rows —
+    same scale shape as q_auc_rank_metric)."""
+    from pyspark.sql import Window
+
+    y = F.col(label_col).cast("bigint")
+    pred = (F.col(prob_col) >= F.lit(threshold)).cast("bigint")
+    counts = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("np"),
+        F.sum(pred).alias("npred"),
+        F.sum(y * pred).alias("tp"),
+        F.sum((1 - y) * (1 - pred)).alias("tn"),
+    )
+    grouped = (
+        df.select(F.round(F.col(prob_col), 6).alias("s"), y.alias("pos"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("gn"), F.sum("pos").alias("gp"))
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grouped.withColumn(
+        "avgrank",
+        F.coalesce(F.sum("gn").over(w), F.lit(0)) + (F.col("gn") + 1) / 2.0,
+    )
+    auc = ranked.agg(
+        (
+            (
+                F.sum(F.col("gp") * F.col("avgrank"))
+                - F.sum("gp") * (F.sum("gp") + 1) / 2.0
+            )
+            / (F.sum("gp") * (F.sum("gn") - F.sum("gp")))
+        ).alias("auc")
+    )
+    prec = F.col("tp") / F.greatest(F.col("npred"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("np"), F.lit(1))
+    return (
+        counts.join(F.broadcast(auc))
+        .select(
+            ((F.col("tp") + F.col("tn")) / F.col("n")).alias("accuracy"),
+            prec.alias("precision"),
+            rec.alias("recall"),
+            (2 * prec * rec / (prec + rec)).alias("f1"),
+            "auc",
+            F.col("np").alias("n_pos"),
+            (F.col("n") - F.col("np")).alias("n_neg"),
+        )
+    )
+
+
 def feature_importances(model, feature_cols: list[str]) -> list[tuple[str, float]]:
     """M10 — (feature, importance) sorted desc, driver-side."""
     imp = model.featureImportances.toArray()

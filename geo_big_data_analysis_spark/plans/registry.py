@@ -2901,6 +2901,45 @@ FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk
 """
 
 
+def q_logreg_return_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary classification (the ML-surface gap next to M7's
+    regression): logistic regression predicting a deterministic,
+    feature-separable label (discount/quantity signal + orderkey
+    jitter), seeded 70/30 split, then single-pass distributed metrics —
+    accuracy/precision/recall/F1 at 0.5 plus tied-rank AUC
+    (ml/pipeline.binary_metrics). LBFGS coefficients are not
+    bit-replayable in SQL → rows-only, with the pytest pinning the
+    AUC floor the separable label guarantees."""
+    from ..ml.pipeline import binary_metrics, logreg_fit, logreg_predict
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_discount",
+        "l_quantity",
+        "l_tax",
+        F.log1p("l_extendedprice").alias("log_price"),
+        (
+            (
+                F.col("l_discount") * 10.0
+                + F.col("l_quantity") / 50.0
+                + ((F.col("l_orderkey") % 13) / 13.0 - 0.5) * 0.4
+            )
+            > 0.8
+        ).cast("int").alias("label"),
+    )
+    fcols = ["l_discount", "l_quantity", "l_tax", "log_price"]
+    train, valid = base.randomSplit([0.7, 0.3], seed=42)
+    model = logreg_fit(train, fcols, "label")
+    pred = logreg_predict(model, valid, fcols)
+    m = binary_metrics(pred, "label", "p1")
+    return m.select(
+        *[
+            F.round(F.col(c), 4).alias(c) if c not in ("n_pos", "n_neg") else c
+            for c in m.columns
+        ]
+    )
+
+
 def q_gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap filling: a dense calendar (codegen'd
     sequence+explode between the observed min/max day — no driver
@@ -6033,6 +6072,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "auc_rank_metric": (q_auc_rank_metric, _SQL_AUC_RANK),
     "tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF),
+    "logreg_return_metrics": (q_logreg_return_metrics, None),
     "gap_fill_daily_revenue": (q_gap_fill_daily_revenue, _SQL_GAP_FILL),
     "funnel_conversion": (q_funnel_conversion, _SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, _SQL_COHORT),

@@ -194,3 +194,16 @@ def test_lloyd_kmeans_deterministic(spark):
     a = {r["id"]: r["cluster_id"] for r in a_lab.collect()}
     b = {r["id"]: r["cluster_id"] for r in b_lab.collect()}
     assert a == b
+
+
+def test_logreg_binary_metrics_floor(spark, sf_dir):
+    from geo_big_data_analysis_spark.plans.registry import REGISTRY
+
+    row = REGISTRY["logreg_return_metrics"][0](spark, sf_dir).collect()[0]
+    # label is linearly separable up to the bounded orderkey jitter;
+    # LR must recover it far above chance
+    assert row.auc > 0.9, row
+    assert row.accuracy > 0.8, row
+    assert 0.0 < row.precision <= 1.0 and 0.0 < row.recall <= 1.0
+    f1 = 2 * row.precision * row.recall / (row.precision + row.recall)
+    assert abs(f1 - row.f1) < 1e-3
