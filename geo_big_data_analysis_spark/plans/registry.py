@@ -5930,6 +5930,399 @@ ORDER BY sk.event_type
 """
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure scan→filter→scalar-agg, zero joins. The entire
+    predicate (shipdate year, discount band, quantity cap) pushes into
+    the parquet scan (PushedFilters on l_shipdate min/max row-group
+    stats); at 100 TB this is THE query partition pruning + predicate
+    pushdown exist for — a date-partitioned layout reads 1/84th of the
+    files. One map-side partial agg, one 1-row exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_SQL_FORECAST = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.04 AND 0.08
+  AND l_quantity < 24
+"""
+
+
+def q_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (l_returnflag stands in for the fixture's missing
+    l_shipmode): fact⋈fact join on orderkey, then conditional counts
+    via sum(CASE ...) — the two-bucket pivot evaluated inside one
+    hash agg, no second pass. orders⋈lineitem is the one real shuffle;
+    the lineitem side prunes to 3 columns + a pushed date filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            F.col("l_returnflag").isin("A", "N")
+            & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+        .join(orders.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_PRIORITY_RETURNFLAG = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('A', 'N')
+  AND l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated min subquery — for each qualifying part,
+    the supplier(s) offering the minimum unit price (avg
+    extendedprice/quantity over their lineitems, the fixture's stand-in
+    for ps_supplycost). Decorrelated as per-part min agg joined back on
+    (partkey, rounded unit_cost); the part filter is applied BEFORE the
+    min (equivalent — min is per-part) so the offer agg only shuffles
+    qualifying parts. Rounding to 6dp on both engines before the
+    equality compare keeps fp quotients from missing their own min.
+    Dimension chain (part, supplier, nation) all broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    parts_f = part.filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(1, 15)
+    ).select("p_partkey", "p_name")
+    offer = (
+        li.join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_name")
+        .agg(
+            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+                "unit_cost"
+            )
+        )
+    )
+    mins = (
+        offer.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "m_partkey")
+    )
+    return (
+        offer.join(
+            mins,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .drop("m_partkey")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+_SQL_MIN_COST_SUPPLIER = """
+WITH offer AS (
+  SELECT l_partkey, l_suppkey, p_name,
+         round(avg(l_extendedprice / l_quantity), 6) AS unit_cost
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'LARGE' AND p_size BETWEEN 1 AND 15
+  GROUP BY 1, 2, 3
+)
+SELECT o.l_partkey AS p_partkey, o.p_name, s_name, n_name,
+       round(s_acctbal, 2) AS s_acctbal, o.unit_cost
+FROM offer o
+JOIN supplier ON s_suppkey = o.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE o.unit_cost = (SELECT min(o2.unit_cost) FROM offer o2
+                     WHERE o2.l_partkey = o.l_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 100
+"""
+
+
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: per-part value restricted to a supplier-nation group,
+    HAVING value > fraction × the global sum — a scalar subquery over
+    the SAME aggregate. The per-part agg is computed once and reused
+    for both sides (Spark caches nothing here — the 1-row global sum
+    cross-joins back as a broadcast, so the agg subtree appears twice
+    in the plan but both run from the same shuffled scan at sf; at
+    100 TB, localCheckpoint the agg if the double-scan dominates).
+    Values are pre-rounded so the global sum is reassociation-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    group_nations = ["NATION_12", "NATION_13", "NATION_15", "NATION_18"]
+    supp_f = (
+        supplier.join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(group_nations))
+        .select("s_suppkey")
+    )
+    value = (
+        li.join(F.broadcast(supp_f), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("part_value")
+        )
+    )
+    threshold = value.agg(
+        (F.sum("part_value") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        value.join(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+_SQL_IMPORTANT_PART_VALUE = """
+WITH value AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS part_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_12', 'NATION_13', 'NATION_15', 'NATION_18')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM value
+WHERE part_value > (SELECT sum(part_value) * 0.001 FROM value)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part attribute bucket,
+    with a NOT IN exclusion subquery (negative-balance suppliers —
+    the fixture's stand-in for Q16's complaint-comment suppliers).
+    NOT IN over a non-null key compiles to a broadcast anti-join;
+    count(DISTINCT) expands to a two-phase agg (distinct shuffle on
+    (brand,size,suppkey), then count) — Catalyst does this rewrite
+    automatically, no manual dedup pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    bad_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts_f = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad_supp),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+_SQL_SUPPLIER_CNT = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested IN-subqueries — suppliers who shipped, for
+    some name-prefixed part, more than 1.5× that part's average
+    per-supplier quantity in the window. Decorrelation: per
+    (supplier, part) quantity agg → per-part avg agg → join back →
+    qualifying supplier keys → LEFT SEMI into the supplier dim.
+    Quantities are integral doubles, so sums/avgs are exact and the
+    1.5× compare has no fp-boundary risk. Both shuffles key on
+    l_partkey; the semi-join probe side is tiny and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    red_parts = part.filter(F.col("p_name").startswith("red")).select("p_partkey")
+    sp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    pt = sp.groupBy("l_partkey").agg(F.avg("qty").alias("avg_qty"))
+    qualifying = (
+        sp.join(pt, "l_partkey")
+        .filter(F.col("qty") > F.lit(1.5) * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(F.broadcast(qualifying),
+                      F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_SQL_EXCESS_STOCK = """
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+pt AS (SELECT l_partkey, avg(qty) AS avg_qty FROM sp GROUP BY 1)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (SELECT sp.l_suppkey FROM sp
+                    JOIN pt ON pt.l_partkey = sp.l_partkey
+                    WHERE sp.qty > 1.5 * pt.avg_qty)
+ORDER BY s_suppkey
+"""
+
+
+def q_late_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: correlated EXISTS + NOT EXISTS with inequality
+    correlation — suppliers who were the LAST to ship in finished
+    multi-supplier orders (fixture stand-in for Q21's receipt/commit
+    lateness). Decorrelation of the two subqueries:
+
+      EXISTS(other supplier in order)         ⇔ n_supp ≥ 2
+      NOT EXISTS(other supplier shipped later) ⇔ l_shipdate ≥ max
+        shipdate over OTHER suppliers' rows
+
+    The per-row "max over others" comes from per-order top-2 supplier
+    maxima: per (order, supplier) max shipdate ms, then per order
+    m1 = max(ms) with its supplier a1 (max_by struct — no sort),
+    m1_cnt = #suppliers tying m1, m2 = max(ms | ms < m1). For a row
+    with supplier s: max_other = m2 only when s is the SOLE max
+    supplier, else m1. Every shuffle keys on l_orderkey; per-order
+    state is O(1) — this is the scalable form of Q21's quadratic
+    self-joins. Ref: the classic decorrelated rewrite (Neumann/Kemper
+    unnesting), not a windowed self-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    l = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    ms = l.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("ms"))
+    per_order = ms.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.max("ms").alias("m1"),
+        F.max_by("l_suppkey", F.struct("ms", "l_suppkey")).alias("a1"),
+    )
+    # m1_cnt and m2 need m1 — second pass over the tiny per-(order,supplier) agg
+    enriched = (
+        ms.join(per_order.select("l_orderkey", "m1"), "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.when(F.col("ms") == F.col("m1"), 1).otherwise(0)).alias("m1_cnt"),
+            F.max(F.when(F.col("ms") < F.col("m1"), F.col("ms"))).alias("m2"),
+        )
+    )
+    stats = per_order.join(enriched, "l_orderkey")
+    keep = (
+        l.join(
+            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(stats, "l_orderkey")
+        .filter(F.col("n_supp") >= 2)
+        .withColumn(
+            "max_other",
+            F.when(
+                (F.col("m1_cnt") == 1) & (F.col("l_suppkey") == F.col("a1")),
+                F.col("m2"),
+            ).otherwise(F.col("m1")),
+        )
+        .filter(F.col("l_shipdate") >= F.col("max_other"))
+    )
+    return (
+        keep.join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_SQL_LATE_SHIPPERS = """
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6076,6 +6469,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "gap_fill_daily_revenue": (q_gap_fill_daily_revenue, _SQL_GAP_FILL),
     "funnel_conversion": (q_funnel_conversion, _SQL_FUNNEL),
     "cohort_retention": (q_cohort_retention, _SQL_COHORT),
+    "forecast_revenue_change": (q_forecast_revenue_change, _SQL_FORECAST),
+    "priority_by_returnflag": (q_priority_by_returnflag, _SQL_PRIORITY_RETURNFLAG),
+    "min_cost_supplier": (q_min_cost_supplier, _SQL_MIN_COST_SUPPLIER),
+    "important_part_value": (q_important_part_value, _SQL_IMPORTANT_PART_VALUE),
+    "supplier_cnt_by_part": (q_supplier_cnt_by_part, _SQL_SUPPLIER_CNT),
+    "excess_stock_suppliers": (q_excess_stock_suppliers, _SQL_EXCESS_STOCK),
+    "late_shipper_suppliers": (q_late_shipper_suppliers, _SQL_LATE_SHIPPERS),
 }
 
 
