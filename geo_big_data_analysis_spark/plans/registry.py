@@ -6323,6 +6323,308 @@ LIMIT 20
 """
 
 
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — sliding event-time windows (2 h window, 1 h slide): the
+    overlapping-window aggregation only tumbling windows can't express.
+    availableNow drain ⇒ equals the batch explode-to-covering-windows
+    SQL, which is exactly the expansion Spark's TimeWindow node applies
+    per row before the windowed agg."""
+    from ..streaming.windows import (
+        run_to_memory,
+        scoped_shuffle_partitions,
+        sliding_counts_stream,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    with scoped_shuffle_partitions(spark):
+        out = run_to_memory(sliding_counts_stream(ev))
+    return out.orderBy("win_start", "event_type")
+
+
+_SQL_STREAM_SLIDING = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) - k.k * INTERVAL 1 HOUR AS win_start,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 4) AS val_sum
+FROM events, (VALUES (0), (1)) k(k)
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+"""
+
+
+def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 companion — EXACT interpolated percentiles per group
+    (percentile_cont / R-7 semantics on both engines). At 100 TB the
+    exact form needs a per-group sort of values; swap to
+    approx_percentile (KLL-backed, mergeable) once rank error beats
+    sort cost — the tolerance contract for that swap is pinned in
+    tests/test_functions.py's approx-percentile test."""
+    ev = _t(spark, sf_dir, "events")
+    pcts = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50_raw"),
+        F.percentile("value", F.lit(0.9)).alias("p90_raw"),
+        F.percentile("value", F.lit(0.99)).alias("p99_raw"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return pcts.select(
+        "event_type",
+        F.round("p50_raw", 6).alias("p50"),
+        F.round("p90_raw", 6).alias("p90"),
+        F.round("p99_raw", 6).alias("p99"),
+        "n",
+    ).orderBy("event_type")
+
+
+_SQL_GROUPED_PCT = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_robust_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group dispersion — median / MAD / IQR and the Tukey
+    -fence outlier census (the heavy-tail-safe alternative to F11's
+    3σ filter). Two aggregation passes over the same shuffle key
+    (median first, then median absolute deviation needs it), stats
+    join back as a broadcast. The oracle replays both passes as CTEs
+    rather than trusting DuckDB's mad() to share interpolation
+    semantics."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    base = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"),
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    mad = (
+        ev.join(F.broadcast(base), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad_raw"
+            )
+        )
+    )
+    fences = base.withColumn("lo", F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))) \
+                 .withColumn("hi", F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+    outl = (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+                .otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        base.join(mad, "event_type")
+        .join(outl, "event_type")
+        .select(
+            "event_type",
+            F.round("med", 6).alias("median"),
+            F.round("mad_raw", 6).alias("mad"),
+            F.round(F.col("q3") - F.col("q1"), 6).alias("iqr"),
+            "n_outliers",
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_ROBUST_STATS = """
+WITH base AS (
+  SELECT event_type,
+         quantile_cont(value, 0.5) AS med,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - b.med), 0.5) AS mad_raw
+  FROM events e JOIN base b ON e.event_type = b.event_type
+  GROUP BY e.event_type
+),
+outl AS (
+  SELECT e.event_type,
+         sum(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+                    OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+                  THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+         count(*)::BIGINT AS n
+  FROM events e JOIN base b ON e.event_type = b.event_type
+  GROUP BY e.event_type
+)
+SELECT b.event_type, round(b.med, 6) AS median, round(m.mad_raw, 6) AS mad,
+       round(b.q3 - b.q1, 6) AS iqr, o.n_outliers, o.n
+FROM base b JOIN mad m ON b.event_type = m.event_type
+JOIN outl o ON b.event_type = o.event_type
+ORDER BY b.event_type
+"""
+
+
+def q_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family completion — INTERSECT (distinct set semantics):
+    high-balance customers ∩ customers ordering in 1998+. Catalyst
+    plans INTERSECT as a left-semi join over distinct inputs — same
+    shuffle shape as J3, but exposed through the set-operator API."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rich = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return rich.intersect(recent).orderBy("c_custkey")
+
+
+_SQL_INTERSECT = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+ORDER BY c_custkey
+"""
+
+
+def q_order_item_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/HOF surface — per-order item rollup into typed arrays:
+    collect → array_sort → string-encode, plus an ``aggregate`` HOF
+    fold over the quantity array. The array columns are compared via
+    concat_ws string encodings (engine-neutral), and the HOF fold's
+    result is proven equal to the plain SUM the oracle computes —
+    folding collected arrays ≡ aggregating rows. Quantities are
+    integral doubles so the fold is reassociation-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    sub = li.filter(F.col("l_orderkey") % 53 == 0)
+    return (
+        sub.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list("l_partkey")).alias("parts"),
+            F.collect_list("l_quantity").alias("qtys"),
+        )
+        .select(
+            "l_orderkey",
+            F.concat_ws(",", F.col("parts").cast("array<string>")).alias("items_str"),
+            F.size("parts").alias("n_items"),
+            F.element_at("parts", -1).alias("max_part"),
+            F.aggregate(
+                "qtys", F.lit(0.0), lambda acc, x: acc + x
+            ).cast("long").alias("qty_sum"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+_SQL_ORDER_ARRAYS = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_partkey)), ',') AS items_str,
+       count(*)::INT AS n_items,
+       max(l_partkey) AS max_part,
+       sum(l_quantity)::BIGINT AS qty_sum
+FROM lineitem
+WHERE l_orderkey % 53 = 0
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (operators/skyline): parts not
+    dominated on (minimize p_retailprice, maximize p_size). Two-phase
+    distributed BNL-with-presort — per-partition local skylines via
+    mapInPandas, then one reduce pass over the union of frontiers.
+    The oracle is the NOT EXISTS dominance definition itself
+    (quadratic — fine at oracle SF; the operator is the scale path)."""
+    from ..operators.skyline import skyline
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    sky = skyline(part, minimize=["p_retailprice"], maximize=["p_size"])
+    return sky.select(
+        "p_partkey", "p_size", F.round("p_retailprice", 2).alias("p_retailprice")
+    ).orderBy("p_partkey")
+
+
+_SQL_SKYLINE = """
+SELECT p_partkey, p_size, round(p_retailprice, 2) AS p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+ORDER BY p_partkey
+"""
+
+
+def q_repetition_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality extension — within-document repetition: the
+    fraction of duplicate word trigrams (1 − distinct/total), the
+    standard boilerplate/degenerate-text signal in training-corpus
+    filtering. Trigrams materialize per row as a codegen'd
+    transform(sequence(...)) over the token array — no explode, no
+    shuffle until the per-source rollup; array_distinct runs inside
+    the same projection."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tx.tokens(F.col("text"))
+    d = (
+        docs.withColumn("toks", toks)
+        .withColumn("n_tri", F.greatest(F.size("toks") - 2, F.lit(0)))
+        .filter(F.col("n_tri") > 0)
+        .withColumn(
+            "tris",
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_tri") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                    F.element_at("toks", i + 3),
+                ),
+            ),
+        )
+        .withColumn("n_distinct", F.size(F.array_distinct("tris")))
+        .withColumn(
+            "rep_ratio",
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_tri"),
+        )
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("rep_ratio"), 6).alias("avg_rep"),
+            F.round(F.max("rep_ratio"), 6).alias("max_rep"),
+            F.sum(F.when(F.col("rep_ratio") > 0.2, 1).otherwise(0)).alias(
+                "n_repetitive"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_REPETITION = """
+WITH t AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+d AS (
+  SELECT source, len(toks) - 2 AS n_tri,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tris
+  FROM t WHERE len(toks) >= 3
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(avg(1.0 - len(list_distinct(tris)) / n_tri), 6) AS avg_rep,
+       round(max(1.0 - len(list_distinct(tris)) / n_tri), 6) AS max_rep,
+       sum(CASE WHEN 1.0 - len(list_distinct(tris)) / n_tri > 0.2
+                THEN 1 ELSE 0 END)::BIGINT AS n_repetitive
+FROM d GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6476,6 +6778,13 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "supplier_cnt_by_part": (q_supplier_cnt_by_part, _SQL_SUPPLIER_CNT),
     "excess_stock_suppliers": (q_excess_stock_suppliers, _SQL_EXCESS_STOCK),
     "late_shipper_suppliers": (q_late_shipper_suppliers, _SQL_LATE_SHIPPERS),
+    "streaming_sliding_counts": (q_streaming_sliding_counts, _SQL_STREAM_SLIDING),
+    "grouped_percentiles": (q_grouped_percentiles, _SQL_GROUPED_PCT),
+    "robust_outlier_stats": (q_robust_outlier_stats, _SQL_ROBUST_STATS),
+    "intersect_customers": (q_intersect_customers, _SQL_INTERSECT),
+    "order_item_arrays": (q_order_item_arrays, _SQL_ORDER_ARRAYS),
+    "skyline_parts": (q_skyline_parts, _SQL_SKYLINE),
+    "repetition_ratio_docs": (q_repetition_ratio_docs, _SQL_REPETITION),
 }
 
 

@@ -105,6 +105,28 @@ def hourly_event_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame, ts_col: str = "ts", watermark: str = "4 hours"
+) -> DataFrame:
+    """A14's sliding-window variant — 2-hour windows advancing every
+    hour, so each event lands in exactly two overlapping windows
+    (Spark expands the row per covering window before the windowed
+    hash agg; state = one row per open (window, event_type)). The
+    watermark closes a window once event time passes window_end +
+    watermark. Batch oracle: explode each event to its two covering
+    window starts and aggregate — the algebraic identity the sliding
+    window implements incrementally."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("val_sum"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "val_sum")
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: list[str],

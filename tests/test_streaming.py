@@ -230,3 +230,14 @@ def test_eventgen_stream_drains_to_batch_twin(spark):
     got = {tuple(r) for r in hourly(streamed).collect()}
     want = {tuple(r) for r in hourly(eg.eventgen_batch_df(spark, max_rows)).collect()}
     assert got == want
+
+
+def test_sliding_windows_double_count_invariant(spark, sf_dir):
+    """2h/1h sliding windows: every event lands in exactly 2 windows,
+    so Σ window counts = 2 × event count."""
+    from geo_big_data_analysis_spark.plans.registry import REGISTRY, _t
+
+    out = REGISTRY["streaming_sliding_counts"][0](spark, sf_dir)
+    total = sum(r.n for r in out.collect())
+    n_events = _t(spark, sf_dir, "events").count()
+    assert total == 2 * n_events
