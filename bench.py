@@ -95,6 +95,15 @@ HEADLINE = [
     "gap_fill_daily_revenue",
     "funnel_conversion",
     "cohort_retention",
+    "forecast_revenue_change",
+    "priority_by_returnflag",
+    "min_cost_supplier",
+    "late_shipper_suppliers",
+    "grouped_percentiles",
+    "robust_outlier_stats",
+    "skyline_parts",
+    "repetition_ratio_docs",
+    "order_item_arrays",
 ]
 
 

@@ -6251,48 +6251,50 @@ def q_late_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The per-row "max over others" comes from per-order top-2 supplier
     maxima: per (order, supplier) max shipdate ms, then per order
-    m1 = max(ms) with its supplier a1 (max_by struct — no sort),
-    m1_cnt = #suppliers tying m1, m2 = max(ms | ms < m1). For a row
-    with supplier s: max_other = m2 only when s is the SOLE max
-    supplier, else m1. Every shuffle keys on l_orderkey; per-order
-    state is O(1) — this is the scalable form of Q21's quadratic
-    self-joins. Ref: the classic decorrelated rewrite (Neumann/Kemper
-    unnesting), not a windowed self-join."""
+    m1 = max(ms), m1_cnt = #suppliers tying m1, m2 = max(ms | ms < m1)
+    — computed as frame-less window aggs over the (order, supplier)
+    rollup (two Window nodes, ONE exchange on l_orderkey, no sort, no
+    self-join, no duplicated agg lineage). For a row with supplier s:
+    max_other = m2 only when s is the SOLE max supplier, else m1.
+    The o_orderstatus='F' restriction applies BEFORE the rollup — the
+    correlated subqueries only ever probe l1's own order, so the
+    filter propagates to them. Every shuffle keys on l_orderkey;
+    per-order state is O(1) — the scalable form of Q21's quadratic
+    self-joins (classic Neumann/Kemper-style unnesting)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supplier = _t(spark, sf_dir, "supplier")
-    l = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).drop("o_orderkey")
     ms = l.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("ms"))
-    per_order = ms.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.max("ms").alias("m1"),
-        F.max_by("l_suppkey", F.struct("ms", "l_suppkey")).alias("a1"),
+    w = Window.partitionBy("l_orderkey")
+    stats = ms.select(
+        "l_orderkey",
+        "l_suppkey",
+        "ms",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.max("ms").over(w).alias("m1"),
+    ).select(
+        "*",
+        F.sum(F.when(F.col("ms") == F.col("m1"), 1).otherwise(0))
+        .over(w)
+        .alias("m1_cnt"),
+        F.max(F.when(F.col("ms") < F.col("m1"), F.col("ms"))).over(w).alias("m2"),
     )
-    # m1_cnt and m2 need m1 — second pass over the tiny per-(order,supplier) agg
-    enriched = (
-        ms.join(per_order.select("l_orderkey", "m1"), "l_orderkey")
-        .groupBy("l_orderkey")
-        .agg(
-            F.sum(F.when(F.col("ms") == F.col("m1"), 1).otherwise(0)).alias("m1_cnt"),
-            F.max(F.when(F.col("ms") < F.col("m1"), F.col("ms"))).alias("m2"),
-        )
-    )
-    stats = per_order.join(enriched, "l_orderkey")
-    keep = (
-        l.join(
-            orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(stats, "l_orderkey")
-        .filter(F.col("n_supp") >= 2)
+    per_sp = (
+        stats.filter(F.col("n_supp") >= 2)
         .withColumn(
             "max_other",
             F.when(
-                (F.col("m1_cnt") == 1) & (F.col("l_suppkey") == F.col("a1")),
-                F.col("m2"),
+                (F.col("m1_cnt") == 1) & (F.col("ms") == F.col("m1")), F.col("m2")
             ).otherwise(F.col("m1")),
         )
-        .filter(F.col("l_shipdate") >= F.col("max_other"))
+        .select("l_orderkey", "l_suppkey", "max_other")
+    )
+    keep = l.join(per_sp, ["l_orderkey", "l_suppkey"]).filter(
+        F.col("l_shipdate") >= F.col("max_other")
     )
     return (
         keep.join(F.broadcast(supplier.select("s_suppkey", "s_name")),

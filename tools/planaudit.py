@@ -42,6 +42,8 @@ ALLOWLIST_NLJ = {
     "global_sales_opportunity": "Q22 scalar subquery: 1-row avg-balance broadcast threshold",
     "tfidf_top_terms": "1-row corpus-size broadcast for the idf denominator",
     "streaming_click_nopurchase": "1-row watermark-horizon broadcast over the drained batch",
+    "important_part_value": "Q11 scalar subquery: 1-row global-sum broadcast threshold",
+    "logreg_return_metrics": "1-row AUC/confusion-count broadcast join in binary_metrics",
 }
 
 
