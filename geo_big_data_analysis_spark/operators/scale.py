@@ -79,3 +79,100 @@ def salted_join_inner(
     small_rep = small.select("*", salts)
     big_salted = big.withColumn("_salt", _salt(n_salts))
     return big_salted.join(small_rep, [key, "_salt"]).drop("_salt")
+
+
+def bloom_bitmap(
+    keys: DataFrame, key_col: str, n_bits: int = 2048, n_hashes: int = 3
+) -> DataFrame:
+    """Build a Bloom-filter bitmap from a key column, as a DataFrame of
+    (word_idx, mask) rows — 32 bits per word so masks stay far from
+    bigint sign/overflow territory on every engine.
+
+    Hashes are md5-prefix (engine-neutral, deterministic): position_i =
+    int(md5(key || '#' || i)[:15 hex]) mod n_bits. The build is one
+    explode (k rows per key) + one bit_or aggregation — fully
+    distributed, output is n_bits/32 rows regardless of key count.
+
+    This is the explicit form of the runtime-filter/semi-join-reduction
+    technique (Spark's own runtime row-group filtering, Bloom join
+    pruning in warehouse engines): at 100 TB, shipping a few-KB bitmap
+    to prune a fact-table scan before the shuffle beats shuffling rows
+    that a later join will drop.
+    """
+    pos_rows = []
+    for i in range(n_hashes):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{i}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        pos_rows.append((h % n_bits).alias(f"p{i}"))
+    pos = keys.select(*pos_rows)
+    stacked = pos.select(
+        F.explode(F.array(*[F.col(f"p{i}") for i in range(n_hashes)])).alias("pos")
+    )
+    return (
+        stacked.select(
+            (F.col("pos") / 32).cast("int").alias("word_idx"),
+            # the shiftleft Python wrapper wants a literal shift; the SQL
+            # function takes a column — 1L base keeps the mask bigint
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+
+
+def bloom_flag(
+    facts: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    n_bits: int = 2048,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Annotate ``facts`` with a ``bloom_pass`` boolean: definite-reject
+    / probable-accept against the bitmap. The tiny bitmap broadcasts
+    once per hash function (k broadcast equi-joins on word_idx);
+    everything stays in codegen — no UDF, no collect. A word absent
+    from the bitmap means no dim key set any of its bits → reject
+    (coalesce mask to 0)."""
+    out = facts
+    passed = F.lit(True)
+    for i in range(n_hashes):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{i}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        pos = h % n_bits
+        out = out.withColumn(f"_w{i}", (pos / 32).cast("int")).withColumn(
+            f"_b{i}", (pos % 32).cast("int")
+        )
+        bm = bitmap.select(
+            F.col("word_idx").alias(f"_w{i}"), F.col("mask").alias(f"_m{i}")
+        )
+        out = out.join(F.broadcast(bm), f"_w{i}", "left")
+        passed = passed & F.expr(
+            f"shiftright(coalesce(_m{i}, CAST(0 AS BIGINT)), _b{i}) % 2 = 1"
+        )
+    drop_cols = [c for i in range(n_hashes) for c in (f"_w{i}", f"_b{i}", f"_m{i}")]
+    return out.withColumn("bloom_pass", passed).drop(*drop_cols)
+
+
+def bloom_probe(
+    facts: DataFrame,
+    key_col: str,
+    bitmap: DataFrame,
+    n_bits: int = 2048,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Filter ``facts`` to rows whose key passes the Bloom bitmap."""
+    return (
+        bloom_flag(facts, key_col, bitmap, n_bits=n_bits, n_hashes=n_hashes)
+        .filter(F.col("bloom_pass"))
+        .drop("bloom_pass")
+    )

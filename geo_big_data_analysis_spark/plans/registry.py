@@ -6627,6 +6627,234 @@ FROM d GROUP BY source ORDER BY source
 """
 
 
+def q_bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (`operators/scale.bloom_bitmap` /
+    `bloom_flag`) — the explicit runtime-filter technique: build a
+    2048-bit, 3-hash bitmap from a small dim key set (high-balance
+    customers), ship it to the fact side (k broadcast equi-joins on
+    the 64-row word table — all codegen, no UDF, no collect), and
+    count what survives vs the exact semi-join. Output pins the Bloom
+    contract itself: n_missed = 0 (NO false negatives) and the
+    measured false-positive rate. The md5-prefix hash is bit-identical
+    in DuckDB, so the oracle replays the bitmap build AND the probe —
+    the whole filter, not just the counts. At 100 TB this prunes the
+    fact shuffle before the join; Spark's own AQE runtime filters are
+    the automatic form, this is the engine-level primitive."""
+    from ..operators.scale import bloom_bitmap, bloom_flag
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    dim = customer.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    bitmap = bloom_bitmap(dim, "c_custkey")
+    flagged = bloom_flag(orders.select("o_custkey"), "o_custkey", bitmap).join(
+        F.broadcast(dim.withColumn("is_true", F.lit(1))),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_true"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_candidates"),
+        F.sum(
+            F.when(F.col("bloom_pass") & F.col("is_true").isNull(), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when(~F.col("bloom_pass") & F.col("is_true").isNotNull(), 1).otherwise(0)
+        ).alias("n_missed"),
+    ).select(
+        "n_total",
+        "n_true",
+        "n_candidates",
+        "n_missed",
+        F.round(
+            F.col("n_false_pos") / (F.col("n_total") - F.col("n_true")), 6
+        ).alias("fpr"),
+    )
+
+
+_SQL_BLOOM_PRUNE = """
+WITH dim AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+pos AS (
+  SELECT (('0x' || substr(md5(c_custkey::VARCHAR || '#' || i.i), 1, 15))::BIGINT
+          % 2048) AS pos
+  FROM dim, (VALUES (0), (1), (2)) i(i)
+),
+bitmap AS (
+  SELECT (pos // 32)::INT AS word_idx,
+         bit_or((1::BIGINT << (pos % 32)::INT)) AS mask
+  FROM pos GROUP BY 1
+),
+probe AS (
+  SELECT o_custkey,
+    (('0x' || substr(md5(o_custkey::VARCHAR || '#0'), 1, 15))::BIGINT % 2048) AS p0,
+    (('0x' || substr(md5(o_custkey::VARCHAR || '#1'), 1, 15))::BIGINT % 2048) AS p1,
+    (('0x' || substr(md5(o_custkey::VARCHAR || '#2'), 1, 15))::BIGINT % 2048) AS p2
+  FROM orders
+),
+flag AS (
+  SELECT p.o_custkey,
+         ((coalesce(b0.mask, 0) >> (p.p0 % 32)::INT) % 2 = 1)
+         AND ((coalesce(b1.mask, 0) >> (p.p1 % 32)::INT) % 2 = 1)
+         AND ((coalesce(b2.mask, 0) >> (p.p2 % 32)::INT) % 2 = 1) AS bloom_pass,
+         (d.c_custkey IS NOT NULL) AS is_true
+  FROM probe p
+  LEFT JOIN bitmap b0 ON b0.word_idx = (p.p0 // 32)::INT
+  LEFT JOIN bitmap b1 ON b1.word_idx = (p.p1 // 32)::INT
+  LEFT JOIN bitmap b2 ON b2.word_idx = (p.p2 // 32)::INT
+  LEFT JOIN dim d ON d.c_custkey = p.o_custkey
+)
+SELECT count(*)::BIGINT AS n_total,
+       sum(CASE WHEN is_true THEN 1 ELSE 0 END)::BIGINT AS n_true,
+       sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_candidates,
+       sum(CASE WHEN is_true AND NOT bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_missed,
+       round(sum(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END)
+             / (count(*) - sum(CASE WHEN is_true THEN 1 ELSE 0 END)), 6) AS fpr
+FROM flag
+"""
+
+
+def q_rolling_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on daily revenue: each day
+    scored against the trailing 7 days' mean/stddev (frame excludes
+    the current row — no self-leakage), flagged at |z| > 2. The window
+    runs over the daily pre-aggregate — time-span-bounded (~2.5k rows
+    for 7 fixture years), the allowlisted global-window exception
+    class. At 100 TB the pre-agg shrinks the input identically; for
+    per-key anomaly streams, partition the window by the key."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("DAY", F.col("o_orderdate")).alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    scored = daily.select(
+        "day",
+        "revenue",
+        F.avg("revenue").over(w).alias("avg7"),
+        F.stddev_samp("revenue").over(w).alias("sd7"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    ).filter(F.col("cnt") == 7)
+    z = (F.col("revenue") - F.col("avg7")) / F.col("sd7")
+    return (
+        scored.filter(F.abs(z) > 2)
+        .select("day", "revenue", F.round(z, 4).alias("z"))
+        .orderBy("day")
+    )
+
+
+_SQL_ROLLING_ANOMALY = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT day, revenue,
+         avg(revenue) OVER w AS avg7,
+         stddev_samp(revenue) OVER w AS sd7,
+         count(*) OVER w AS cnt
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, revenue, round((revenue - avg7) / sd7, 4) AS z
+FROM r
+WHERE cnt = 7 AND abs((revenue - avg7) / sd7) > 2
+ORDER BY day
+"""
+
+
+def q_source_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix diagnostics: per-source language-distribution entropy
+    and KL divergence from the corpus-wide language mix — the drift /
+    imbalance signal a training-data pipeline watches per ingest
+    source. Distributions come from exact integer counts; the log-sum
+    runs over ≤|langs| terms per source (tiny — the heavy work is the
+    two count aggregations, both single-shuffle with map-side
+    partials; the global lang mix broadcasts back)."""
+    docs = _t(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_sl"))
+    s = sl.groupBy("source").agg(F.sum("n_sl").alias("n_s"))
+    lg = sl.groupBy("lang").agg(F.sum("n_sl").alias("n_l"))
+    total = docs.count()
+    p = F.col("n_sl") / F.col("n_s")
+    q = F.col("n_l") / F.lit(float(total))
+    return (
+        sl.join(F.broadcast(s), "source")
+        .join(F.broadcast(lg), "lang")
+        .groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_from_global"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_SOURCE_DIVERGENCE = """
+WITH sl AS (
+  SELECT source, lang, count(*)::BIGINT AS n_sl FROM documents GROUP BY 1, 2
+),
+s AS (SELECT source, sum(n_sl) AS n_s FROM sl GROUP BY 1),
+lg AS (SELECT lang, sum(n_sl) AS n_l FROM sl GROUP BY 1),
+tot AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT sl.source, max(s.n_s)::BIGINT AS n_docs,
+       round(-sum((n_sl / n_s) * ln(n_sl / n_s)), 6) AS entropy,
+       round(sum((n_sl / n_s) * ln((n_sl / n_s) / (n_l / tot.n))), 6)
+         AS kl_from_global
+FROM sl
+JOIN s ON sl.source = s.source
+JOIN lg ON sl.lang = lg.lang
+CROSS JOIN tot
+GROUP BY sl.source
+ORDER BY sl.source
+"""
+
+
+def q_fuzzy_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection — the dedup-family member the
+    shingle methods can't express (they see token multisets; this sees
+    character-level edits). Blocked self-join: candidates share an
+    8-char prefix block (equi-join — the cross product never exists),
+    then exact Levenshtein over 32-char heads refines at threshold ≤8.
+    At 100 TB the block key generalizes to (prefix, length-band)
+    multi-blocking; Levenshtein cost is bounded by the 32-char cap.
+    Both engines implement classic unit-cost edit distance."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.substring("text", 1, 8).alias("blk"),
+        F.substring("text", 1, 32).alias("head"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("a_id"), F.col("blk"), F.col("head").alias("a_head")
+    )
+    b = d.select(
+        F.col("doc_id").alias("b_id"), F.col("blk"), F.col("head").alias("b_head")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("dist", F.levenshtein("a_head", "b_head"))
+        .filter(F.col("dist") <= 8)
+        .select("a_id", "b_id", "dist")
+        .orderBy("a_id", "b_id")
+    )
+
+
+_SQL_FUZZY_DUP = """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 8) AS blk, substr(text, 1, 32) AS head
+  FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       levenshtein(a.head, b.head)::INT AS dist
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 8
+ORDER BY a_id, b_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6787,6 +7015,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "order_item_arrays": (q_order_item_arrays, _SQL_ORDER_ARRAYS),
     "skyline_parts": (q_skyline_parts, _SQL_SKYLINE),
     "repetition_ratio_docs": (q_repetition_ratio_docs, _SQL_REPETITION),
+    "bloom_prune_orders": (q_bloom_prune_orders, _SQL_BLOOM_PRUNE),
+    "rolling_anomaly_days": (q_rolling_anomaly_days, _SQL_ROLLING_ANOMALY),
+    "source_lang_divergence": (q_source_lang_divergence, _SQL_SOURCE_DIVERGENCE),
+    "fuzzy_dup_docs": (q_fuzzy_dup_docs, _SQL_FUZZY_DUP),
 }
 
 

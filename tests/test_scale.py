@@ -61,3 +61,61 @@ def test_salted_join_matches_plain(spark):
     plain = big.join(small, "k").agg(F.count(F.lit(1)), F.sum("v")).collect()[0]
     salted = salted_join_inner(big, small, "k").agg(F.count(F.lit(1)), F.sum("v")).collect()[0]
     assert tuple(plain) == tuple(salted)
+
+
+def test_bloom_filter_contract(spark, sf_dir):
+    """No false negatives ever; FPR small for 2048 bits / 3 hashes at
+    fixture key counts; candidates ⊇ true matches."""
+    from geo_big_data_analysis_spark.plans.registry import REGISTRY
+
+    row = REGISTRY["bloom_prune_orders"][0](spark, sf_dir).collect()[0]
+    assert row.n_missed == 0
+    assert row.n_candidates >= row.n_true
+    assert 0.0 <= row.fpr < 0.2
+    assert row.n_candidates < row.n_total  # it actually prunes
+
+
+def test_bloom_probe_equals_flag_filter(spark, sf_dir):
+    from geo_big_data_analysis_spark.operators.scale import (
+        bloom_bitmap,
+        bloom_flag,
+        bloom_probe,
+    )
+    from geo_big_data_analysis_spark.plans.registry import _t
+    from pyspark.sql import functions as F
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    dim = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    bm = bloom_bitmap(dim, "c_custkey")
+    n_probe = bloom_probe(orders, "o_custkey", bm).count()
+    n_flag = bloom_flag(orders, "o_custkey", bm).filter("bloom_pass").count()
+    assert n_probe == n_flag
+
+
+def test_fuzzy_dup_includes_exact_dups(spark, sf_dir):
+    """Exact-duplicate heads must appear at distance 0."""
+    from geo_big_data_analysis_spark.plans.registry import REGISTRY, _t
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    dup_heads = (
+        docs.groupBy(F.substring("text", 1, 32).alias("h"))
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    rows = REGISTRY["fuzzy_dup_docs"][0](spark, sf_dir).collect()
+    zero_pairs = [r for r in rows if r.dist == 0]
+    if dup_heads > 0:
+        assert zero_pairs
+    for r in rows:
+        assert r.a_id < r.b_id and 0 <= r.dist <= 8
+
+
+def test_divergence_nonnegative(spark, sf_dir):
+    from geo_big_data_analysis_spark.plans.registry import REGISTRY
+
+    for r in REGISTRY["source_lang_divergence"][0](spark, sf_dir).collect():
+        assert r.entropy >= 0.0
+        assert r.kl_from_global >= -1e-9  # Gibbs' inequality

@@ -56,6 +56,7 @@ ALLOWLIST_GLOBAL_WINDOW = {
     "auc_rank_metric": "cumulative counts over distinct-score groups (~550 rows, domain-bounded)",
     "gap_fill_daily_revenue": "forward-fill over the daily pre-aggregate (time-span-bounded, ~2.4k rows/7y)",
     "logreg_return_metrics": "AUC rank window over 6dp-rounded score groups (bounded <=1e6 rows)",
+    "rolling_anomaly_days": "trailing-7-day frame over the daily pre-aggregate (time-span-bounded)",
 }
 
 
