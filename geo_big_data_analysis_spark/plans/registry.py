@@ -6855,6 +6855,42 @@ ORDER BY a_id, b_id
 """
 
 
+def q_streaming_dedup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — CHAINED stateful operators in one streaming query:
+    watermarked dedup (dropDuplicatesWithinWatermark on
+    (user_id, event_type, ts)) feeding a tumbling-hour windowed count.
+    Two state stores in one pipeline — the shape real ingestion
+    pipelines run (exactly-once cleanse → aggregate), and the reason
+    state-partition scoping matters (state instances = partitions ×
+    stateful ops). availableNow drain ⇒ oracle = batch DISTINCT then
+    hourly GROUP BY."""
+    from ..streaming.windows import (
+        run_to_memory,
+        scoped_shuffle_partitions,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "ts"]
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "n")
+    )
+    with scoped_shuffle_partitions(spark):
+        out = run_to_memory(agg)
+    return out.orderBy("hour_start")
+
+
+_SQL_STREAM_DEDUP_HOURLY = """
+WITH d AS (SELECT DISTINCT user_id, event_type, ts FROM events)
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, count(*)::BIGINT AS n
+FROM d GROUP BY 1 ORDER BY hour_start
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7019,6 +7055,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rolling_anomaly_days": (q_rolling_anomaly_days, _SQL_ROLLING_ANOMALY),
     "source_lang_divergence": (q_source_lang_divergence, _SQL_SOURCE_DIVERGENCE),
     "fuzzy_dup_docs": (q_fuzzy_dup_docs, _SQL_FUZZY_DUP),
+    "streaming_dedup_hourly": (q_streaming_dedup_hourly, _SQL_STREAM_DEDUP_HOURLY),
 }
 
 

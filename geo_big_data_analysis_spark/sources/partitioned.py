@@ -153,3 +153,28 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_date_partitioned(df: DataFrame, path: str, ts_col: str) -> None:
+    """Temporal layout twin of the spatial cell partitioning: one
+    directory per event date. A date-range predicate then prunes at
+    the DIRECTORY level (PartitionFilters) before any footer is read —
+    the layout that turns a Q6-style shipdate window into a 1/84th
+    scan at 100 TB. Hive-style `dt=YYYY-MM-DD` partition values keep
+    the column orderable as a string, so range predicates prune."""
+    (
+        df.withColumn("dt", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(path)
+    )
+
+
+def read_date_pruned(
+    spark: SparkSession, path: str, date_min: str, date_max: str
+) -> DataFrame:
+    """Scan a date-partitioned layout restricted to [date_min, date_max]
+    (inclusive, 'YYYY-MM-DD' strings — lexicographic order IS date
+    order for this format, so the filter is a partition-level range)."""
+    df = spark.read.parquet(path)
+    return df.filter(F.col("dt").between(date_min, date_max))

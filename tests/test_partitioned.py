@@ -116,3 +116,28 @@ def test_zorder_key_locality():
 
     assert {z(0, 0), z(1, 0), z(0, 1), z(1, 1)} == {0, 1, 2, 3}
     assert {z(2, 2), z(3, 2), z(2, 3), z(3, 3)} == {12, 13, 14, 15}
+
+
+def test_date_partitioned_scan_prunes_directories(spark, tmp_path):
+    from geo_big_data_analysis_spark.plans.registry import _t
+    from geo_big_data_analysis_spark.sources.partitioned import (
+        read_date_pruned,
+        write_date_partitioned,
+    )
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events").select("event_id", "ts")
+    path = str(tmp_path / "bydate")
+    write_date_partitioned(ev, path, "ts")
+    got = read_date_pruned(spark, path, "2024-01-03", "2024-01-05")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters")[1][:200]
+    # file-level pruning: scan touches only the 3 matching day dirs
+    n_files_scanned = got.select(F.input_file_name()).distinct().count()
+    import glob
+
+    n_files_total = len(glob.glob(f"{path}/dt=*/*.parquet"))
+    assert n_files_scanned < n_files_total
+    full = ev.filter(
+        F.date_format("ts", "yyyy-MM-dd").between("2024-01-03", "2024-01-05")
+    )
+    assert got.count() == full.count()
