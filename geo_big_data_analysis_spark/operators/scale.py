@@ -176,3 +176,51 @@ def bloom_probe(
         .filter(F.col("bloom_pass"))
         .drop("bloom_pass")
     )
+
+
+def frequent_items(
+    df: DataFrame, keys: list[str], support: float
+) -> DataFrame:
+    """Exact heavy hitters above a relative support threshold, computed
+    distributed-sketch-style in two passes:
+
+    1. **Candidate phase** — per-partition exact counts; an item is a
+       candidate iff its count in SOME partition exceeds
+       support × (partition size). Pigeonhole guarantee: if an item's
+       global freq > support·n, then Σ freq_p > support·Σ n_p forces
+       freq_p > support·n_p in at least one partition — so the
+       candidate set provably contains every true heavy hitter, on ANY
+       partitioning. (This is the SpaceSaving/Misra-Gries candidate
+       bound with per-partition exact counting standing in for the
+       bounded-memory sketch; swap the local counter for a real MG
+       sketch when per-partition cardinality can't be counted exactly.)
+    2. **Recount phase** — exact global counts of candidates only
+       (left-semi pruned), filtered at support·n.
+
+    Output is therefore EXACTLY the items with freq > support·n —
+    partition-count-independent, which is what lets a plain SQL
+    HAVING clause oracle-check a partition-aware algorithm."""
+    pid = F.spark_partition_id()
+    local = (
+        df.withColumn("_pid", pid)
+        .groupBy("_pid", *keys)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    ptot = local.groupBy("_pid").agg(F.sum("_c").alias("_np"))
+    cand = (
+        local.join(ptot, "_pid")
+        .filter(F.col("_c") > F.lit(support) * F.col("_np"))
+        .select(*keys)
+        .distinct()
+    )
+    exact = (
+        df.join(F.broadcast(cand), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("freq") > F.lit(support) * F.col("_n"))
+        .drop("_n")
+    )

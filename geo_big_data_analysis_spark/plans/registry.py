@@ -6891,6 +6891,119 @@ FROM d GROUP BY 1 ORDER BY hour_start
 """
 
 
+def q_heavy_hitter_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (`operators/scale.frequent_items`): brands above
+    4.08% of lineitem volume, found sketch-style — per-partition exact
+    counts generate candidates (pigeonhole: a global heavy hitter MUST
+    exceed the local threshold in some partition, on any partitioning),
+    then a semi-join-pruned exact recount filters at support·n. The
+    output is provably exactly the > support·n set, which is why a
+    plain HAVING-clause oracle checks a partition-aware algorithm.
+    At 100 TB the local counter swaps for a bounded-memory
+    Misra-Gries/SpaceSaving sketch; the two-phase shape is unchanged.
+    The brand key comes from a broadcast part join before the count."""
+    from ..operators.scale import frequent_items
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    branded = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return (
+        frequent_items(branded.select("p_brand"), ["p_brand"], support=0.0408)
+        .orderBy(F.desc("freq"), "p_brand")
+    )
+
+
+_SQL_HEAVY_HITTERS = """
+WITH branded AS (
+  SELECT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT p_brand, count(*)::BIGINT AS freq
+FROM branded
+GROUP BY p_brand
+HAVING count(*) > 0.0408 * (SELECT count(*) FROM branded)
+ORDER BY freq DESC, p_brand
+"""
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining (A-priori level 2): parts co-occurring
+    in the same order, support ≥ 3, top-20. The self-join keys on
+    l_orderkey over the DISTINCT (order, part) projection — pair
+    fan-out is Σ items_per_order², bounded by basket size, never
+    |parts|². Canonical a<b orientation halves the join output and
+    makes each pair unique. At scale, hot giant baskets are the skew
+    axis — cap basket size or salt the orderkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("a_part"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("b_part"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a_part") < F.col("b_part"))
+        .groupBy("a_part", "b_part")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+        .orderBy(F.desc("support"), "a_part", "b_part")
+        .limit(20)
+    )
+
+
+_SQL_COPURCHASE = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS a_part, b.l_partkey AS b_part,
+       count(*)::BIGINT AS support
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 3
+ORDER BY support DESC, a_part, b_part
+LIMIT 20
+"""
+
+
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() over (user_id ordered by ts, event_id — a total
+    order), then (from, to) counts row-normalized into transition
+    probabilities. One user-keyed window shuffle + one tiny agg; the
+    normalizing per-from totals come from a window over the 5×5
+    transition-count table (bounded by |event_type|²)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return (
+        trans.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(w_from), 6)
+        )
+        .orderBy("from_type", "next_type")
+    )
+
+
+_SQL_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+trans AS (
+  SELECT event_type AS from_type, next_type, count(*)::BIGINT AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, next_type, n,
+       round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+FROM trans
+ORDER BY from_type, next_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7056,6 +7169,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "source_lang_divergence": (q_source_lang_divergence, _SQL_SOURCE_DIVERGENCE),
     "fuzzy_dup_docs": (q_fuzzy_dup_docs, _SQL_FUZZY_DUP),
     "streaming_dedup_hourly": (q_streaming_dedup_hourly, _SQL_STREAM_DEDUP_HOURLY),
+    "heavy_hitter_brands": (q_heavy_hitter_brands, _SQL_HEAVY_HITTERS),
+    "copurchase_pairs": (q_copurchase_pairs, _SQL_COPURCHASE),
+    "event_transition_matrix": (q_event_transition_matrix, _SQL_TRANSITIONS),
 }
 
 

@@ -119,3 +119,27 @@ def test_divergence_nonnegative(spark, sf_dir):
     for r in REGISTRY["source_lang_divergence"][0](spark, sf_dir).collect():
         assert r.entropy >= 0.0
         assert r.kl_from_global >= -1e-9  # Gibbs' inequality
+
+
+def test_frequent_items_partition_independent(spark, sf_dir):
+    """The pigeonhole candidate phase must yield the exact > support·n
+    set regardless of partitioning."""
+    from geo_big_data_analysis_spark.operators.scale import frequent_items
+    from geo_big_data_analysis_spark.plans.registry import _t
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events").select("event_type")
+    n = ev.count()
+    expected = {
+        (r.event_type, r.c)
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r.c > 0.15 * n
+    }
+    for parts in (1, 3, 16):
+        got = {
+            (r.event_type, r.freq)
+            for r in frequent_items(
+                ev.repartition(parts), ["event_type"], 0.15
+            ).collect()
+        }
+        assert got == expected, parts
