@@ -7004,6 +7004,61 @@ ORDER BY from_type, next_type
 """
 
 
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding compression for vector stores: per-vector symmetric
+    int8 scalar quantization (scale = max|x|/127, q = round(x/scale))
+    with exact reconstruction-error accounting — the 4×-compression
+    step an ANN index applies before sharding at 100 TB. Everything is
+    per-row HOF arithmetic (transform / zip_with / aggregate folds) in
+    one codegen'd projection — zero shuffles before the per-label
+    rollup. Arrays are cast float→double on BOTH engines so the
+    round-trip arithmetic is bit-comparable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v))) / F.lit(127.0)
+    rec = F.transform(x, lambda v: F.round(v / scale) * scale)
+    sq = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, v: acc + v
+    )
+    err2 = sq(F.zip_with(x, rec, lambda a, b: (a - b) * (a - b)))
+    norm2 = sq(F.transform(x, lambda v: v * v))
+    rel = F.sqrt(err2 / norm2)
+    return (
+        emb.select("label", rel.alias("rel_err"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("rel_err"), 6).alias("avg_rel_err"),
+            F.round(F.max("rel_err"), 6).alias("max_rel_err"),
+        )
+        .orderBy("label")
+    )
+
+
+_SQL_EMB_QUANT = """
+WITH q AS (
+  SELECT label,
+         embedding::DOUBLE[] AS x,
+         list_max(list_transform(embedding::DOUBLE[], v -> abs(v))) / 127.0
+           AS scale
+  FROM embeddings
+),
+e AS (
+  SELECT label,
+         sqrt(
+           list_sum(list_transform(range(1, len(x) + 1),
+                    i -> pow(x[i] - round(x[i] / scale) * scale, 2)))
+           / list_sum(list_transform(x, v -> v * v))
+         ) AS rel_err
+  FROM q
+)
+SELECT label, count(*)::BIGINT AS n,
+       round(avg(rel_err), 6) AS avg_rel_err,
+       round(max(rel_err), 6) AS max_rel_err
+FROM e GROUP BY label ORDER BY label
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7172,6 +7227,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "heavy_hitter_brands": (q_heavy_hitter_brands, _SQL_HEAVY_HITTERS),
     "copurchase_pairs": (q_copurchase_pairs, _SQL_COPURCHASE),
     "event_transition_matrix": (q_event_transition_matrix, _SQL_TRANSITIONS),
+    "embedding_quantization": (q_embedding_quantization, _SQL_EMB_QUANT),
 }
 
 

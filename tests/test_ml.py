@@ -207,3 +207,14 @@ def test_logreg_binary_metrics_floor(spark, sf_dir):
     assert 0.0 < row.precision <= 1.0 and 0.0 < row.recall <= 1.0
     f1 = 2 * row.precision * row.recall / (row.precision + row.recall)
     assert abs(f1 - row.f1) < 1e-3
+
+
+def test_quantization_error_small_for_int8(spark, sf_dir):
+    """int8 symmetric quantization: relative L2 reconstruction error
+    should be well under 1% for unit-ish random vectors."""
+    from geo_big_data_analysis_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["embedding_quantization"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.avg_rel_err <= r.max_rel_err < 0.01
