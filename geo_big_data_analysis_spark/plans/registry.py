@@ -7059,6 +7059,197 @@ FROM e GROUP BY label ORDER BY label
 """
 
 
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (data-quality surface): one output row per
+    column with null count, distinct count, and min/max rendered as
+    strings — the schema-drift / ingest-health scan run before a table
+    enters a pipeline. The plan is metadata-driven: the profile
+    expression list is GENERATED from the schema (one wide agg, a
+    single pass — not one job per column), then unpivoted via stack.
+    count(DISTINCT a,b,c,...) multi-column expansion is Catalyst's
+    expand — still one scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_shipdate",
+    ]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_nulls, n_distinct, min_str, max_str)"
+    ).orderBy("col_name")
+
+
+_SQL_PROFILE = """
+SELECT * FROM (
+  SELECT 'l_orderkey' AS col_name,
+         sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+         count(DISTINCT l_orderkey)::BIGINT AS n_distinct,
+         min(l_orderkey::VARCHAR) AS min_str, max(l_orderkey::VARCHAR) AS max_str
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT l_partkey)::BIGINT,
+         min(l_partkey::VARCHAR), max(l_partkey::VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT l_suppkey)::BIGINT,
+         min(l_suppkey::VARCHAR), max(l_suppkey::VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT l_quantity)::BIGINT,
+         min(l_quantity::VARCHAR), max(l_quantity::VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice',
+         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT l_extendedprice)::BIGINT,
+         min(l_extendedprice::VARCHAR), max(l_extendedprice::VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT l_returnflag)::BIGINT,
+         min(l_returnflag::VARCHAR), max(l_returnflag::VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate', sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+         count(DISTINCT l_shipdate)::BIGINT,
+         min(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')),
+         max(strftime(l_shipdate, '%Y-%m-%d %H:%M:%S')) FROM lineitem
+)
+ORDER BY col_name
+"""
+
+
+def q_twap_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) over irregular samples: each
+    observation holds until the next one of the same type, so its
+    weight is that interval's duration (lead(ts) − ts; the final open
+    interval drops). The irregular-sampling-correct mean — a plain avg
+    over-weights burst periods. One window shuffle on event_type, one
+    agg; integral microsecond durations keep the weighted sums exact
+    until the final division."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ltz = F.col("ts").cast("timestamp")  # ntz fixtures: UTC identity cast
+    dur = (
+        F.unix_micros(F.lead(ltz).over(w)) - F.unix_micros(ltz)
+    ).alias("dur_us")
+    obs = ev.select("event_type", "ts", "event_id", "value").select(
+        "event_type", "value", dur
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        obs.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+            ).alias("twap"),
+            F.round(F.avg("value"), 6).alias("plain_avg"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_TWAP = """
+WITH obs AS (
+  SELECT event_type, value,
+         epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) - ts) AS dur_us
+  FROM events
+)
+SELECT event_type,
+       round(sum(value * dur_us) / sum(dur_us), 6) AS twap,
+       round(avg(value), 6) AS plain_avg,
+       count(*)::BIGINT AS n_intervals
+FROM obs WHERE dur_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_user_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory analytics over the derived point-per-event convention:
+    per-user path length (haversine between consecutive pings), max
+    single hop, and average speed (km/h over active time). Composes
+    the per-user sequence window with the geo kernel — all codegen;
+    one shuffle on user_id, then a per-user agg on the same key (no
+    second exchange: the window's hash partitioning is reused)."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.lit(-74.3) + (F.col("event_id") % 1000) / 1000.0 * 0.6).alias("lon"),
+        (F.lit(40.5) + ((F.col("event_id") * 7) % 1000) / 1000.0 * 0.5).alias("lat"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = pts.select(
+        "user_id",
+        "ts",
+        "lon",
+        "lat",
+        F.lag("lon").over(w).alias("plon"),
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("ts").over(w).alias("pts_"),
+    ).filter(F.col("plon").isNotNull())
+    hop_km = haversine_km("plat", "plon", "lat", "lon")
+    dt_h = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("pts_").cast("timestamp"))
+    ) / F.lit(3600.0 * 1e6)
+    return (
+        hops.select("user_id", hop_km.alias("hop_km"), dt_h.alias("dt_h"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("hop_km"), 3).alias("path_km"),
+            F.round(F.max("hop_km"), 3).alias("max_hop_km"),
+            F.round(F.sum("hop_km") / F.sum("dt_h"), 3).alias("avg_kmh"),
+            F.count(F.lit(1)).alias("n_hops"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _sql_trajectory() -> str:
+    return """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         -74.3 + (event_id % 1000) / 1000.0 * 0.6 AS lon,
+         40.5 + ((event_id * 7) % 1000) / 1000.0 * 0.5 AS lat
+  FROM events
+),
+hops AS (
+  SELECT user_id, ts, lon, lat,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+         lag(ts) OVER w AS pts_
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+d AS (
+  SELECT user_id,
+         2 * 6371.0 * asin(sqrt(
+           pow(sin((radians(lat) - radians(plat)) / 2), 2)
+           + cos(radians(plat)) * cos(radians(lat))
+             * pow(sin((radians(lon) - radians(plon)) / 2), 2)
+         )) AS hop_km,
+         epoch_us(ts - pts_) / (3600.0 * 1e6) AS dt_h
+  FROM hops WHERE plon IS NOT NULL
+)
+SELECT user_id, round(sum(hop_km), 3) AS path_km,
+       round(max(hop_km), 3) AS max_hop_km,
+       round(sum(hop_km) / sum(dt_h), 3) AS avg_kmh,
+       count(*)::BIGINT AS n_hops
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7228,6 +7419,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "copurchase_pairs": (q_copurchase_pairs, _SQL_COPURCHASE),
     "event_transition_matrix": (q_event_transition_matrix, _SQL_TRANSITIONS),
     "embedding_quantization": (q_embedding_quantization, _SQL_EMB_QUANT),
+    "profile_lineitem": (q_profile_lineitem, _SQL_PROFILE),
+    "twap_value_by_type": (q_twap_value_by_type, _SQL_TWAP),
+    "user_trajectory_stats": (q_user_trajectory_stats, _sql_trajectory()),
 }
 
 

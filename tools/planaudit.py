@@ -44,6 +44,7 @@ ALLOWLIST_NLJ = {
     "streaming_click_nopurchase": "1-row watermark-horizon broadcast over the drained batch",
     "important_part_value": "Q11 scalar subquery: 1-row global-sum broadcast threshold",
     "logreg_return_metrics": "1-row AUC/confusion-count broadcast join in binary_metrics",
+    "heavy_hitter_brands": "1-row total-count broadcast for the support threshold (frequent_items)",
 }
 
 
