@@ -7250,6 +7250,141 @@ FROM d GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_ks_statistic_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the purchase and
+    click value distributions — distribution-drift detection without
+    sorting rows: group by (2dp) value first, cumulative counts run
+    over VALUE GROUPS (domain-bounded, the same trick as the AUC
+    metric), D = max |CDF₁ − CDF₂| over group boundaries. The only
+    unpartitioned window is over ≤10⁵ distinct 2dp values regardless
+    of row count."""
+    ev = _t(spark, sf_dir, "events")
+    two = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.round("value", 2).alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_p"),
+    )
+    g = two.groupBy("v").agg(
+        F.sum("is_p").alias("n_p"),
+        F.sum(F.lit(1) - F.col("is_p")).alias("n_c"),
+    )
+    tot = two.agg(
+        F.sum("is_p").alias("t_p"), F.sum(F.lit(1) - F.col("is_p")).alias("t_c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "v",
+        F.sum("n_p").over(w).alias("c_p"),
+        F.sum("n_c").over(w).alias("c_c"),
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .select(
+            (F.abs(F.col("c_p") / F.col("t_p") - F.col("c_c") / F.col("t_c"))).alias(
+                "gap"
+            )
+        )
+        .agg(F.round(F.max("gap"), 6).alias("ks_d"))
+    )
+
+
+_SQL_KS = """
+WITH two AS (
+  SELECT round(value, 2) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+g AS (
+  SELECT v, sum(is_p) AS n_p, sum(1 - is_p) AS n_c FROM two GROUP BY v
+),
+tot AS (SELECT sum(is_p) AS t_p, sum(1 - is_p) AS t_c FROM two),
+cum AS (
+  SELECT v,
+         sum(n_p) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c_p,
+         sum(n_c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c_c
+  FROM g
+)
+SELECT round(max(abs(c_p / t_p - c_c / t_c)), 6) AS ks_d
+FROM cum CROSS JOIN tot
+"""
+
+
+def q_except_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family multiset completion — EXCEPT ALL (count-respecting
+    difference): order-priority rows of 1997 minus those of 1998, i.e.
+    each (custkey, priority) keeps max(n₁₉₉₇ − n₁₉₉₈, 0) copies.
+    Catalyst plans exceptAll as a counted anti-semantics generate —
+    no row-id tricks needed; the output here aggregates the surviving
+    multiset so the oracle compares a bounded table."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def year(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey", "o_orderpriority")
+
+    surviving = year(1997).exceptAll(year(1998))
+    return (
+        surviving.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_surviving"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_EXCEPT_ALL = """
+WITH a AS (
+  SELECT o_custkey, o_orderpriority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+),
+b AS (
+  SELECT o_custkey, o_orderpriority FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    AND o_orderdate < TIMESTAMP '1999-01-01'
+),
+surviving AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+SELECT o_orderpriority, count(*)::BIGINT AS n_surviving
+FROM surviving GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_value_deciles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram: ntile(10) deciles of value within each
+    event type, with per-decile count / bounds / mean — the
+    quantile-bucket profile (feature binning, monotonic calibration
+    inputs). The decile window partitions by event_type (no global
+    sort); (value, event_id) ordering makes bucket assignment a total
+    order, so both engines cut ties identically."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", "event_id")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+_SQL_DECILES = """
+WITH d AS (
+  SELECT event_type, value,
+         ntile(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, decile, count(*)::BIGINT AS n,
+       round(min(value), 2) AS lo, round(max(value), 2) AS hi,
+       round(avg(value), 6) AS mean_value
+FROM d GROUP BY 1, 2 ORDER BY event_type, decile
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7422,6 +7557,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "profile_lineitem": (q_profile_lineitem, _SQL_PROFILE),
     "twap_value_by_type": (q_twap_value_by_type, _SQL_TWAP),
     "user_trajectory_stats": (q_user_trajectory_stats, _sql_trajectory()),
+    "ks_statistic_values": (q_ks_statistic_values, _SQL_KS),
+    "except_all_orders": (q_except_all_orders, _SQL_EXCEPT_ALL),
+    "value_deciles_by_type": (q_value_deciles_by_type, _SQL_DECILES),
 }
 
 
