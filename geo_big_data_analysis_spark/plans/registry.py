@@ -5024,14 +5024,21 @@ def q_incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates the full table directly in one pass — proving
     merge(partial(A), partial(B)) ≡ full(A ∪ B), the property that lets
     a 100 TB rollup absorb an hourly ingest without rescanning history.
+    Money sums ride exact integer cents (round(value·100) as bigint):
+    float sums are association-SENSITIVE, so the merged two-stage sum
+    could land an ulp away from the oracle's one-pass sum and flip a
+    rounding boundary (it did, once, at sf0.1) — integer partials make
+    merge ≡ full exact, which is also how a real rollup should store
+    money.
     """
     ev = _t(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts"))
+    cents = F.round(F.col("value") * 100).cast("bigint")
 
     def partial(df: DataFrame) -> DataFrame:
         return df.groupBy(hour.alias("bucket_ts")).agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("s"),
+            F.sum(cents).alias("s"),
             F.min("value").alias("mn"),
             F.max("value").alias("mx"),
         )
@@ -5050,8 +5057,8 @@ def q_incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "bucket_ts",
             "n",
-            F.round("s", 2).alias("sum_value"),
-            F.round(F.col("s") / F.col("n"), 6).alias("avg_value"),
+            (F.col("s") / F.lit(100.0)).alias("sum_value"),
+            F.round(F.col("s") / F.lit(100.0) / F.col("n"), 6).alias("avg_value"),
             "mn",
             "mx",
         )
@@ -5062,8 +5069,8 @@ def q_incremental_hourly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_INCREMENTAL = """
 SELECT date_trunc('hour', ts) AS bucket_ts,
        count(*)::BIGINT AS n,
-       round(sum(value), 2) AS sum_value,
-       round(sum(value) / count(*), 6) AS avg_value,
+       sum(round(value * 100)::BIGINT) / 100.0 AS sum_value,
+       round(sum(round(value * 100)::BIGINT) / 100.0 / count(*), 6) AS avg_value,
        min(value) AS mn,
        max(value) AS mx
 FROM events
