@@ -1,0 +1,83 @@
+"""Physical-plan fingerprint snapshot: guards against silent plan
+regressions (a lost broadcast, an extra shuffle, a window collapsing to
+a single partition) across refactors.
+
+For every batch registry query, records:
+  - exchanges: Exchange node count in the initial physical plan
+  - nlj: BroadcastNestedLoopJoin present
+  - global_windows: unpartitioned WindowExec count
+
+Streaming queries are excluded (their plan fingerprint is the drained
+micro-batch's — not stable to snapshot, and their correctness is gated
+by the oracle suite).
+
+Usage:
+  python tools/plansnapshot.py write   # refresh PLAN_BASELINE.json
+  python tools/plansnapshot.py check   # exit 1 on drift (pytest wraps this)
+
+Drift is not automatically wrong — a deliberate plan improvement should
+re-run `write` and commit the new baseline alongside the change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geo_big_data_analysis_spark.plans.registry import REGISTRY  # noqa: E402
+from geo_big_data_analysis_spark.session import get_spark  # noqa: E402
+from tools.planaudit import _unpartitioned_windows  # noqa: E402
+
+BASELINE_PATH = os.path.join(os.path.dirname(__file__), "PLAN_BASELINE.json")
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def fingerprints(sf_dir: str = SF_DIR) -> dict[str, dict]:
+    spark = get_spark("plansnapshot")
+    out: dict[str, dict] = {}
+    for name, (fn, oracle) in REGISTRY.items():
+        if name.startswith("streaming_"):
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            out[name] = {
+                "exchanges": plan.count("Exchange "),
+                "nlj": "BroadcastNestedLoopJoin" in plan,
+                "global_windows": _unpartitioned_windows(df),
+            }
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"error": f"{type(e).__name__}"}
+    return out
+
+
+def main() -> int:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "check"
+    fps = fingerprints()
+    if mode == "write":
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(fps, f, indent=1, sort_keys=True)
+        print(f"wrote {len(fps)} fingerprints to {BASELINE_PATH}")
+        return 0
+    with open(BASELINE_PATH) as f:
+        base = json.load(f)
+    drift = []
+    for name, fp in fps.items():
+        if name not in base:
+            drift.append(f"NEW (not in baseline — run write): {name} {fp}")
+        elif base[name] != fp:
+            drift.append(f"DRIFT {name}: baseline {base[name]} -> now {fp}")
+    for name in base:
+        if name not in fps:
+            drift.append(f"REMOVED from registry: {name}")
+    for d in drift:
+        print(d)
+    print(f"checked {len(fps)} fingerprints, drift: {len(drift)}")
+    return 1 if drift else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
