@@ -104,6 +104,20 @@ HEADLINE = [
     "skyline_parts",
     "repetition_ratio_docs",
     "order_item_arrays",
+    "bloom_prune_orders",
+    "rolling_anomaly_days",
+    "source_lang_divergence",
+    "fuzzy_dup_docs",
+    "heavy_hitter_brands",
+    "copurchase_pairs",
+    "event_transition_matrix",
+    "embedding_quantization",
+    "profile_lineitem",
+    "twap_value_by_type",
+    "user_trajectory_stats",
+    "ks_statistic_values",
+    "except_all_orders",
+    "value_deciles_by_type",
 ]
 
 
