@@ -7392,6 +7392,54 @@ FROM d GROUP BY 1, 2 ORDER BY event_type, decile
 """
 
 
+def q_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14's per-group generalization: closed-form linear trend of
+    value over time (days since 2024-01-01) computed independently for
+    every event type in ONE grouped aggregation — no per-group fitting
+    loop, the moment sums (n, Σx, Σy, Σx², Σy², Σxy) decompose per
+    group and the slope/intercept/r algebra runs on the 5-row result.
+    Centering x near 0 (days since corpus start, not epoch) keeps the
+    normal-equation arithmetic well-conditioned."""
+    ev = _t(spark, sf_dir, "events")
+    # 1704067200000000 µs = 2024-01-01; one bigint literal — an int32
+    # literal times 1e6 overflows SILENTLY under ANSI-off
+    xd = (
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lit(1704067200000000).cast("bigint")
+        )
+        / F.lit(86400.0 * 1e6)
+    ).alias("xd")
+    base = ev.select("event_type", xd, "value")
+    out = base.groupBy("event_type").agg(*linregress_aggs("xd", "value"))
+    return out.select(
+        "event_type",
+        *[F.round(F.col(c), 6).alias(c) for c in ("slope", "intercept", "r", "r2")],
+    ).orderBy("event_type")
+
+
+_SQL_VALUE_TREND = """
+WITH b AS (
+  SELECT event_type,
+         epoch_us(ts - TIMESTAMP '2024-01-01') / (86400.0 * 1e6) AS xd,
+         value AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, count(*)::DOUBLE AS n, sum(xd) AS sx, sum(y) AS sy,
+         sum(xd * xd) AS sxx, sum(y * y) AS syy, sum(xd * y) AS sxy
+  FROM b GROUP BY event_type
+)
+SELECT event_type,
+       round((sxy - sx*sy/n) / (sxx - sx*sx/n), 6) AS slope,
+       round((sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx) / n, 6) AS intercept,
+       round((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS r,
+       round(pow((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 2), 6)
+         AS r2
+FROM s ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7567,6 +7615,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ks_statistic_values": (q_ks_statistic_values, _SQL_KS),
     "except_all_orders": (q_except_all_orders, _SQL_EXCEPT_ALL),
     "value_deciles_by_type": (q_value_deciles_by_type, _SQL_DECILES),
+    "value_trend_by_type": (q_value_trend_by_type, _SQL_VALUE_TREND),
 }
 
 
