@@ -7440,6 +7440,72 @@ FROM s ORDER BY event_type
 """
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling DAU/WAU: distinct users per day, and distinct users over
+    the trailing 7 days — the metric a naive window SUM gets wrong
+    (distinct counts don't add across days). Exact formulation: reduce
+    to distinct (user, day) pairs once, then EXPLODE each pair to the
+    7 report-days it covers and count distinct per report day — the
+    covering-window expansion (same algebra as the sliding stream
+    windows), shuffling |users|×|days|×7 small rows, never re-scanning
+    facts per window. Report days clamp to the observed range so every
+    WAU has a full 7-day history."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        F.date_trunc("DAY", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    span = ud.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    covered = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("report_day"),
+    )
+    wau = covered.groupBy("report_day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, dau.day == wau.report_day)
+        .join(F.broadcast(span))
+        .filter(
+            (F.col("day") >= F.col("d0") + F.expr("INTERVAL 6 DAYS"))
+            & (F.col("day") <= F.col("d1"))
+        )
+        .select("day", "dau", "wau")
+        .orderBy("day")
+    )
+
+
+_SQL_ROLLING_ACTIVE = """
+WITH ud AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+),
+dau AS (SELECT day, count(DISTINCT user_id)::BIGINT AS dau FROM ud GROUP BY day),
+span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+covered AS (
+  SELECT user_id, day + (k.k * INTERVAL 1 DAY) AS report_day
+  FROM ud, (VALUES (0),(1),(2),(3),(4),(5),(6)) k(k)
+),
+wau AS (
+  SELECT report_day, count(DISTINCT user_id)::BIGINT AS wau
+  FROM covered GROUP BY report_day
+)
+SELECT dau.day, dau.dau, wau.wau
+FROM dau
+JOIN wau ON wau.report_day = dau.day
+CROSS JOIN span
+WHERE dau.day >= span.d0 + INTERVAL 6 DAY AND dau.day <= span.d1
+ORDER BY dau.day
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7616,6 +7682,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "except_all_orders": (q_except_all_orders, _SQL_EXCEPT_ALL),
     "value_deciles_by_type": (q_value_deciles_by_type, _SQL_DECILES),
     "value_trend_by_type": (q_value_trend_by_type, _SQL_VALUE_TREND),
+    "rolling_active_users": (q_rolling_active_users, _SQL_ROLLING_ACTIVE),
 }
 
 

@@ -503,3 +503,26 @@ def test_cosine_topk_pandas_matches_jvm(spark, sf_dir):
     assert set(jm) == set(pm) and len(jm) == 16 * 5
     for key, v in jm.items():
         assert abs(v - pm[key]) < 1e-9
+
+
+def test_rolling_wau_bounds_and_bruteforce(spark, sf_dir):
+    """WAU ≥ DAU everywhere; WAU matches a brute-force pandas recompute."""
+    import pandas as pd
+
+    from geo_big_data_analysis_spark.plans.registry import REGISTRY, _t
+
+    rows = REGISTRY["rolling_active_users"][0](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.wau >= r.dau
+
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    by_day = ev.groupby("day")["user_id"].agg(set)
+    for r in rows[:10]:
+        day = pd.Timestamp(r.day)
+        users = set()
+        for d in pd.date_range(day - pd.Timedelta(days=6), day):
+            if d in by_day.index:
+                users |= by_day[d]
+        assert len(users) == r.wau, day
