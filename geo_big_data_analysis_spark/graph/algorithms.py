@@ -454,3 +454,52 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    with (distinct-neighbor, undirected) degree < k and their incident
+    edges, a fixed ``rounds`` times. With rounds ≥ the peel depth the
+    result is the exact k-core (monotone: once stable, further rounds
+    are no-ops — choosing a fixed round count is what lets the oracle
+    unroll the loop as chained CTEs, the same contract as PageRank's
+    fixed power iterations).
+
+    Returns (id, core_degree) for nodes surviving in the k-core.
+
+    Scale: each round is one degree aggregation + two semi-join-shaped
+    hash joins on node ids; the edge set only shrinks. Lineage is cut
+    every 2 rounds (localCheckpoint) so plan depth stays bounded —
+    peel depth on real graphs is small (it's bounded by the degeneracy
+    ordering length, typically ≪ |V|)."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    for r in range(rounds):
+        deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("a")
+        adj = (
+            adj.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+        )
+        if r % 2 == 1:
+            adj = adj.localCheckpoint()
+    return (
+        adj.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("a").alias("id"), "core_degree")
+    )

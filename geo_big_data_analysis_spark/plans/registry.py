@@ -7506,6 +7506,127 @@ ORDER BY dau.day
 """
 
 
+def q_clustering_coefficient_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient c(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+    over the modular graph — composes the triangle-count operator with
+    the distinct-neighbor degree (both already oracle-proven pieces;
+    this query proves the composition). Nodes with deg < 2 report 0.
+    Top-level shape: two integer-keyed aggs + one join, all on node id."""
+    from ..graph.algorithms import triangle_counts
+
+    edges = _mod_graph_edges(spark)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(edges)
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            "deg",
+            F.coalesce("tri_count", F.lit(0)).alias("tri_count"),
+            F.when(
+                F.col("deg") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("tri_count", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("coef"),
+        )
+        .orderBy("id")
+    )
+
+
+_SQL_CLUSTERING_COEF = f"""
+WITH {_SQL_MOD_GRAPH},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e
+),
+deg AS (
+  SELECT id, count(*)::BIGINT AS deg FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY id
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tc AS (SELECT id, count(*)::BIGINT AS tri_count FROM corners GROUP BY id)
+SELECT deg.id, deg.deg, coalesce(tc.tri_count, 0) AS tri_count,
+       CASE WHEN deg.deg >= 2
+            THEN round(2.0 * coalesce(tc.tri_count, 0)
+                       / (deg.deg * (deg.deg - 1)), 6)
+            ELSE 0.0 END AS coef
+FROM deg LEFT JOIN tc ON deg.id = tc.id
+ORDER BY deg.id
+"""
+
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 5
+
+
+def q_kcore_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the modular graph by fixed-round iterative peeling
+    (`graph/algorithms.kcore`, 5 rounds ≥ the measured peel depth of 4,
+    so the output IS the exact 4-core). The oracle unrolls every peel
+    round as chained CTEs — degree, keep-set, edge filter — the same
+    fixed-iteration replay contract as PageRank/Lloyd's."""
+    from ..graph.algorithms import kcore
+
+    return kcore(
+        _mod_graph_edges(spark), k=_KCORE_K, rounds=_KCORE_ROUNDS
+    ).orderBy("id")
+
+
+def _sql_kcore() -> str:
+    parts = [
+        "adj0 AS (SELECT u AS a, v AS b FROM und"
+        " UNION ALL SELECT v AS a, u AS b FROM und)"
+    ]
+    for r in range(_KCORE_ROUNDS):
+        parts.append(
+            f"deg{r} AS (SELECT a, count(*) AS d FROM adj{r} GROUP BY a)"
+        )
+        parts.append(f"keep{r} AS (SELECT a FROM deg{r} WHERE d >= {_KCORE_K})")
+        parts.append(
+            f"adj{r + 1} AS (SELECT adj{r}.a, adj{r}.b FROM adj{r} "
+            f"JOIN keep{r} ka ON adj{r}.a = ka.a "
+            f"JOIN keep{r} kb ON adj{r}.b = kb.a)"
+        )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_SQL_MOD_GRAPH},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e
+),
+{chain}
+SELECT a AS id, count(*)::BIGINT AS core_degree
+FROM adj{_KCORE_ROUNDS} GROUP BY a ORDER BY id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7683,6 +7804,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "value_deciles_by_type": (q_value_deciles_by_type, _SQL_DECILES),
     "value_trend_by_type": (q_value_trend_by_type, _SQL_VALUE_TREND),
     "rolling_active_users": (q_rolling_active_users, _SQL_ROLLING_ACTIVE),
+    "clustering_coefficient_mod": (q_clustering_coefficient_mod, _SQL_CLUSTERING_COEF),
+    "kcore_mod": (q_kcore_mod, _sql_kcore()),
 }
 
 

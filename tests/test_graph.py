@@ -261,3 +261,66 @@ def test_triangle_counts_property_random_graphs(spark):
         assert got == want
 
     check()
+
+
+def _mod_edges_py():
+    n = 300
+    raw = set()
+    for i in range(n):
+        for d in ((2 * i + 1) % n, (3 * i + 7) % n, (i * i + 3) % n):
+            if i != d:
+                raw.add((min(i, d), max(i, d)))
+    return raw
+
+
+def test_kcore_matches_bruteforce_peeling(spark):
+    from collections import Counter
+
+    from geo_big_data_analysis_spark.plans.registry import REGISTRY
+
+    und = _mod_edges_py()
+    while True:
+        deg = Counter()
+        for u, v in und:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {x for x, d in deg.items() if d >= 4}
+        nxt = {(u, v) for u, v in und if u in keep and v in keep}
+        if nxt == und:
+            break
+        und = nxt
+    deg = Counter()
+    for u, v in und:
+        deg[u] += 1
+        deg[v] += 1
+    got = {
+        (r.id, r.core_degree)
+        for r in REGISTRY["kcore_mod"][0](spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == set(deg.items())
+
+
+def test_clustering_coefficient_bruteforce(spark):
+    from collections import defaultdict
+
+    from geo_big_data_analysis_spark.plans.registry import REGISTRY
+
+    adj = defaultdict(set)
+    for u, v in _mod_edges_py():
+        adj[u].add(v)
+        adj[v].add(u)
+    rows = REGISTRY["clustering_coefficient_mod"][0](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == len(adj)
+    for r in rows[::17]:  # spot-check a deterministic sample
+        nbrs = adj[r.id]
+        assert len(nbrs) == r.deg
+        links = sum(
+            1 for a in nbrs for b in nbrs if a < b and b in adj[a]
+        )
+        assert links == r.tri_count
+        expect = (
+            round(2.0 * links / (r.deg * (r.deg - 1)), 6) if r.deg >= 2 else 0.0
+        )
+        assert abs(r.coef - expect) < 1e-9
