@@ -7627,6 +7627,103 @@ FROM adj{_KCORE_ROUNDS} GROUP BY a ORDER BY id
 """
 
 
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res): each doc draws key = ln(u)/w with u uniform in (0,1) and
+    w its weight (longer docs weighted up, sqrt-damped); the global
+    top-K keys ARE the weighted sample. u comes from the md5-prefix
+    hash (deterministic, engine-neutral) instead of an RNG, so the
+    "random" sample is reproducible across engines, partitionings and
+    reruns — the property RNG-based sampleBy loses. Top-K by key is a
+    TakeOrdered (per-partition heap + merge), never a full sort.
+    Returns the sample's per-source composition, which shows the
+    weighting at work (long-doc sources overrepresented vs uniform)."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 52))
+    )
+    w = F.sqrt(F.col("n_chars").cast("double"))
+    keyed = docs.select(
+        "doc_id", "source", (F.log(u) / w).alias("key")
+    )
+    k = 100
+    sample = keyed.orderBy(F.desc("key"), "doc_id").limit(k)
+    return (
+        sample.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("source")
+    )
+
+
+_SQL_WEIGHTED_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id, source,
+         ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT)::DOUBLE
+            / 4503599627370496.0)
+         / sqrt(n_chars::DOUBLE) AS key
+  FROM documents
+),
+sample AS (SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 100)
+SELECT source, count(*)::BIGINT AS n_sampled
+FROM sample GROUP BY source ORDER BY source
+"""
+
+
+def q_quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank-to-uniform) normalization — the monotone feature
+    transform that strips a column's distribution shape: per group,
+    u = (rank − 0.5)/n over a total order. The output buckets the
+    normalized values into deciles and reports per-bucket spans, whose
+    equal counts prove uniformity while the (lo, hi) value spans show
+    the original distribution's shape being absorbed. The rank window
+    partitions by event_type (never global); at a single skewed key,
+    swap in the two_phase rank."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select("event_type", "value", "event_id").select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    normed = ranked.select(
+        "event_type",
+        "value",
+        ((F.col("rn") - 0.5) / F.col("n")).alias("u"),
+    )
+    return (
+        normed.groupBy(
+            "event_type", F.floor(F.col("u") * 10).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+_SQL_QUANTILE_NORM = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+normed AS (
+  SELECT event_type, value, (rn - 0.5) / n AS u FROM ranked
+)
+SELECT event_type, floor(u * 10)::INT AS bucket, count(*)::BIGINT AS n,
+       round(min(value), 2) AS lo, round(max(value), 2) AS hi
+FROM normed GROUP BY 1, 2 ORDER BY event_type, bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7806,6 +7903,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rolling_active_users": (q_rolling_active_users, _SQL_ROLLING_ACTIVE),
     "clustering_coefficient_mod": (q_clustering_coefficient_mod, _SQL_CLUSTERING_COEF),
     "kcore_mod": (q_kcore_mod, _sql_kcore()),
+    "weighted_sample_docs": (q_weighted_sample_docs, _SQL_WEIGHTED_SAMPLE),
+    "quantile_normalize_values": (q_quantile_normalize_values, _SQL_QUANTILE_NORM),
 }
 
 
