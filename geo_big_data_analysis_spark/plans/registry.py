@@ -7724,6 +7724,151 @@ FROM normed GROUP BY 1, 2 ORDER BY event_type, bucket
 """
 
 
+def q_distance_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-band (DWithin) spatial join: purchase–signup event
+    pairs within 2 km, via the grid strategy — the probe side explodes
+    to its 3×3 neighbor cells (cell edge 0.03° > the 2 km radius in
+    both axes at this latitude, so the cover is complete), equi-join
+    on cell, exact haversine refine. The oracle is the brute-force
+    cross join with the same predicate — equality proves the grid
+    cover drops nothing. Scale: the shuffle key is the integer cell;
+    pair fan-out is bounded by points-per-disc, never |A|×|B|."""
+    ev = _t(spark, sf_dir, "events")
+    pts = _derived_points(ev).select("event_id", "event_type", "lon", "lat")
+    cell = 0.03
+    a = pts.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"), F.col("lon").alias("a_lon"),
+        F.col("lat").alias("a_lat"),
+    )
+    b = pts.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("b_id"), F.col("lon").alias("b_lon"),
+        F.col("lat").alias("b_lat"),
+    )
+    bgx, bgy = grid_cell("b_lat", "b_lon", 40.5, -74.3, cell)
+    b_cells = b.withColumn("gx", bgx).withColumn("gy", bgy)
+    agx, agy = grid_cell("a_lat", "a_lon", 40.5, -74.3, cell)
+    a_cells = (
+        a.withColumn("gx0", agx)
+        .withColumn("gy0", agy)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dx"),
+        )
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dy"),
+        )
+        .select(
+            "a_id", "a_lon", "a_lat",
+            (F.col("gx0") + F.col("dx")).alias("gx"),
+            (F.col("gy0") + F.col("dy")).alias("gy"),
+        )
+    )
+    d = haversine_km("a_lat", "a_lon", "b_lat", "b_lon")
+    pairs = (
+        a_cells.join(b_cells, ["gx", "gy"])
+        .withColumn("dist_km", d)
+        .filter(F.col("dist_km") <= 2.0)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("dist_km"), 4).alias("avg_km"),
+        F.countDistinct("a_id").alias("n_a_matched"),
+    )
+
+
+_SQL_DISTANCE_BAND = f"""
+WITH p AS ({_DERIVED_POINTS_SQL}),
+a AS (SELECT event_id AS a_id, lon AS a_lon, lat AS a_lat FROM p
+      WHERE event_type = 'purchase'),
+b AS (SELECT event_id AS b_id, lon AS b_lon, lat AS b_lat FROM p
+      WHERE event_type = 'signup'),
+pairs AS (
+  SELECT a_id,
+         2 * 6371.0 * asin(sqrt(
+           pow(sin((radians(b_lat) - radians(a_lat)) / 2), 2)
+           + cos(radians(a_lat)) * cos(radians(b_lat))
+             * pow(sin((radians(b_lon) - radians(a_lon)) / 2), 2)
+         )) AS dist_km
+  FROM a CROSS JOIN b
+)
+SELECT count(*)::BIGINT AS n_pairs,
+       round(avg(dist_km), 4) AS avg_km,
+       count(DISTINCT a_id)::BIGINT AS n_a_matched
+FROM pairs WHERE dist_km <= 2.0
+"""
+
+
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (data-diff): classify every key across
+    two table versions as added / removed / changed / unchanged via one
+    full outer join on the key with an xxhash64 payload fingerprint —
+    the audit primitive behind CDC validation and backfill
+    verification. Version 2 is derived deterministically from version 1
+    (new 1998-H1 orders appear, every 101st key is dropped, every 97th
+    gets a repriced payload), so both engines diff identical inputs.
+    At 100 TB the payload hash means the join carries (key, 8 bytes)
+    per side, not whole rows."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.xxhash64(
+            F.col("o_orderstatus"), F.round("o_totalprice", 2).cast("string")
+        ).alias("h"),
+        "o_orderdate",
+    )
+    v1 = base.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", F.col("h").alias("h1"))
+    v2_base = base.filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    ).filter(F.col("o_orderkey") % 101 != 0)
+    repriced = F.when(
+        F.col("o_orderkey") % 97 == 0, F.col("h") + F.lit(1)
+    ).otherwise(F.col("h"))
+    v2 = v2_base.select("o_orderkey", repriced.alias("h2"))
+    joined = v1.join(v2, "o_orderkey", "full_outer")
+    cls = (
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") == F.col("h2"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        joined.select(cls.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_type")
+    )
+
+
+_SQL_SNAPSHOT_DIFF = """
+WITH base AS (
+  SELECT o_orderkey,
+         hash(o_orderstatus, round(o_totalprice, 2)::VARCHAR) AS h,
+         o_orderdate
+  FROM orders
+),
+v1 AS (
+  SELECT o_orderkey, h AS h1 FROM base
+  WHERE o_orderdate < TIMESTAMP '1998-01-01'
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN h + 1 ELSE h END AS h2
+  FROM base
+  WHERE o_orderdate < TIMESTAMP '1998-07-01' AND o_orderkey % 101 <> 0
+),
+j AS (SELECT * FROM v1 FULL OUTER JOIN v2 USING (o_orderkey))
+SELECT CASE WHEN h1 IS NULL THEN 'added'
+            WHEN h2 IS NULL THEN 'removed'
+            WHEN h1 = h2 THEN 'unchanged'
+            ELSE 'changed' END AS change_type,
+       count(*)::BIGINT AS n
+FROM j GROUP BY 1 ORDER BY change_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7905,6 +8050,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "kcore_mod": (q_kcore_mod, _sql_kcore()),
     "weighted_sample_docs": (q_weighted_sample_docs, _SQL_WEIGHTED_SAMPLE),
     "quantile_normalize_values": (q_quantile_normalize_values, _SQL_QUANTILE_NORM),
+    "distance_band_pairs": (q_distance_band_pairs, _SQL_DISTANCE_BAND),
+    "snapshot_diff_orders": (q_snapshot_diff_orders, _SQL_SNAPSHOT_DIFF),
 }
 
 
