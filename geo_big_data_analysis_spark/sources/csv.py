@@ -50,3 +50,38 @@ def read_csv(
     if limit is not None:
         df = df.limit(limit)
     return df
+
+
+def read_csv_with_rejects(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    sep: str = ",",
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV scan with a malformed-row side output (the NDJSON reader's
+    audit contract, S4, applied to CSV): rows that fail the declared
+    schema land in a rejects DataFrame carrying the raw line, instead
+    of silently nulling out — the reference's cleaning pipelines keep
+    removed rows for bias audits (SURVEY §7.3), so ingest must too.
+
+    PERMISSIVE mode + ``columnNameOfCorruptRecord`` routes each bad
+    line's raw text into ``_corrupt_record``; the pair of returned
+    frames partitions the input exactly."""
+    from pyspark.sql.types import StringType
+
+    aug = schema.add("_corrupt_record", StringType())
+    df = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(aug)
+        .csv(path)
+        .cache()  # Spark requires caching to query _corrupt_record reliably
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    rejects = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, rejects

@@ -39,3 +39,37 @@ def test_seeded_sample_is_deterministic(spark, sf_dir):
     assert a == b
     n = ev.count()
     assert a != c and 0.1 * n < len(a) < 0.3 * n
+
+
+def test_csv_corrupt_rows_side_output(spark, tmp_path):
+    """Malformed CSV rows route to the rejects frame; good rows parse."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from geo_big_data_analysis_spark.sources.csv import read_csv_with_rejects
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alice,9.5\n"
+        "2,bob,not_a_number\n"
+        "3,carol,7.25\n"
+        "4,dave,\n"  # empty score: valid null, NOT corrupt
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    good, rejects = read_csv_with_rejects(spark, str(p), schema)
+    assert good.count() == 3
+    assert {r.id for r in good.collect()} == {1, 3, 4}
+    bad = rejects.collect()
+    assert len(bad) == 1 and "not_a_number" in bad[0].raw_line
