@@ -7869,6 +7869,85 @@ FROM j GROUP BY 1 ORDER BY change_type
 """
 
 
+def q_attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution over event streams: for every purchase,
+    the LAST click at-or-before it (last-touch) and the FIRST click in
+    the trailing 24 h window (first-touch). Both are as-of joins —
+    last-touch directly (`operators/asof`), first-touch as a backward
+    as-of over NEGATED timestamps (greatest −cts ≤ −t₀ ⇔ smallest
+    cts ≥ t₀), so neither model pays a per-pair range join; each is
+    one union-tag shuffle on user_id. The oracle states both as
+    correlated min/max subqueries — the declarative spec the operator
+    decorrelates."""
+    from ..operators.asof import asof_join_backward
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    day_us = 24 * 3600 * 1000000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", us.alias("pus")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", us.alias("cus")
+    )
+    last_t = asof_join_backward(
+        purchases, clicks, key="user_id", left_ts="pus", right_ts="cus",
+        payload_cols=[], prefix="last_",
+    )
+    p_neg = purchases.withColumn("nt0", -(F.col("pus") - F.lit(day_us)))
+    c_neg = clicks.select("user_id", (-F.col("cus")).alias("ncus"))
+    first_t = asof_join_backward(
+        p_neg, c_neg, key="user_id", left_ts="nt0", right_ts="ncus",
+        payload_cols=[], prefix="first_",
+    ).select("event_id", (-F.col("first_ncus")).alias("first_cus"))
+    both = last_t.join(first_t, "event_id")
+    last_ok = F.col("last_cus").isNotNull() & (
+        F.col("pus") - F.col("last_cus") <= day_us
+    )
+    first_ok = F.col("first_cus").isNotNull() & (
+        F.col("first_cus") <= F.col("pus")
+    )
+    mins_last = (F.col("pus") - F.col("last_cus")) / F.lit(6e7)
+    mins_first = (F.col("pus") - F.col("first_cus")) / F.lit(6e7)
+    return both.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.when(last_ok, 1).otherwise(0)).alias("n_last_touch"),
+        F.sum(F.when(first_ok, 1).otherwise(0)).alias("n_first_touch"),
+        F.round(F.avg(F.when(last_ok, mins_last)), 4).alias("avg_mins_last"),
+        F.round(F.avg(F.when(first_ok, mins_first)), 4).alias("avg_mins_first"),
+    )
+
+
+_SQL_ATTRIBUTION = """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS pus FROM events
+  WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'click'
+),
+att AS (
+  SELECT p.event_id, p.pus,
+         (SELECT max(cus) FROM c
+          WHERE c.user_id = p.user_id AND c.cus <= p.pus) AS last_cus,
+         (SELECT min(cus) FROM c
+          WHERE c.user_id = p.user_id
+            AND c.cus >= p.pus - 86400000000) AS first_cus
+  FROM p
+)
+SELECT count(*)::BIGINT AS n_purchases,
+       sum(CASE WHEN last_cus IS NOT NULL AND pus - last_cus <= 86400000000
+                THEN 1 ELSE 0 END)::BIGINT AS n_last_touch,
+       sum(CASE WHEN first_cus IS NOT NULL AND first_cus <= pus
+                THEN 1 ELSE 0 END)::BIGINT AS n_first_touch,
+       round(avg(CASE WHEN last_cus IS NOT NULL AND pus - last_cus <= 86400000000
+                      THEN (pus - last_cus) / 6e7 END), 4) AS avg_mins_last,
+       round(avg(CASE WHEN first_cus IS NOT NULL AND first_cus <= pus
+                      THEN (pus - first_cus) / 6e7 END), 4) AS avg_mins_first
+FROM att
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8052,6 +8131,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "quantile_normalize_values": (q_quantile_normalize_values, _SQL_QUANTILE_NORM),
     "distance_band_pairs": (q_distance_band_pairs, _SQL_DISTANCE_BAND),
     "snapshot_diff_orders": (q_snapshot_diff_orders, _SQL_SNAPSHOT_DIFF),
+    "attribution_touchpoints": (q_attribution_touchpoints, _SQL_ATTRIBUTION),
 }
 
 
