@@ -118,6 +118,15 @@ HEADLINE = [
     "ks_statistic_values",
     "except_all_orders",
     "value_deciles_by_type",
+    "value_trend_by_type",
+    "rolling_active_users",
+    "clustering_coefficient_mod",
+    "kcore_mod",
+    "weighted_sample_docs",
+    "quantile_normalize_values",
+    "distance_band_pairs",
+    "snapshot_diff_orders",
+    "attribution_touchpoints",
 ]
 
 

@@ -7948,6 +7948,68 @@ FROM att
 """
 
 
+def q_user_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type surface (completing the complex-type family: arrays ✓,
+    structs ✓, map here): per-user event_type→count built as a real
+    MapType column (map_from_entries over the grouped counts), then
+    consumed with map functions — map_keys for breadth, element_at for
+    a point lookup. Maps compare engine-neutrally via a sorted
+    key:value string encoding. One shuffle on (user, type), one on
+    user; the map stays columnar the whole way."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = (
+        per.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("event_type", "n")))
+            ).alias("type_counts")
+        )
+    )
+    enc = F.concat_ws(
+        ",",
+        F.transform(
+            F.map_keys(F.col("type_counts")),
+            lambda k: F.concat(
+                k, F.lit(":"),
+                F.element_at(F.col("type_counts"), k).cast("string"),
+            ),
+        ),
+    )
+    return (
+        mapped.filter(F.col("user_id") % 7 == 0)
+        .select(
+            "user_id",
+            F.size("type_counts").alias("n_types"),
+            F.coalesce(
+                F.element_at(F.col("type_counts"), F.lit("purchase")), F.lit(0)
+            ).alias("n_purchases"),
+            enc.alias("counts_str"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_USER_TYPE_MAP = """
+WITH per AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*)::INT AS n_types,
+       coalesce(max(CASE WHEN event_type = 'purchase' THEN n END), 0)
+         AS n_purchases,
+       string_agg(event_type || ':' || n, ',' ORDER BY event_type)
+         AS counts_str
+FROM per
+WHERE user_id % 7 = 0
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8132,6 +8194,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "distance_band_pairs": (q_distance_band_pairs, _SQL_DISTANCE_BAND),
     "snapshot_diff_orders": (q_snapshot_diff_orders, _SQL_SNAPSHOT_DIFF),
     "attribution_touchpoints": (q_attribution_touchpoints, _SQL_ATTRIBUTION),
+    "user_type_map": (q_user_type_map, _SQL_USER_TYPE_MAP),
 }
 
 
