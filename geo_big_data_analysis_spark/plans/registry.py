@@ -8010,6 +8010,190 @@ ORDER BY user_id
 """
 
 
+def q_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with BOTH rules real trackers use: a 30-min
+    inactivity gap starts a session AND a 2-hour hard cap splits long
+    ones. The cap can't ride the gap-cumsum alone (a capped split
+    depends on the session's own start); two deterministic window
+    passes decompose it — gap-sessions first, then each splits at
+    floor(elapsed-from-session-start / cap). Sub-session boundaries
+    are pure arithmetic, so the whole thing stays in two user-keyed
+    window stages — no iteration, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = us - F.lag(us).over(w)
+    new_s = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1000000), 1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g = ev.select("user_id", "ts", "event_id", us.alias("us")).withColumn(
+        "gsid", F.sum(new_s).over(wrun)
+    )
+    ws = Window.partitionBy("user_id", "gsid")
+    cap_us = 2 * 3600 * 1000000
+    sub = g.withColumn(
+        "sub", F.floor((F.col("us") - F.min("us").over(ws)) / cap_us)
+    )
+    per = sub.groupBy("user_id", "gsid", "sub").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("us") - F.min("us")) / F.lit(6e7)).alias("dur_min"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("sub") > 0, 1).otherwise(0)).alias("n_cap_splits"),
+        F.round(F.max("dur_min"), 4).alias("max_dur_min"),
+        F.sum("n_events").alias("n_events"),
+    ).orderBy("user_id")
+
+
+_SQL_CAPPED_SESSIONS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, us, event_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS gsid
+  FROM e
+),
+sub AS (
+  SELECT user_id, gsid, us,
+         floor((us - min(us) OVER (PARTITION BY user_id, gsid))
+               / 7200000000) AS sub
+  FROM g
+),
+per AS (
+  SELECT user_id, gsid, sub, count(*)::BIGINT AS n_events,
+         (max(us) - min(us)) / 6e7 AS dur_min
+  FROM sub GROUP BY 1, 2, 3
+)
+SELECT user_id, count(*)::BIGINT AS n_sessions,
+       sum(CASE WHEN sub > 0 THEN 1 ELSE 0 END)::BIGINT AS n_cap_splits,
+       round(max(dur_min), 4) AS max_dur_min,
+       sum(n_events)::BIGINT AS n_events
+FROM per GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_debounced_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce (near-duplicate-in-time suppression): drop an event if
+    the same (user, type) fired within the previous 60 s — the
+    sensor/click-spam cleanse distinct from F2's exact dedup (keys
+    differ, payloads differ, only the cadence repeats). One lag window
+    per (user, type); survivors re-aggregate per type with the
+    suppression rate."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    d = ev.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "gap_us", us - F.lag(us).over(w)
+    )
+    flagged = d.withColumn(
+        "kept",
+        F.when(
+            F.col("gap_us").isNull() | (F.col("gap_us") > 60 * 1000000), 1
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum("kept").alias("n_kept"),
+            F.round(
+                1.0 - F.sum("kept") / F.count(F.lit(1)), 6
+            ).alias("suppressed_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_DEBOUNCE = """
+WITH d AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) > 60000000
+              THEN 1 ELSE 0 END AS kept
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_raw, sum(kept)::BIGINT AS n_kept,
+       round(1.0 - sum(kept) / count(*), 6) AS suppressed_frac
+FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_rolling_correlation_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 14-day rolling Pearson correlation between daily
+    revenue and daily order count — the co-movement monitor. All five
+    moment sums run as windowed aggregates over the SAME frame on the
+    daily pre-aggregate (one window spec, one pass), and the
+    correlation assembles from them arithmetically — no per-window
+    re-aggregation. Time-span-bounded global window (allowlisted
+    class); per-key variants partition the same spec."""
+    orders = _t(spark, sf_dir, "orders")
+    # exact integer cents (see incremental_hourly_merge): windowed sums
+    # then reassociate identically on every engine, so the 6dp-rounded
+    # correlation can't straddle a rounding boundary
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = orders.groupBy(
+        F.date_trunc("DAY", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(cents).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    m = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    ).filter(F.col("n") == 14)
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (sxy - sx * sy / nd) / F.sqrt(
+        (sxx - sx * sx / nd) * (syy - sy * sy / nd)
+    )
+    out = m.select("day", F.round(corr, 6).alias("corr14"))
+    return out.orderBy("day")
+
+
+_SQL_ROLLING_CORR = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         sum(round(o_totalprice * 100)::BIGINT) AS x,
+         count(*)::BIGINT AS y
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT day,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+         sum(x * y) OVER w AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT day,
+       round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+             / sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+                    * (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)), 6)
+         AS corr14
+FROM m WHERE n = 14 ORDER BY day
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8195,6 +8379,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "snapshot_diff_orders": (q_snapshot_diff_orders, _SQL_SNAPSHOT_DIFF),
     "attribution_touchpoints": (q_attribution_touchpoints, _SQL_ATTRIBUTION),
     "user_type_map": (q_user_type_map, _SQL_USER_TYPE_MAP),
+    "capped_sessions": (q_capped_sessions, _SQL_CAPPED_SESSIONS),
+    "debounced_event_counts": (q_debounced_event_counts, _SQL_DEBOUNCE),
+    "rolling_correlation_days": (q_rolling_correlation_days, _SQL_ROLLING_CORR),
 }
 
 

@@ -60,6 +60,7 @@ ALLOWLIST_GLOBAL_WINDOW = {
     "logreg_return_metrics": "AUC rank window over 6dp-rounded score groups (bounded <=1e6 rows)",
     "rolling_anomaly_days": "trailing-7-day frame over the daily pre-aggregate (time-span-bounded)",
     "ks_statistic_values": "cumulative counts over 2dp value groups (domain-bounded <=1e5 rows, the AUC pattern)",
+    "rolling_correlation_days": "trailing-14-day moment sums over the daily pre-aggregate (time-span-bounded)",
 }
 
 
