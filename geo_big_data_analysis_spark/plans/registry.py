@@ -8194,6 +8194,198 @@ FROM m WHERE n = 14 ORDER BY day
 """
 
 
+def q_bearing_sector_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compass-sector spatial profile: every event's bearing from the
+    Times Square reference point (functions/geo.bearing_deg — initial
+    great-circle bearing via atan2) bucketed into eight 45° sectors,
+    with per-sector counts and mean haversine distance. Pure per-row
+    trig in codegen + one small agg; the oracle replays the exact
+    atan2/pmod formula."""
+    ev = _t(spark, sf_dir, "events")
+    from ..functions.geo import bearing_deg
+
+    pts = _derived_points(ev)
+    ref_lat, ref_lon = 40.7580, -73.9855
+    b = bearing_deg(F.lit(ref_lat), F.lit(ref_lon), F.col("lat"), F.col("lon"))
+    d = haversine_km(F.lit(ref_lat), F.lit(ref_lon), F.col("lat"), F.col("lon"))
+    sector = F.floor(((F.col("bearing") + 22.5) % 360) / 45).cast("int")
+    return (
+        pts.withColumn("bearing", b)
+        .withColumn("dist_km", d)
+        .withColumn("sector", sector)
+        .groupBy("sector")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("dist_km"), 4).alias("avg_km"),
+        )
+        .orderBy("sector")
+    )
+
+
+_SQL_BEARING_SECTORS = f"""
+WITH p AS ({_DERIVED_POINTS_SQL}),
+b AS (
+  SELECT
+    (degrees(atan2(
+       sin(radians(lon) - radians(-73.9855)) * cos(radians(lat)),
+       cos(radians(40.7580)) * sin(radians(lat))
+       - sin(radians(40.7580)) * cos(radians(lat))
+         * cos(radians(lon) - radians(-73.9855))
+     )) + 360.0) % 360.0 AS bearing,
+    2 * 6371.0 * asin(sqrt(
+      pow(sin((radians(lat) - radians(40.7580)) / 2), 2)
+      + cos(radians(40.7580)) * cos(radians(lat))
+        * pow(sin((radians(lon) - radians(-73.9855)) / 2), 2)
+    )) AS dist_km
+  FROM p
+)
+SELECT floor(((bearing + 22.5) % 360) / 45)::INT AS sector,
+       count(*)::BIGINT AS n, round(avg(dist_km), 4) AS avg_km
+FROM b GROUP BY 1 ORDER BY sector
+"""
+
+
+def q_order_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle-lag analysis: days from order placement to its LAST
+    line shipment, with exact p50/p90 per order priority — the SLA
+    percentile report. Two aggs chained on different keys (orderkey
+    rollup, then priority percentiles); the lag is integral days so
+    the percentile interpolation is over exact values."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    lag_days = (
+        (
+            F.unix_micros(F.col("last_ship").cast("timestamp"))
+            - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        )
+        / F.lit(86400.0 * 1e6)
+    ).alias("lag_days")
+    lagged = orders.join(
+        last_ship, F.col("o_orderkey") == F.col("l_orderkey")
+    ).select("o_orderpriority", lag_days)
+    return (
+        lagged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.percentile("lag_days", F.lit(0.5)), 6).alias("p50_days"),
+            F.round(F.percentile("lag_days", F.lit(0.9)), 6).alias("p90_days"),
+            F.round(F.max("lag_days"), 6).alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_FULFILLMENT_LAG = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY 1
+),
+lagged AS (
+  SELECT o_orderpriority,
+         epoch_us(last_ship - o_orderdate) / (86400.0 * 1e6) AS lag_days
+  FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       round(quantile_cont(lag_days, 0.5), 6) AS p50_days,
+       round(quantile_cont(lag_days, 0.9), 6) AS p90_days,
+       round(max(lag_days), 6) AS max_days
+FROM lagged GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation at scale: recency (days before the
+    corpus max date), frequency (orders), monetary (total spend) per
+    customer, each scored 1–4 against its global QUARTILE THRESHOLDS —
+    a 1-row broadcast compare, NOT a global ntile (the rank window
+    would single-partition |customers| rows; thresholds keep scoring
+    embarrassingly parallel, trading exact equal-size bins for fixed
+    cut points, the right trade at 100 TB). Output: per-segment census
+    for the 'RFM cell' report."""
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    rfm = (
+        orders.join(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            (
+                F.min(
+                    F.unix_micros(F.col("mx").cast("timestamp"))
+                    - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                )
+                / F.lit(86400.0 * 1e6)
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    th = rfm.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"{c}_{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def score(c, reverse):
+        s = (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{c}_25")).cast("int")
+            + (F.col(c) > F.col(f"{c}_50")).cast("int")
+            + (F.col(c) > F.col(f"{c}_75")).cast("int")
+        )
+        return (F.lit(5) - s) if reverse else s
+
+    scored = rfm.join(F.broadcast(th)).select(
+        score("recency_days", reverse=True).alias("r"),
+        score("frequency", reverse=False).alias("f"),
+        score("monetary", reverse=False).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r", "f", "m")
+    )
+
+
+_SQL_RFM = """
+WITH mx AS (SELECT max(o_orderdate) AS mx FROM orders),
+rfm AS (
+  SELECT o_custkey,
+         min(epoch_us(mx.mx - o_orderdate)) / (86400.0 * 1e6) AS recency_days,
+         count(*)::BIGINT AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders CROSS JOIN mx
+  GROUP BY o_custkey
+),
+th AS (
+  SELECT quantile_cont(recency_days, 0.25) AS recency_days_25,
+         quantile_cont(recency_days, 0.5) AS recency_days_50,
+         quantile_cont(recency_days, 0.75) AS recency_days_75,
+         quantile_cont(frequency, 0.25) AS frequency_25,
+         quantile_cont(frequency, 0.5) AS frequency_50,
+         quantile_cont(frequency, 0.75) AS frequency_75,
+         quantile_cont(monetary, 0.25) AS monetary_25,
+         quantile_cont(monetary, 0.5) AS monetary_50,
+         quantile_cont(monetary, 0.75) AS monetary_75
+  FROM rfm
+),
+scored AS (
+  SELECT
+    5 - (1 + (recency_days > recency_days_25)::INT
+           + (recency_days > recency_days_50)::INT
+           + (recency_days > recency_days_75)::INT) AS r,
+    1 + (frequency > frequency_25)::INT + (frequency > frequency_50)::INT
+      + (frequency > frequency_75)::INT AS f,
+    1 + (monetary > monetary_25)::INT + (monetary > monetary_50)::INT
+      + (monetary > monetary_75)::INT AS m
+  FROM rfm CROSS JOIN th
+)
+SELECT r, f, m, count(*)::BIGINT AS n_customers
+FROM scored GROUP BY 1, 2, 3 ORDER BY r, f, m
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8382,6 +8574,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "capped_sessions": (q_capped_sessions, _SQL_CAPPED_SESSIONS),
     "debounced_event_counts": (q_debounced_event_counts, _SQL_DEBOUNCE),
     "rolling_correlation_days": (q_rolling_correlation_days, _SQL_ROLLING_CORR),
+    "bearing_sector_counts": (q_bearing_sector_counts, _SQL_BEARING_SECTORS),
+    "order_fulfillment_lag": (q_order_fulfillment_lag, _SQL_FULFILLMENT_LAG),
+    "rfm_segments": (q_rfm_segments, _SQL_RFM),
 }
 
 

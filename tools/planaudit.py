@@ -46,6 +46,7 @@ ALLOWLIST_NLJ = {
     "logreg_return_metrics": "1-row AUC/confusion-count broadcast join in binary_metrics",
     "heavy_hitter_brands": "1-row total-count broadcast for the support threshold (frequent_items)",
     "ks_statistic_values": "1-row group-totals broadcast for CDF normalization",
+    "rfm_segments": "two 1-row broadcasts: corpus max date + the 9 quartile thresholds",
 }
 
 
