@@ -8386,6 +8386,195 @@ FROM scored GROUP BY 1, 2, 3 ORDER BY r, f, m
 """
 
 
+def q_mean_shift_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection by exhaustive mean-shift scan: for every
+    candidate split day t, the standardized gap between the mean daily
+    revenue before and after t — all O(n) from ONE pass of prefix sums
+    over the daily pre-aggregate (CUSUM's recursive state would need a
+    sequential scan; the split-scan form is windowed prefix algebra).
+    Returns the 5 most shifted split points. Integer-cents sums keep
+    the prefix algebra association-exact (the incremental-merge
+    lesson)."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = orders.groupBy(
+        F.date_trunc("DAY", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(cents).alias("x"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = daily.agg(
+        F.sum("x").alias("sx_all"), F.count(F.lit(1)).alias("n_all")
+    )
+    pre = daily.select(
+        "day",
+        F.sum("x").over(w).alias("sx_pre"),
+        F.count(F.lit(1)).over(w).alias("n_pre"),
+    )
+    j = pre.join(F.broadcast(tot)).filter(
+        (F.col("n_pre") >= 14) & (F.col("n_all") - F.col("n_pre") >= 14)
+    )
+    mean_pre = F.col("sx_pre").cast("double") / F.col("n_pre") / 100.0
+    mean_post = (
+        (F.col("sx_all") - F.col("sx_pre")).cast("double")
+        / (F.col("n_all") - F.col("n_pre"))
+        / 100.0
+    )
+    # weight the gap by the harmonic sample balance (pooled-t shape)
+    wgt = F.sqrt(
+        F.col("n_pre")
+        * (F.col("n_all") - F.col("n_pre"))
+        / F.col("n_all").cast("double")
+    )
+    return (
+        j.select(
+            "day",
+            F.round(mean_pre, 4).alias("mean_before"),
+            F.round(mean_post, 4).alias("mean_after"),
+            F.round(F.abs(mean_post - mean_pre) * wgt, 4).alias("shift_score"),
+        )
+        .orderBy(F.desc("shift_score"), "day")
+        .limit(5)
+    )
+
+
+_SQL_MEAN_SHIFT = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         sum(round(o_totalprice * 100)::BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT sum(x) AS sx_all, count(*)::BIGINT AS n_all FROM daily),
+pre AS (
+  SELECT day,
+         sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sx_pre,
+         count(*) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS n_pre
+  FROM daily
+)
+SELECT day,
+       round(sx_pre::DOUBLE / n_pre / 100.0, 4) AS mean_before,
+       round((sx_all - sx_pre)::DOUBLE / (n_all - n_pre) / 100.0, 4)
+         AS mean_after,
+       round(abs((sx_all - sx_pre)::DOUBLE / (n_all - n_pre) / 100.0
+                 - sx_pre::DOUBLE / n_pre / 100.0)
+             * sqrt(n_pre * (n_all - n_pre) / n_all::DOUBLE), 4)
+         AS shift_score
+FROM pre CROSS JOIN tot
+WHERE n_pre >= 14 AND n_all - n_pre >= 14
+ORDER BY shift_score DESC, day
+LIMIT 5
+"""
+
+
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit on order totals: observed first-significant-
+    digit shares vs log10(1 + 1/d), with the χ² contribution per digit
+    — the classic fabricated-data screen, and a pure scan→agg plan
+    (first digit extracted arithmetically: d = floor(x / 10^floor(log10 x)),
+    no string casts in the hot path)."""
+    orders = _t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    obs = (
+        orders.filter(x > 0)
+        .select(digit.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("n_tot"))
+    expected = F.log10(F.lit(1.0) + 1.0 / F.col("d"))
+    return (
+        obs.join(F.broadcast(tot))
+        .select(
+            "d",
+            "n",
+            F.round(F.col("n") / F.col("n_tot"), 6).alias("obs_share"),
+            F.round(expected, 6).alias("benford_share"),
+            F.round(
+                F.pow(F.col("n") - expected * F.col("n_tot"), 2)
+                / (expected * F.col("n_tot")),
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("d")
+    )
+
+
+_SQL_BENFORD = """
+WITH obs AS (
+  SELECT floor(o_totalprice / pow(10.0, floor(log10(o_totalprice))))::INT AS d,
+         count(*)::BIGINT AS n
+  FROM orders WHERE o_totalprice > 0 GROUP BY 1
+),
+tot AS (SELECT sum(n) AS n_tot FROM obs)
+SELECT d, n,
+       round(n / n_tot::DOUBLE, 6) AS obs_share,
+       round(log10(1.0 + 1.0 / d), 6) AS benford_share,
+       round(pow(n - log10(1.0 + 1.0 / d) * n_tot, 2)
+             / (log10(1.0 + 1.0 / d) * n_tot), 4) AS chi2_term
+FROM obs CROSS JOIN tot
+ORDER BY d
+"""
+
+
+def q_max_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-concurrency sweep line: how many orders are 'open'
+    (placed, not yet fully shipped) at once — +1 at placement, −1
+    after the last line ships, running-sum the deltas. The sweep
+    collapses to DAY granularity first (bounded calendar), so the
+    running sum is a window over ~2.5 k rows regardless of order
+    count; per-month maxima report capacity peaks."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
+    o = orders.join(last_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+    opens = o.select(
+        F.date_trunc("DAY", F.col("o_orderdate")).cast("timestamp").alias("day"),
+        F.lit(1).alias("delta"),
+    )
+    closes = o.select(
+        F.date_add(F.date_trunc("DAY", F.col("close_ts")), 1)
+        .cast("timestamp")
+        .alias("day"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = opens.unionByName(closes).groupBy("day").agg(
+        F.sum("delta").alias("net")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    running = deltas.select(
+        "day", F.sum("net").over(w).alias("open_orders")
+    )
+    return (
+        running.groupBy(F.date_trunc("MONTH", F.col("day")).alias("month"))
+        .agg(F.max("open_orders").alias("max_open"))
+        .orderBy("month")
+    )
+
+
+_SQL_MAX_OPEN = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS close_ts FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT o_orderdate, close_ts FROM orders
+  JOIN last_ship ON o_orderkey = l_orderkey
+),
+deltas AS (
+  SELECT day, sum(delta) AS net FROM (
+    SELECT date_trunc('day', o_orderdate) AS day, 1 AS delta FROM o
+    UNION ALL
+    SELECT date_trunc('day', close_ts) + INTERVAL 1 DAY, -1 FROM o
+  ) GROUP BY day
+),
+running AS (
+  SELECT day,
+         sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS open_orders
+  FROM deltas
+)
+SELECT date_trunc('month', day) AS month, max(open_orders)::BIGINT AS max_open
+FROM running GROUP BY 1 ORDER BY month
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8577,6 +8766,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bearing_sector_counts": (q_bearing_sector_counts, _SQL_BEARING_SECTORS),
     "order_fulfillment_lag": (q_order_fulfillment_lag, _SQL_FULFILLMENT_LAG),
     "rfm_segments": (q_rfm_segments, _SQL_RFM),
+    "mean_shift_scan": (q_mean_shift_scan, _SQL_MEAN_SHIFT),
+    "benford_first_digit": (q_benford_first_digit, _SQL_BENFORD),
+    "max_open_orders": (q_max_open_orders, _SQL_MAX_OPEN),
 }
 
 

@@ -47,6 +47,8 @@ ALLOWLIST_NLJ = {
     "heavy_hitter_brands": "1-row total-count broadcast for the support threshold (frequent_items)",
     "ks_statistic_values": "1-row group-totals broadcast for CDF normalization",
     "rfm_segments": "two 1-row broadcasts: corpus max date + the 9 quartile thresholds",
+    "mean_shift_scan": "1-row global-total broadcast against the daily prefix sums",
+    "benford_first_digit": "1-row total broadcast for digit shares",
 }
 
 
@@ -62,6 +64,8 @@ ALLOWLIST_GLOBAL_WINDOW = {
     "rolling_anomaly_days": "trailing-7-day frame over the daily pre-aggregate (time-span-bounded)",
     "ks_statistic_values": "cumulative counts over 2dp value groups (domain-bounded <=1e5 rows, the AUC pattern)",
     "rolling_correlation_days": "trailing-14-day moment sums over the daily pre-aggregate (time-span-bounded)",
+    "mean_shift_scan": "prefix sums over the daily pre-aggregate (time-span-bounded)",
+    "max_open_orders": "sweep-line running sum over day-granular deltas (calendar-bounded)",
 }
 
 
