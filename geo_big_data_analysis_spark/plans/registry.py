@@ -8575,6 +8575,111 @@ FROM running GROUP BY 1 ORDER BY month
 """
 
 
+def q_skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the pre-flight report that decides
+    broadcast vs salt vs AQE for each candidate shuffle key: per key
+    column, distinct-key count, the hottest key's row share, and the
+    max/mean rows-per-key ratio. Metadata-driven like the column
+    profiler (one count-agg per key, unioned); at 100 TB this runs on
+    a sample with the same plan shape."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def report(c: str) -> DataFrame:
+        per = li.groupBy(c).agg(F.count(F.lit(1)).alias("n"))
+        return per.agg(
+            F.lit(c).alias("key_col"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_per_key"),
+            F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+            F.round(F.max("n") / F.sum("n"), 6).alias("top_key_share"),
+        )
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"]
+    out = report(cols[0])
+    for c in cols[1:]:
+        out = out.unionByName(report(c))
+    return out.orderBy("key_col")
+
+
+_SQL_SKEW_REPORT = """
+WITH
+r1 AS (SELECT 'l_orderkey' AS key_col, count(*)::BIGINT AS n_keys,
+              sum(n)::BIGINT AS n_rows, max(n)::BIGINT AS max_per_key,
+              round(max(n) / avg(n), 4) AS skew_ratio,
+              round(max(n) / sum(n)::DOUBLE, 6) AS top_key_share
+       FROM (SELECT count(*)::BIGINT AS n FROM lineitem GROUP BY l_orderkey)),
+r2 AS (SELECT 'l_partkey', count(*)::BIGINT, sum(n)::BIGINT, max(n)::BIGINT,
+              round(max(n) / avg(n), 4), round(max(n) / sum(n)::DOUBLE, 6)
+       FROM (SELECT count(*)::BIGINT AS n FROM lineitem GROUP BY l_partkey)),
+r3 AS (SELECT 'l_suppkey', count(*)::BIGINT, sum(n)::BIGINT, max(n)::BIGINT,
+              round(max(n) / avg(n), 4), round(max(n) / sum(n)::DOUBLE, 6)
+       FROM (SELECT count(*)::BIGINT AS n FROM lineitem GROUP BY l_suppkey)),
+r4 AS (SELECT 'l_returnflag', count(*)::BIGINT, sum(n)::BIGINT, max(n)::BIGINT,
+              round(max(n) / avg(n), 4), round(max(n) / sum(n)::DOUBLE, 6)
+       FROM (SELECT count(*)::BIGINT AS n FROM lineitem GROUP BY l_returnflag))
+SELECT * FROM r1 UNION ALL SELECT * FROM r2
+UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+ORDER BY key_col
+"""
+
+
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag — the
+    weighted-quantile family (a plain median over lineitems answers
+    'median LINE'; shipping questions need 'median UNIT'). Classic
+    cumulative-weight construction: sort each group by price, take the
+    first row whose running quantity crosses half the group total.
+    Both windows partition by the group key; integral quantities make
+    the crossing test exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    base = li.select("l_returnflag", unit, "l_quantity", "l_orderkey", "l_linenumber")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "unit_price", "l_orderkey", "l_linenumber"
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = base.select(
+        "l_returnflag",
+        "unit_price",
+        F.sum("l_quantity").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum_qty"),
+        F.sum("l_quantity").over(wt).alias("tot_qty"),
+    )
+    crossed = c.filter(F.col("cum_qty") >= F.col("tot_qty") / 2)
+    return (
+        crossed.groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("unit_price"), 6).alias("weighted_median_unit"),
+            F.max("tot_qty").cast("bigint").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_WEIGHTED_MEDIAN = """
+WITH base AS (
+  SELECT l_returnflag, l_extendedprice / l_quantity AS unit_price,
+         l_quantity, l_orderkey, l_linenumber
+  FROM lineitem
+),
+c AS (
+  SELECT l_returnflag, unit_price,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY unit_price, l_orderkey, l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS cum_qty,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_qty
+  FROM base
+)
+SELECT l_returnflag,
+       round(min(unit_price), 6) AS weighted_median_unit,
+       max(tot_qty)::BIGINT AS total_qty
+FROM c WHERE cum_qty >= tot_qty / 2
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8769,6 +8874,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mean_shift_scan": (q_mean_shift_scan, _SQL_MEAN_SHIFT),
     "benford_first_digit": (q_benford_first_digit, _SQL_BENFORD),
     "max_open_orders": (q_max_open_orders, _SQL_MAX_OPEN),
+    "skew_report_lineitem": (q_skew_report_lineitem, _SQL_SKEW_REPORT),
+    "weighted_median_price": (q_weighted_median_price, _SQL_WEIGHTED_MEDIAN),
 }
 
 
