@@ -8680,6 +8680,235 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+_EWMA_ALPHA = 0.2
+_EWMA_LAGS = 21
+
+
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue —
+    defined TRUNCATED at 21 lags (weight 0.8²¹ < 1%), which turns the
+    recursive EWMA (a sequential scan no window function expresses)
+    into a closed windowed form: Σ wᵏ·x_{t−k} / Σ wᵏ over available
+    lags — 21 lag() terms sharing one window spec (one shuffle + one
+    sort; the partial-history head renormalizes over the lags that
+    exist). Both engines evaluate the identical finite formula, so
+    truncation is part of the operator's contract, not an
+    approximation mismatch."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = orders.groupBy(
+        F.date_trunc("DAY", F.col("o_orderdate")).alias("day")
+    ).agg((F.sum(cents) / 100.0).alias("x"))
+    w = Window.orderBy("day")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(_EWMA_LAGS):
+        wk = F.lit((1.0 - _EWMA_ALPHA) ** k)
+        lagk = F.lag("x", k).over(w) if k else F.col("x")
+        num = num + F.coalesce(lagk, F.lit(0.0)) * wk
+        den = den + F.when(lagk.isNotNull(), wk).otherwise(F.lit(0.0))
+    out = daily.select(
+        "day",
+        F.round("x", 2).alias("revenue"),
+        F.round(num / den, 4).alias("ewma"),
+    )
+    return out.orderBy("day")
+
+
+def _sql_ewma() -> str:
+    num, den = [], []
+    for k in range(_EWMA_LAGS):
+        wk = f"{(1.0 - _EWMA_ALPHA) ** k!r}"
+        lagk = "x" if k == 0 else f"lag(x, {k}) OVER w"
+        num.append(f"coalesce({lagk}, 0.0) * {wk}")
+        den.append(f"CASE WHEN {lagk} IS NOT NULL THEN {wk} ELSE 0.0 END")
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS x
+  FROM orders GROUP BY 1
+)
+SELECT day, round(x, 2) AS revenue,
+       round(({' + '.join(num)}) / ({' + '.join(den)}), 4) AS ewma
+FROM daily
+WINDOW w AS (ORDER BY day)
+ORDER BY day
+"""
+
+
+def q_seasonal_index_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative weekly seasonality: index(dow) = mean daily
+    revenue on that weekday / overall mean (Monday=0 via the
+    reference's dayofweek shim), plus each weekday's deseasonalized
+    dispersion — the decomposition step before any trend model.
+    Daily pre-agg, two tiny aggregations, 1-row broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = orders.groupBy(
+        F.date_trunc("DAY", F.col("o_orderdate")).alias("day")
+    ).agg((F.sum(cents) / 100.0).alias("x"))
+    d = daily.withColumn("dow", temporal.dayofweek_monday0(F.col("day")))
+    overall = d.agg(F.avg("x").alias("mu"))
+    return (
+        d.join(F.broadcast(overall))
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("x"), 2).alias("mean_revenue"),
+            F.round(F.avg("x") / F.max("mu"), 6).alias("seasonal_index"),
+            F.round(F.stddev_samp(F.col("x") / F.col("mu")), 6).alias(
+                "deseason_sd"
+            ),
+        )
+        .orderBy("dow")
+    )
+
+
+_SQL_SEASONAL_DOW = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS x
+  FROM orders GROUP BY 1
+),
+d AS (SELECT *, (dayofweek(day) + 6) % 7 AS dow FROM daily),
+o AS (SELECT avg(x) AS mu FROM d)
+SELECT dow, count(*)::BIGINT AS n_days,
+       round(avg(x), 2) AS mean_revenue,
+       round(avg(x) / max(mu), 6) AS seasonal_index,
+       round(stddev_samp(x / mu), 6) AS deseason_sd
+FROM d CROSS JOIN o
+GROUP BY dow ORDER BY dow
+"""
+
+
+def q_autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1–7 (the
+    weekly-cycle detector): each lag's Pearson correlation over the
+    aligned pairs, computed from ONE pass of 7 lag() columns sharing a
+    window spec, then 7 tiny moment aggregations (unioned). Exact
+    integer-cents inputs; the lag-7 spike is the weekly cycle the
+    seasonal index models."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = orders.groupBy(
+        F.date_trunc("DAY", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(cents).alias("x"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "x", *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, 8)]
+    )
+
+    def acf(k: int) -> DataFrame:
+        p = lagged.filter(F.col(f"x{k}").isNotNull()).select(
+            F.col("x").cast("double").alias("a"),
+            F.col(f"x{k}").cast("double").alias("b"),
+        )
+        n = F.count(F.lit(1)).cast("double")
+        corr = (F.sum(F.col("a") * F.col("b")) - F.sum("a") * F.sum("b") / n) / (
+            F.sqrt(
+                (F.sum(F.col("a") * F.col("a")) - F.sum("a") * F.sum("a") / n)
+                * (F.sum(F.col("b") * F.col("b")) - F.sum("b") * F.sum("b") / n)
+            )
+        )
+        return p.agg(
+            F.lit(k).alias("lag"),
+            F.round(corr, 6).alias("acf"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+
+    out = acf(1)
+    for k in range(2, 8):
+        out = out.unionByName(acf(k))
+    return out.orderBy("lag")
+
+
+def _sql_acf() -> str:
+    parts = []
+    for k in range(1, 8):
+        parts.append(f"""
+SELECT {k} AS lag,
+       round((sum(a * b) - sum(a) * sum(b) / count(*))
+             / sqrt((sum(a * a) - sum(a) * sum(a) / count(*))
+                    * (sum(b * b) - sum(b) * sum(b) / count(*))), 6) AS acf,
+       count(*)::BIGINT AS n_pairs
+FROM (SELECT x::DOUBLE AS a, lag(x, {k}) OVER (ORDER BY day)::DOUBLE AS b
+      FROM daily) WHERE b IS NOT NULL""")
+    u = " UNION ALL ".join(parts)
+    return f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         sum(round(o_totalprice * 100)::BIGINT) AS x
+  FROM orders GROUP BY 1
+)
+SELECT * FROM ({u}) ORDER BY lag
+"""
+
+
+def q_unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring: a unigram LM fit on the corpus
+    itself (add-1 smoothed token probabilities), each doc scored by its
+    mean token log-probability — the perplexity-proxy filter for
+    training-corpus curation (garbage text scores far below fluent
+    text under ANY LM, even this one). Two passes: vocab build (token
+    explode → count), then score (explode → broadcast vocab join →
+    per-doc mean). Per-source rollup reports the score distribution."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    totals = vocab.agg(
+        F.sum("tf").alias("n_tokens"), F.count(F.lit(1)).alias("v_size")
+    )
+    scored_tok = (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "source",
+            F.log(
+                (F.col("tf") + 1.0)
+                / (F.col("n_tokens") + F.col("v_size")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored_tok.groupBy("doc_id", "source").agg(
+        F.avg("lp").alias("mean_lp")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("mean_lp"), 6).alias("avg_logprob"),
+            F.round(F.min("mean_lp"), 6).alias("worst_logprob"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_UNIGRAM_LP = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+t AS (SELECT * FROM toks WHERE tok <> ''),
+vocab AS (SELECT tok, count(*)::BIGINT AS tf FROM t GROUP BY tok),
+totals AS (SELECT sum(tf) AS n_tokens, count(*)::BIGINT AS v_size FROM vocab),
+scored AS (
+  SELECT doc_id, source,
+         ln((tf + 1.0) / (n_tokens + v_size)::DOUBLE) AS lp
+  FROM t JOIN vocab USING (tok) CROSS JOIN totals
+),
+per_doc AS (
+  SELECT doc_id, source, avg(lp) AS mean_lp FROM scored GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(avg(mean_lp), 6) AS avg_logprob,
+       round(min(mean_lp), 6) AS worst_logprob
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8876,6 +9105,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "max_open_orders": (q_max_open_orders, _SQL_MAX_OPEN),
     "skew_report_lineitem": (q_skew_report_lineitem, _SQL_SKEW_REPORT),
     "weighted_median_price": (q_weighted_median_price, _SQL_WEIGHTED_MEDIAN),
+    "ewma_daily_revenue": (q_ewma_daily_revenue, _sql_ewma()),
+    "seasonal_index_dow": (q_seasonal_index_dow, _SQL_SEASONAL_DOW),
+    "autocorrelation_daily": (q_autocorrelation_daily, _sql_acf()),
+    "unigram_logprob_docs": (q_unigram_logprob_docs, _SQL_UNIGRAM_LP),
 }
 
 

@@ -49,6 +49,8 @@ ALLOWLIST_NLJ = {
     "rfm_segments": "two 1-row broadcasts: corpus max date + the 9 quartile thresholds",
     "mean_shift_scan": "1-row global-total broadcast against the daily prefix sums",
     "benford_first_digit": "1-row total broadcast for digit shares",
+    "seasonal_index_dow": "1-row overall-mean broadcast for the index denominator",
+    "unigram_logprob_docs": "1-row corpus-totals broadcast for smoothing denominators",
 }
 
 
@@ -66,6 +68,8 @@ ALLOWLIST_GLOBAL_WINDOW = {
     "rolling_correlation_days": "trailing-14-day moment sums over the daily pre-aggregate (time-span-bounded)",
     "mean_shift_scan": "prefix sums over the daily pre-aggregate (time-span-bounded)",
     "max_open_orders": "sweep-line running sum over day-granular deltas (calendar-bounded)",
+    "ewma_daily_revenue": "21-lag weighted window over the daily pre-aggregate (time-span-bounded)",
+    "autocorrelation_daily": "7 lag columns over the daily pre-aggregate (time-span-bounded)",
 }
 
 
