@@ -8909,6 +8909,115 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+def q_pit_features_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly — the feature-store
+    contract: every label row (a purchase) carries features computed
+    ONLY from events strictly before it. Leakage-freedom is by
+    construction, not audit: the feature frame is
+    rowsBetween(unboundedPreceding, -1) over the per-user event
+    sequence, so no future row can contribute. Features: prior event
+    count, prior mean value, prior click count, and seconds since the
+    previous event. Output aggregates the assembled set per label
+    hour-of-day (row count, feature means, cold-start rate) — the
+    shape a training-data QA report takes."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    feat = ev.select("user_id", "event_type", "value", "ts", "event_id").select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.count(F.lit(1)).over(wp).alias("prior_n"),
+        F.avg("value").over(wp).alias("prior_avg_value"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .over(wp)
+        .alias("prior_clicks"),
+        ((us - F.lag(us).over(w)) / F.lit(1e6)).alias("gap_s"),
+    )
+    labels = feat.filter(F.col("event_type") == "purchase")
+    return (
+        labels.groupBy(F.hour(F.col("ts")).alias("label_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("prior_n"), 4).alias("avg_prior_n"),
+            F.round(F.avg("prior_avg_value"), 4).alias("avg_prior_value"),
+            F.round(F.avg("prior_clicks"), 4).alias("avg_prior_clicks"),
+            F.sum(F.when(F.col("prior_n") == 0, 1).otherwise(0)).alias(
+                "n_cold_start"
+            ),
+            F.round(F.avg("gap_s"), 2).alias("avg_gap_s"),
+        )
+        .orderBy("label_hour")
+    )
+
+
+_SQL_PIT_FEATURES = """
+WITH feat AS (
+  SELECT user_id, event_type, ts,
+         count(*) OVER wp AS prior_n,
+         avg(value) OVER wp AS prior_avg_value,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER wp
+           AS prior_clicks,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6 AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT hour(ts) AS label_hour, count(*)::BIGINT AS n_rows,
+       round(avg(prior_n), 4) AS avg_prior_n,
+       round(avg(prior_avg_value), 4) AS avg_prior_value,
+       round(avg(prior_clicks), 4) AS avg_prior_clicks,
+       sum(CASE WHEN prior_n = 0 THEN 1 ELSE 0 END)::BIGINT AS n_cold_start,
+       round(avg(gap_s), 2) AS avg_gap_s
+FROM feat WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY label_hour
+"""
+
+
+def q_topk_with_ties_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (dense_rank ≤ 3): the 3 highest revenue VALUES
+    per brand, keeping every part that achieves them — the semantics
+    ANSI's FETCH FIRST k ROWS WITH TIES specifies and row_number-top-k
+    silently violates. Revenue is 2dp-rounded BEFORE ranking on both
+    engines so tie groups are identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"))
+    return (
+        rev.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rnk")
+        .orderBy("p_brand", "rnk", "p_partkey")
+    )
+
+
+_SQL_TOPK_TIES = """
+WITH rev AS (
+  SELECT p_brand, p_partkey,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand, p_partkey, revenue,
+       dense_rank() OVER (PARTITION BY p_brand ORDER BY revenue DESC) AS rnk
+FROM rev QUALIFY rnk <= 3
+ORDER BY p_brand, rnk, p_partkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9109,6 +9218,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "seasonal_index_dow": (q_seasonal_index_dow, _SQL_SEASONAL_DOW),
     "autocorrelation_daily": (q_autocorrelation_daily, _sql_acf()),
     "unigram_logprob_docs": (q_unigram_logprob_docs, _SQL_UNIGRAM_LP),
+    "pit_features_purchases": (q_pit_features_purchases, _SQL_PIT_FEATURES),
+    "topk_with_ties_parts": (q_topk_with_ties_parts, _SQL_TOPK_TIES),
 }
 
 
