@@ -127,6 +127,25 @@ HEADLINE = [
     "distance_band_pairs",
     "snapshot_diff_orders",
     "attribution_touchpoints",
+    "user_type_map",
+    "capped_sessions",
+    "debounced_event_counts",
+    "rolling_correlation_days",
+    "bearing_sector_counts",
+    "order_fulfillment_lag",
+    "rfm_segments",
+    "mean_shift_scan",
+    "benford_first_digit",
+    "max_open_orders",
+    "skew_report_lineitem",
+    "weighted_median_price",
+    "ewma_daily_revenue",
+    "seasonal_index_dow",
+    "autocorrelation_daily",
+    "unigram_logprob_docs",
+    "pit_features_purchases",
+    "topk_with_ties_parts",
+    "sql_frontend_revenue",
 ]
 
 

@@ -9018,6 +9018,51 @@ ORDER BY p_brand, rnk, p_partkey
 """
 
 
+def q_sql_frontend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front end as a first-class entry point: the engine's
+    tables registered as temp views and a multi-CTE Spark SQL
+    statement (aggregation + window share-of-total) run through
+    spark.sql — proving a reference user can drive this engine with
+    plain SQL, not just the DataFrame API. Catalyst compiles both
+    surfaces to the same plans; the oracle restates it in DuckDB's
+    dialect."""
+    for t in ("orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        WITH nat_rev AS (
+          SELECT n_name,
+                 round(sum(o_totalprice), 2) AS revenue,
+                 count(*) AS n_orders
+          FROM v_orders
+          JOIN v_customer ON o_custkey = c_custkey
+          JOIN v_nation ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        )
+        SELECT n_name, revenue, n_orders,
+               round(revenue / sum(revenue) OVER (), 6) AS share
+        FROM nat_rev
+        ORDER BY revenue DESC, n_name
+        """
+    )
+
+
+_SQL_FRONTEND = """
+WITH nat_rev AS (
+  SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+         count(*)::BIGINT AS n_orders
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, revenue, n_orders,
+       round(revenue / sum(revenue) OVER (), 6) AS share
+FROM nat_rev
+ORDER BY revenue DESC, n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9220,6 +9265,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "unigram_logprob_docs": (q_unigram_logprob_docs, _SQL_UNIGRAM_LP),
     "pit_features_purchases": (q_pit_features_purchases, _SQL_PIT_FEATURES),
     "topk_with_ties_parts": (q_topk_with_ties_parts, _SQL_TOPK_TIES),
+    "sql_frontend_revenue": (q_sql_frontend_revenue, _SQL_FRONTEND),
 }
 
 
