@@ -9063,6 +9063,117 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q_isochrone_hull_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon measurement on the isochrone hull: vertex count,
+    shoelace area and centroid of the reachable region's convex hull —
+    the geometry rollup lab-3-style reports print. Runs on the same
+    integer lattice as `isochrone_poi_access`, so every cross product
+    is exact bigint math and the oracle can replay the WHOLE chain:
+    recursive-CTE bounded SSSP → boundary points → MAXIMAL hull edges
+    (all points weakly left AND no collinear point outside the
+    segment — the second condition is what de-duplicates collinear
+    chains so shoelace sums each side exactly once) → closed-loop
+    shoelace. Spark side: the hull (already collinear-free, CCW from
+    monotone chain) folds to area/centroid on the driver — O(hull)
+    artifacts only, per the engine's driver policy."""
+    from ..graph.algorithms import convex_hull, isochrone_nodes
+
+    n = 30
+    ids = spark.range(n * n).select(F.col("id").cast("bigint"))
+    nodes = ids.select(
+        "id",
+        ((F.col("id") % n) * 100).alias("ix"),
+        ((F.col("id") / n).cast("bigint") * 100).alias("iy"),
+    )
+    right = ids.filter((F.col("id") % n) < n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    down = ids.filter(F.col("id") < n * (n - 1)).select(
+        F.col("id").alias("src"), (F.col("id") + n).alias("dst")
+    )
+    edges = right.unionByName(down).withColumn(
+        "travel_time",
+        F.lit(60.0) / (F.lit(1) + (F.col("src") * F.col("dst")) % 5),
+    )
+    center = n * n // 2 + n // 2
+    reach = isochrone_nodes(edges, nodes, center, radius=300.0, directed=False)
+    hull = convex_hull(reach, x="ix", y="iy")
+    a2 = sum(
+        ax * by - bx * ay
+        for (ax, ay), (bx, by) in zip(hull, hull[1:] + hull[:1])
+    )
+    cx6 = sum(
+        (ax + bx) * (ax * by - bx * ay)
+        for (ax, ay), (bx, by) in zip(hull, hull[1:] + hull[:1])
+    )
+    cy6 = sum(
+        (ay + by) * (ax * by - bx * ay)
+        for (ax, ay), (bx, by) in zip(hull, hull[1:] + hull[:1])
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(hull),
+                a2 / 2.0,
+                round(cx6 / (3.0 * a2), 4),
+                round(cy6 / (3.0 * a2), 4),
+            )
+        ],
+        "n_vertices int, area double, cx double, cy double",
+    )
+
+
+_SQL_HULL_GEOMETRY = """
+WITH RECURSIVE ids AS (SELECT range::BIGINT AS id FROM range(900)),
+base AS (
+  SELECT id AS src, id + 1 AS dst FROM ids WHERE id % 30 < 29
+  UNION ALL
+  SELECT id AS src, id + 30 AS dst FROM ids WHERE id < 870
+),
+edges AS (
+  SELECT src, dst, 60.0 / (1 + (src * dst) % 5) AS w FROM base
+  UNION ALL
+  SELECT dst AS src, src AS dst, 60.0 / (1 + (src * dst) % 5) AS w FROM base
+),
+walk(id, dist) AS (
+  SELECT 465::BIGINT AS id, 0.0::DOUBLE AS dist
+  UNION
+  SELECT e.dst, w.dist + e.w FROM walk w JOIN edges e ON e.src = w.id
+  WHERE w.dist + e.w <= 300.0
+),
+rpts AS (SELECT DISTINCT 100 * (id % 30) AS x, 100 * (id // 30) AS y FROM walk),
+bpts AS (
+  SELECT x, y FROM (
+    SELECT x, y, min(x) OVER (PARTITION BY y) AS mn,
+           max(x) OVER (PARTITION BY y) AS mx
+    FROM rpts
+  ) WHERE x = mn OR x = mx
+),
+hedges AS (
+  SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM bpts a, bpts b
+  WHERE NOT (a.x = b.x AND a.y = b.y)
+    AND NOT EXISTS (
+      SELECT 1 FROM bpts r
+      WHERE (b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) < 0
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM bpts r
+      WHERE (b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) = 0
+        AND ((r.x - a.x) * (b.x - a.x) + (r.y - a.y) * (b.y - a.y) < 0
+             OR (r.x - b.x) * (b.x - a.x) + (r.y - b.y) * (b.y - a.y) > 0)
+    )
+)
+SELECT count(*)::INT AS n_vertices,
+       sum(ax * by - bx * ay) / 2.0 AS area,
+       round(sum((ax + bx) * (ax * by - bx * ay))
+             / (3.0 * sum(ax * by - bx * ay)), 4) AS cx,
+       round(sum((ay + by) * (ax * by - bx * ay))
+             / (3.0 * sum(ax * by - bx * ay)), 4) AS cy
+FROM hedges
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9266,6 +9377,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pit_features_purchases": (q_pit_features_purchases, _SQL_PIT_FEATURES),
     "topk_with_ties_parts": (q_topk_with_ties_parts, _SQL_TOPK_TIES),
     "sql_frontend_revenue": (q_sql_frontend_revenue, _SQL_FRONTEND),
+    "isochrone_hull_geometry": (q_isochrone_hull_geometry, _SQL_HULL_GEOMETRY),
 }
 
 
