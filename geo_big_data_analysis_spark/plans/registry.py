@@ -9174,6 +9174,120 @@ FROM hedges
 """
 
 
+def q_kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation sketches — audience-overlap estimation from KMV
+    sketches ALONE (the mergeable-sketch algebra): distinct clickers ∩
+    distinct purchasers estimated as D̂_A + D̂_B − D̂_{A∪B}, where the
+    union sketch is just the k smallest of the two sketches' union
+    (KMV's closure property — no rescan of either side). The md5-prefix
+    hash makes every sketch bit-identical in DuckDB, so the oracle
+    replays the estimates exactly, alongside the exact intersection
+    for the observed error. At 100 TB the two sketches are 64 numbers
+    each; the exact path is a full distinct-join."""
+    ev = _t(spark, sf_dir, "events")
+    k = 64
+    two60 = F.lit(float(1 << 60))
+
+    def sketch(etype: str) -> DataFrame:
+        hashed = (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id")
+            .distinct()
+            .select(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("bigint").alias("h")
+            )
+        )
+        w = Window.orderBy("h")
+        return hashed.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= k
+        ).select("h")
+
+    def estimate(sk: DataFrame, name: str) -> DataFrame:
+        return sk.agg(
+            F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+            .otherwise(F.round((F.count(F.lit(1)) - 1) * two60 / F.max("h"), 2))
+            .alias(name)
+        )
+
+    a, b = sketch("click"), sketch("purchase")
+    w = Window.orderBy("h")
+    union_sk = (
+        a.unionByName(b)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("h")
+    )
+    exact = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    da, db, du = (
+        estimate(a, "d_click"),
+        estimate(b, "d_purchase"),
+        estimate(union_sk, "d_union"),
+    )
+    return (
+        da.join(F.broadcast(db))
+        .join(F.broadcast(du))
+        .join(F.broadcast(exact))
+        .select(
+            "d_click",
+            "d_purchase",
+            "d_union",
+            F.round(
+                F.col("d_click") + F.col("d_purchase") - F.col("d_union"), 2
+            ).alias("est_overlap"),
+            "exact_overlap",
+        )
+    )
+
+
+_SQL_KMV_OVERLAP = """
+WITH ha AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+),
+hb AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+sku AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+        ORDER BY h LIMIT 64),
+ea AS (SELECT CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                   ELSE round((count(*) - 1) * 1152921504606846976.0 / max(h), 2)
+              END AS d_click FROM ska),
+eb AS (SELECT CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                   ELSE round((count(*) - 1) * 1152921504606846976.0 / max(h), 2)
+              END AS d_purchase FROM skb),
+eu AS (SELECT CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                   ELSE round((count(*) - 1) * 1152921504606846976.0 / max(h), 2)
+              END AS d_union FROM sku),
+exact AS (
+  SELECT count(*)::BIGINT AS exact_overlap FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+  )
+)
+SELECT d_click, d_purchase, d_union,
+       round(d_click + d_purchase - d_union, 2) AS est_overlap,
+       exact_overlap
+FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN exact
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9378,6 +9492,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "topk_with_ties_parts": (q_topk_with_ties_parts, _SQL_TOPK_TIES),
     "sql_frontend_revenue": (q_sql_frontend_revenue, _SQL_FRONTEND),
     "isochrone_hull_geometry": (q_isochrone_hull_geometry, _SQL_HULL_GEOMETRY),
+    "kmv_overlap_sketch": (q_kmv_overlap_sketch, _SQL_KMV_OVERLAP),
 }
 
 

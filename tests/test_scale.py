@@ -143,3 +143,15 @@ def test_frequent_items_partition_independent(spark, sf_dir):
             ).collect()
         }
         assert got == expected, parts
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """AQE is live: a small aggregation's post-shuffle partition count
+    is coalesced well below spark.sql.shuffle.partitions."""
+    from geo_big_data_analysis_spark.plans.registry import _t
+
+    n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    agg = _t(spark, sf_dir, "events").groupBy("event_type").count()
+    assert agg.count() > 0  # materialize so AQE finalizes the plan
+    n_parts = agg.rdd.getNumPartitions()
+    assert n_parts < n_conf, (n_parts, n_conf)
