@@ -9288,6 +9288,105 @@ FROM ea CROSS JOIN eb CROSS JOIN eu CROSS JOIN exact
 """
 
 
+def q_inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index construction: token → sorted postings list
+    (doc_ids) + document frequency, for the 20 highest-df terms — the
+    build step of every retrieval system, and the same
+    explode→group→collect shape the n-gram similarity index uses
+    (there it stays internal; here it's the EXPORT). Postings encode
+    as comma-joined sorted ids (engine-neutral); at 100 TB postings
+    shard by term hash and store as arrays, not strings."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tx.tokens(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("doc_id")).cast("array<string>")
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("df"), "tok")
+        .limit(20)
+    )
+
+
+_SQL_INVERTED_INDEX = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+t AS (SELECT * FROM toks WHERE tok <> '')
+SELECT tok, count(*)::BIGINT AS df,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM t GROUP BY tok
+ORDER BY df DESC, tok
+LIMIT 20
+"""
+
+
+def q_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence test between event type and weekday (the
+    categorical-association screen; completes the statistical-test
+    family with KS and Benford): observed 5×7 contingency counts vs
+    the independence expectation (row·col/total), summed into the χ²
+    statistic with its degrees of freedom and Cramér's V effect size.
+    Three tiny aggs off one count grid; margins broadcast back."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", temporal.dayofweek_monday0("ts").alias("dow")
+    )
+    grid = d.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("o"))
+    rows = grid.groupBy("event_type").agg(F.sum("o").alias("r_tot"))
+    cols = grid.groupBy("dow").agg(F.sum("o").alias("c_tot"))
+    tot = grid.agg(F.sum("o").alias("n"))
+    e = (
+        grid.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .join(F.broadcast(tot))
+        .withColumn(
+            "exp", F.col("r_tot") * F.col("c_tot") / F.col("n").cast("double")
+        )
+    )
+    chi2 = F.sum(F.pow(F.col("o") - F.col("exp"), 2) / F.col("exp"))
+    return e.agg(
+        F.round(chi2, 4).alias("chi2"),
+        F.lit((5 - 1) * (7 - 1)).alias("dof"),
+        F.round(
+            F.sqrt(chi2 / (F.max("n") * F.lit(4.0))), 6
+        ).alias("cramers_v"),
+        F.max("n").alias("n"),
+    )
+
+
+_SQL_CHI2 = """
+WITH d AS (
+  SELECT event_type, (dayofweek(ts) + 6) % 7 AS dow FROM events
+),
+grid AS (
+  SELECT event_type, dow, count(*)::BIGINT AS o FROM d GROUP BY 1, 2
+),
+rows_ AS (SELECT event_type, sum(o) AS r_tot FROM grid GROUP BY 1),
+cols_ AS (SELECT dow, sum(o) AS c_tot FROM grid GROUP BY 1),
+tot AS (SELECT sum(o) AS n FROM grid),
+e AS (
+  SELECT o, r_tot * c_tot / n::DOUBLE AS exp, n
+  FROM grid
+  JOIN rows_ USING (event_type)
+  JOIN cols_ USING (dow)
+  CROSS JOIN tot
+)
+SELECT round(sum(pow(o - exp, 2) / exp), 4) AS chi2,
+       24 AS dof,
+       round(sqrt(sum(pow(o - exp, 2) / exp) / (max(n) * 4.0)), 6) AS cramers_v,
+       max(n)::BIGINT AS n
+FROM e
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9493,6 +9592,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sql_frontend_revenue": (q_sql_frontend_revenue, _SQL_FRONTEND),
     "isochrone_hull_geometry": (q_isochrone_hull_geometry, _SQL_HULL_GEOMETRY),
     "kmv_overlap_sketch": (q_kmv_overlap_sketch, _SQL_KMV_OVERLAP),
+    "inverted_index_docs": (q_inverted_index_docs, _SQL_INVERTED_INDEX),
+    "chi2_type_dow": (q_chi2_type_dow, _SQL_CHI2),
 }
 
 

@@ -51,6 +51,8 @@ ALLOWLIST_NLJ = {
     "benford_first_digit": "1-row total broadcast for digit shares",
     "seasonal_index_dow": "1-row overall-mean broadcast for the index denominator",
     "unigram_logprob_docs": "1-row corpus-totals broadcast for smoothing denominators",
+    "chi2_type_dow": "1-row grand-total broadcast for the independence expectation",
+    "kmv_overlap_sketch": "1-row sketch-estimate broadcasts (four tiny sides)",
 }
 
 
