@@ -9387,6 +9387,68 @@ FROM e
 """
 
 
+def q_frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling MANIFEST — the planning half of video
+    ingestion, fully oracle-checkable (the decode half stays a pytest-
+    pinned stub since codecs aren't in this container): for every video
+    row, the every-4th-frame sample indices as codegen'd
+    sequence/transform arithmetic, rolled up per duration band with
+    sampled-frame totals and the exact index list of the longest video.
+    At 100 TB the manifest drives the decoder fan-out (one task per
+    (video, frame-range)) — planning stays JVM-side, bytes never move
+    for it."""
+    docs = _t(spark, sf_dir, "documents")
+    from ..sources.multimodal import synthesize_media
+
+    m = synthesize_media(docs, "doc_id", "text")
+    videos = m.filter(F.col("media.media_type") == "video").select(
+        "item_id", F.col("media.n_frames").alias("n_frames")
+    )
+    k = 4
+    sampled = videos.withColumn(
+        "idxs",
+        F.sequence(
+            F.lit(0), F.col("n_frames") - 1, F.lit(k)
+        ),
+    ).withColumn("n_sampled", F.size("idxs"))
+    band = (F.floor(F.col("n_frames") / 32) * 32).alias("frame_band")
+    return (
+        sampled.groupBy(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.sum("n_sampled").alias("total_sampled"),
+            F.max("n_frames").alias("max_frames"),
+            F.max_by(
+                F.concat_ws(",", F.col("idxs").cast("array<string>")),
+                # scalar composite key (ids ≪ 1e5): engine-portable max_by
+                F.col("n_frames") * 100000 + F.col("item_id"),
+            ).alias("longest_idx_list"),
+        )
+        .orderBy("frame_band")
+    )
+
+
+_SQL_FRAME_SAMPLE = """
+WITH videos AS (
+  SELECT doc_id AS item_id, (8 + doc_id % 120)::INT AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+sampled AS (
+  SELECT item_id, n_frames,
+         range(0, n_frames, 4) AS idxs
+  FROM videos
+)
+SELECT (n_frames // 32) * 32 AS frame_band,
+       count(*)::BIGINT AS n_videos,
+       sum(len(idxs))::BIGINT AS total_sampled,
+       max(n_frames) AS max_frames,
+       max_by(array_to_string(idxs, ','), n_frames * 100000 + item_id)
+         AS longest_idx_list
+FROM sampled
+GROUP BY 1 ORDER BY frame_band
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9594,6 +9656,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "kmv_overlap_sketch": (q_kmv_overlap_sketch, _SQL_KMV_OVERLAP),
     "inverted_index_docs": (q_inverted_index_docs, _SQL_INVERTED_INDEX),
     "chi2_type_dow": (q_chi2_type_dow, _SQL_CHI2),
+    "frame_sample_manifest": (q_frame_sample_manifest, _SQL_FRAME_SAMPLE),
 }
 
 

@@ -70,6 +70,8 @@ ALLOWLIST_GLOBAL_WINDOW = {
     "rolling_correlation_days": "trailing-14-day moment sums over the daily pre-aggregate (time-span-bounded)",
     "mean_shift_scan": "prefix sums over the daily pre-aggregate (time-span-bounded)",
     "max_open_orders": "sweep-line running sum over day-granular deltas (calendar-bounded)",
+    "sql_frontend_revenue": "share-of-total window over the per-nation aggregate (#nations rows)",
+    "kmv_overlap_sketch": "k-min selection windows; swap for an aggregate-HOF k-min merge at scale (KMV docstring note)",
     "ewma_daily_revenue": "21-lag weighted window over the daily pre-aggregate (time-span-bounded)",
     "autocorrelation_daily": "7 lag columns over the daily pre-aggregate (time-span-bounded)",
 }
