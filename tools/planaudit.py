@@ -53,6 +53,7 @@ ALLOWLIST_NLJ = {
     "unigram_logprob_docs": "1-row corpus-totals broadcast for smoothing denominators",
     "chi2_type_dow": "1-row grand-total broadcast for the independence expectation",
     "kmv_overlap_sketch": "1-row sketch-estimate broadcasts (four tiny sides)",
+    "rolling_active_users": "1-row observed-span broadcast clamping WAU to full-history days",
 }
 
 
