@@ -178,3 +178,55 @@ def read_date_pruned(
     order for this format, so the filter is a partition-level range)."""
     df = spark.read.parquet(path)
     return df.filter(F.col("dt").between(date_min, date_max))
+
+
+def plan_compaction(path: str, target_bytes: int) -> list[list[str]]:
+    """Small-file compaction planner: first-fit-decreasing bin packing
+    of a directory's parquet files into ~target_bytes output groups.
+    Pure file-METADATA work (names + sizes), so driver-side is the
+    right cost model even at 100 TB — the plan is O(files), the data
+    never moves until execute_compaction. Files already ≥ target stay
+    in singleton bins (rewriting them buys nothing)."""
+    import glob
+    import os
+
+    files = sorted(
+        glob.glob(os.path.join(path, "*.parquet")),
+        key=lambda f: -os.path.getsize(f),
+    )
+    bins: list[list[str]] = []
+    loads: list[int] = []
+    for f in files:
+        sz = os.path.getsize(f)
+        placed = False
+        if sz < target_bytes:
+            for i, load in enumerate(loads):
+                if load + sz <= target_bytes and loads[i] + sz > loads[i]:
+                    bins[i].append(f)
+                    loads[i] += sz
+                    placed = True
+                    break
+        if not placed:
+            bins.append([f])
+            loads.append(sz)
+    return bins
+
+
+def execute_compaction(
+    spark: SparkSession, path: str, out_path: str, target_bytes: int
+) -> int:
+    """Rewrite a small-file directory as one output file per planned
+    bin (each bin's files read together, coalesced to 1): row-for-row
+    content-preserving, file count drops to len(bins). Real table
+    formats do this transactionally (rewrite then atomic swap); here
+    the swap is the caller's rename, keeping the operator pure.
+    Returns the number of output groups."""
+    bins = plan_compaction(path, target_bytes)
+    for i, group in enumerate(bins):
+        (
+            spark.read.parquet(*group)
+            .coalesce(1)
+            .write.mode("append" if i else "overwrite")
+            .parquet(out_path)
+        )
+    return len(bins)

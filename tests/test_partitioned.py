@@ -141,3 +141,36 @@ def test_date_partitioned_scan_prunes_directories(spark, tmp_path):
         F.date_format("ts", "yyyy-MM-dd").between("2024-01-03", "2024-01-05")
     )
     assert got.count() == full.count()
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
+    import glob
+
+    from geo_big_data_analysis_spark.plans.registry import _t
+    from geo_big_data_analysis_spark.sources.partitioned import (
+        execute_compaction,
+        plan_compaction,
+    )
+
+    src = str(tmp_path / "small_files")
+    ev = _t(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value"
+    )
+    ev.repartition(24).write.mode("overwrite").parquet(src)
+    n_small = len(glob.glob(f"{src}/*.parquet"))
+    assert n_small >= 20
+
+    bins = plan_compaction(src, target_bytes=64 * 1024)
+    # every source file appears in exactly one bin
+    planned = [f for b in bins for f in b]
+    assert sorted(planned) == sorted(glob.glob(f"{src}/*.parquet"))
+
+    out = str(tmp_path / "compacted")
+    n_bins = execute_compaction(spark, src, out, target_bytes=64 * 1024)
+    n_out = len(glob.glob(f"{out}/*.parquet"))
+    assert n_out == n_bins < n_small
+    # content identical as a multiset
+    a = {tuple(r) for r in spark.read.parquet(src).collect()}
+    b = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert a == b
+    assert spark.read.parquet(out).count() == ev.count()
