@@ -9449,6 +9449,60 @@ GROUP BY 1 ORDER BY frame_band
 """
 
 
+def q_top_decile_spenders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP percentile threshold (F17's group-wise form): each
+    nation's top-decile spenders — the p90 spend computed per nation
+    (one small agg), broadcast-joined back, then the census of
+    customers above their OWN nation's bar. Group-local thresholds are
+    the pattern global percentile filters miss (a global p90 would be
+    dominated by rich nations); the threshold table is |nations| rows
+    however large the fact side."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "o_custkey", "spend")
+    )
+    th = spend.groupBy("n_name").agg(
+        F.percentile("spend", F.lit(0.9)).alias("p90")
+    )
+    return (
+        spend.join(F.broadcast(th), "n_name")
+        .filter(F.col("spend") > F.col("p90"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_top"),
+            F.round(F.sum("spend"), 2).alias("top_spend"),
+            F.round(F.max("p90"), 2).alias("p90_bar"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_SQL_TOP_DECILE = """
+WITH spend AS (
+  SELECT n_name, o_custkey, round(sum(o_totalprice), 2) AS spend
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, o_custkey
+),
+th AS (SELECT n_name, quantile_cont(spend, 0.9) AS p90 FROM spend GROUP BY 1)
+SELECT s.n_name, count(*)::BIGINT AS n_top,
+       round(sum(s.spend), 2) AS top_spend, round(max(t.p90), 2) AS p90_bar
+FROM spend s JOIN th t ON s.n_name = t.n_name
+WHERE s.spend > t.p90
+GROUP BY s.n_name
+ORDER BY s.n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9657,6 +9711,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "inverted_index_docs": (q_inverted_index_docs, _SQL_INVERTED_INDEX),
     "chi2_type_dow": (q_chi2_type_dow, _SQL_CHI2),
     "frame_sample_manifest": (q_frame_sample_manifest, _SQL_FRAME_SAMPLE),
+    "top_decile_spenders_by_nation": (
+        q_top_decile_spenders_by_nation,
+        _SQL_TOP_DECILE,
+    ),
 }
 
 

@@ -241,3 +241,32 @@ def test_sliding_windows_double_count_invariant(spark, sf_dir):
     total = sum(r.n for r in out.collect())
     n_events = _t(spark, sf_dir, "events").count()
     assert total == 2 * n_events
+
+
+def test_streaming_progress_metrics_observable(spark, sf_dir):
+    """StreamingQueryProgress observability: a drained stream exposes
+    per-batch input-row counts and state-operator metrics — the
+    monitoring surface a production pipeline scrapes."""
+    from geo_big_data_analysis_spark.streaming.windows import (
+        hourly_event_counts_stream,
+        scoped_shuffle_partitions,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    with scoped_shuffle_partitions(spark):
+        q = (
+            hourly_event_counts_stream(ev)
+            .writeStream.format("memory")
+            .queryName("__progress_probe")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = q.recentProgress
+    assert progresses, "expected at least one progress record"
+    total_in = sum(p["numInputRows"] for p in progresses)
+    n_events = ev.sparkSession.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total_in == n_events
+    assert any(p.get("stateOperators") for p in progresses)
