@@ -146,6 +146,12 @@ HEADLINE = [
     "pit_features_purchases",
     "topk_with_ties_parts",
     "sql_frontend_revenue",
+    "isochrone_hull_geometry",
+    "kmv_overlap_sketch",
+    "inverted_index_docs",
+    "chi2_type_dow",
+    "frame_sample_manifest",
+    "top_decile_spenders_by_nation",
 ]
 
 
