@@ -9503,6 +9503,135 @@ ORDER BY s.n_name
 """
 
 
+def q_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality measurement: the Gini coefficient of customer spend
+    within each nation, from the rank formulation
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending within-nation
+    ranks — one PARTITIONED rank window (no global sort; the two-phase
+    global-rank operator is the fallback for a single giant group).
+    Integer-cents spend keeps Σ i·xᵢ exact (bounded by n²·max_cents ≪
+    2⁶³ at any realistic nation size)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(cents).alias("x"))
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "o_custkey", "x")
+    )
+    w = Window.partitionBy("n_name").orderBy("x", "o_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("x"))
+                / (F.count(F.lit(1)) * F.sum("x"))
+                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_SQL_GINI = """
+WITH spend AS (
+  SELECT n_name, o_custkey,
+         sum(round(o_totalprice * 100)::BIGINT) AS x
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, o_custkey
+),
+ranked AS (
+  SELECT n_name, x,
+         row_number() OVER (PARTITION BY n_name ORDER BY x, o_custkey) AS i
+  FROM spend
+)
+SELECT n_name, count(*)::BIGINT AS n_customers,
+       round(2.0 * sum(i * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_concentration_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration metrics per part type: Herfindahl–Hirschman
+    index (Σ share²), Shannon entropy of the brand mix, and CR3 (top-3
+    brand share) — the three standard concentration lenses from ONE
+    per-(type, brand) revenue grid. CR3 rides a per-type top-k window;
+    shares come from a broadcast join-back of the per-type totals."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    grid = (
+        li.join(F.broadcast(part.select("p_partkey", "p_type", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("rev")
+        )
+    )
+    tot = grid.groupBy("p_type").agg(F.sum("rev").alias("t"))
+    shared = grid.join(F.broadcast(tot), "p_type").withColumn(
+        "share", F.col("rev") / F.col("t")
+    )
+    w = Window.partitionBy("p_type").orderBy(F.desc("rev"), "p_brand")
+    cr3 = (
+        shared.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("p_type")
+        .agg(F.round(F.sum("share"), 6).alias("cr3"))
+    )
+    base = shared.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_brands"),
+        F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+        F.round(-F.sum(F.col("share") * F.log("share")), 6).alias("entropy"),
+    )
+    return base.join(cr3, "p_type").orderBy("p_type")
+
+
+_SQL_CONCENTRATION = """
+WITH grid AS (
+  SELECT p_type, p_brand,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT p_type, sum(rev) AS t FROM grid GROUP BY 1),
+shared AS (
+  SELECT g.p_type, g.p_brand, g.rev, g.rev / t.t AS share
+  FROM grid g JOIN tot t ON g.p_type = t.p_type
+),
+cr3 AS (
+  SELECT p_type, round(sum(share), 6) AS cr3 FROM (
+    SELECT p_type, share,
+           row_number() OVER (PARTITION BY p_type
+                              ORDER BY rev DESC, p_brand) AS rn
+    FROM shared
+  ) WHERE rn <= 3 GROUP BY p_type
+),
+base AS (
+  SELECT p_type, count(*)::BIGINT AS n_brands,
+         round(sum(share * share), 6) AS hhi,
+         round(-sum(share * ln(share)), 6) AS entropy
+  FROM shared GROUP BY p_type
+)
+SELECT base.p_type, n_brands, hhi, entropy, cr3.cr3
+FROM base JOIN cr3 ON base.p_type = cr3.p_type
+ORDER BY base.p_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9715,6 +9844,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_top_decile_spenders_by_nation,
         _SQL_TOP_DECILE,
     ),
+    "gini_by_nation": (q_gini_by_nation, _SQL_GINI),
+    "concentration_by_type": (q_concentration_by_type, _SQL_CONCENTRATION),
 }
 
 
