@@ -9632,6 +9632,146 @@ ORDER BY base.p_type
 """
 
 
+def q_temporal_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (validity-interval) point lookup against SCD2 history —
+    'what was each user's state at time T?' for a deterministic probe
+    set: the SCD2 collapse builds the versioned dimension, then probes
+    join on user_id with the interval residual
+    effective_from ≤ T < effective_to. The equi-key (user_id) drives
+    the hash join — the interval test is a residual filter, never a
+    range-scan join; per (user, T) exactly one version matches (SCD2
+    intervals partition time). Probes land mid-corpus via per-user
+    offsets so the answers exercise interior versions, not just
+    endpoints. The census per looked-up state is the output."""
+    from ..operators.scd import scd2_collapse
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_collapse(ev, "user_id", "event_type", "ts")
+    hi = F.lit("2100-01-01 00:00:00").cast("timestamp")
+    hist = hist.select(
+        "user_id",
+        "event_type",
+        F.col("effective_from").cast("timestamp").alias("ef"),
+        F.coalesce(F.col("effective_to").cast("timestamp"), hi).alias("et"),
+    )
+    users = ev.select("user_id").distinct()
+    probe_ts = (
+        F.lit("2024-01-05 00:00:00").cast("timestamp")
+        + F.make_dt_interval(F.lit(0), (F.col("user_id") % 14).cast("int"))
+    )
+    probes = users.select("user_id", probe_ts.alias("t"))
+    hits = hist.join(probes, "user_id").filter(
+        (F.col("ef") <= F.col("t")) & (F.col("t") < F.col("et"))
+    )
+    return (
+        hits.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+_SQL_TEMPORAL_LOOKUP = """
+WITH m AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+p AS (SELECT user_id, event_type, ts FROM m WHERE chg = 1),
+hist AS (
+  SELECT user_id, event_type, ts AS ef,
+         coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                  TIMESTAMP '2100-01-01 00:00:00') AS et
+  FROM p
+),
+probes AS (
+  SELECT user_id,
+         TIMESTAMP '2024-01-05 00:00:00'
+           + (user_id % 14) * INTERVAL 1 HOUR AS t
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT h.event_type, count(*)::BIGINT AS n_users
+FROM hist h JOIN probes pr
+  ON h.user_id = pr.user_id AND h.ef <= pr.t AND pr.t < h.et
+GROUP BY h.event_type ORDER BY h.event_type
+"""
+
+
+def q_share_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent over one ROLLUP grid: each
+    (region, nation) row's share of its REGION subtotal, and each
+    region's share of the grand total — the drill-down ratio column
+    every OLAP report carries. Both denominator levels come from the
+    SAME Expand-based rollup (no second scan); the parent join keys on
+    the region level. grouping_id disambiguates levels."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    base = (
+        orders.join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+                    F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    grid = base.rollup("r_name", "n_name").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        F.grouping_id().alias("gid"),
+    )
+    leaves = grid.filter(F.col("gid") == 0).select("r_name", "n_name", "rev")
+    regions = grid.filter(F.col("gid") == 1).select(
+        F.col("r_name").alias("pr_name"), F.col("rev").alias("region_rev")
+    )
+    grand = grid.filter(F.col("gid") == 3).select(
+        F.col("rev").alias("grand_rev")
+    )
+    return (
+        leaves.join(F.broadcast(regions), leaves.r_name == regions.pr_name)
+        .join(F.broadcast(grand))
+        .select(
+            "r_name",
+            "n_name",
+            "rev",
+            F.round(F.col("rev") / F.col("region_rev"), 6).alias(
+                "share_of_region"
+            ),
+            F.round(F.col("region_rev") / F.col("grand_rev"), 6).alias(
+                "region_share_of_total"
+            ),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_SQL_SHARE_OF_PARENT = """
+WITH base AS (
+  SELECT r_name, n_name, o_totalprice
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+leaves AS (
+  SELECT r_name, n_name, round(sum(o_totalprice), 2) AS rev
+  FROM base GROUP BY 1, 2
+),
+regions AS (
+  SELECT r_name, round(sum(o_totalprice), 2) AS region_rev
+  FROM base GROUP BY 1
+),
+grand AS (SELECT round(sum(o_totalprice), 2) AS grand_rev FROM base)
+SELECT l.r_name, l.n_name, l.rev,
+       round(l.rev / r.region_rev, 6) AS share_of_region,
+       round(r.region_rev / g.grand_rev, 6) AS region_share_of_total
+FROM leaves l
+JOIN regions r ON l.r_name = r.r_name
+CROSS JOIN grand g
+ORDER BY l.r_name, l.n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9846,6 +9986,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "gini_by_nation": (q_gini_by_nation, _SQL_GINI),
     "concentration_by_type": (q_concentration_by_type, _SQL_CONCENTRATION),
+    "temporal_state_lookup": (q_temporal_state_lookup, _SQL_TEMPORAL_LOOKUP),
+    "share_of_parent_rollup": (q_share_of_parent_rollup, _SQL_SHARE_OF_PARENT),
 }
 
 
