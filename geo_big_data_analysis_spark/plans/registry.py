@@ -9772,6 +9772,128 @@ ORDER BY l.r_name, l.n_name
 """
 
 
+def q_spend_quartile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-migration matrix: each customer's spend quartile in 1997
+    vs 1998, counted as a 4×4 transition grid plus churn-in/out rows
+    (active one year only) — the period-over-period segmentation drift
+    report. Quartile bars are per-YEAR broadcast thresholds (same
+    scale posture as RFM — no global ntile); the migration join keys
+    on custkey."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def year_spend(y: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        )
+
+    def quartiled(df: DataFrame, out: str) -> DataFrame:
+        th = df.agg(
+            F.percentile("spend", F.lit(0.25)).alias("q1"),
+            F.percentile("spend", F.lit(0.5)).alias("q2"),
+            F.percentile("spend", F.lit(0.75)).alias("q3"),
+        )
+        return df.join(F.broadcast(th)).select(
+            "o_custkey",
+            (
+                F.lit(1)
+                + (F.col("spend") > F.col("q1")).cast("int")
+                + (F.col("spend") > F.col("q2")).cast("int")
+                + (F.col("spend") > F.col("q3")).cast("int")
+            ).alias(out),
+        )
+    a = quartiled(year_spend(1997), "q97")
+    b = quartiled(year_spend(1998), "q98")
+    j = a.join(b, "o_custkey", "full_outer")
+    return (
+        j.groupBy(
+            F.coalesce(F.col("q97"), F.lit(0)).alias("q97"),
+            F.coalesce(F.col("q98"), F.lit(0)).alias("q98"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("q97", "q98")
+    )
+
+
+_SQL_QUARTILE_MIGRATION = """
+WITH s97 AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+),
+s98 AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS spend FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    AND o_orderdate < TIMESTAMP '1999-01-01'
+  GROUP BY 1
+),
+t97 AS (SELECT quantile_cont(spend, 0.25) AS q1, quantile_cont(spend, 0.5) AS q2,
+               quantile_cont(spend, 0.75) AS q3 FROM s97),
+t98 AS (SELECT quantile_cont(spend, 0.25) AS q1, quantile_cont(spend, 0.5) AS q2,
+               quantile_cont(spend, 0.75) AS q3 FROM s98),
+a AS (SELECT o_custkey,
+             1 + (spend > q1)::INT + (spend > q2)::INT + (spend > q3)::INT AS q97
+      FROM s97 CROSS JOIN t97),
+b AS (SELECT o_custkey,
+             1 + (spend > q1)::INT + (spend > q2)::INT + (spend > q3)::INT AS q98
+      FROM s98 CROSS JOIN t98)
+SELECT coalesce(q97, 0) AS q97, coalesce(q98, 0) AS q98,
+       count(*)::BIGINT AS n_customers
+FROM a FULL OUTER JOIN b USING (o_custkey)
+GROUP BY 1, 2 ORDER BY q97, q98
+"""
+
+
+def q_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting: the seasonal-naive baseline (ŷ_t = y_{t−7},
+    same weekday last week) evaluated walk-forward over daily revenue —
+    per-month MAE and MAPE, the reference line every real forecaster
+    must beat. One lag window over the daily pre-agg; errors aggregate
+    per month. Integer-cents values keep the error sums exact until
+    the final divisions."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = orders.groupBy(
+        F.date_trunc("DAY", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum(cents).alias("x"))
+    w = Window.orderBy("day")
+    scored = daily.withColumn("yhat", F.lag("x", 7).over(w)).filter(
+        F.col("yhat").isNotNull()
+    )
+    err = F.abs(F.col("x") - F.col("yhat"))
+    return (
+        scored.groupBy(F.date_trunc("MONTH", F.col("day")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(err) / 100.0, 2).alias("mae"),
+            F.round(F.avg(err / F.col("x")), 6).alias("mape"),
+        )
+        .orderBy("month")
+    )
+
+
+_SQL_SEASONAL_NAIVE = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         sum(round(o_totalprice * 100)::BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT day, x, lag(x, 7) OVER (ORDER BY day) AS yhat FROM daily
+)
+SELECT date_trunc('month', day) AS month, count(*)::BIGINT AS n_days,
+       round(avg(abs(x - yhat)) / 100.0, 2) AS mae,
+       round(avg(abs(x - yhat) / x::DOUBLE), 6) AS mape
+FROM scored WHERE yhat IS NOT NULL
+GROUP BY 1 ORDER BY month
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9988,6 +10110,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "concentration_by_type": (q_concentration_by_type, _SQL_CONCENTRATION),
     "temporal_state_lookup": (q_temporal_state_lookup, _SQL_TEMPORAL_LOOKUP),
     "share_of_parent_rollup": (q_share_of_parent_rollup, _SQL_SHARE_OF_PARENT),
+    "spend_quartile_migration": (
+        q_spend_quartile_migration,
+        _SQL_QUARTILE_MIGRATION,
+    ),
+    "seasonal_naive_eval": (q_seasonal_naive_eval, _SQL_SEASONAL_NAIVE),
 }
 
 

@@ -50,6 +50,8 @@ ALLOWLIST_NLJ = {
     "mean_shift_scan": "1-row global-total broadcast against the daily prefix sums",
     "benford_first_digit": "1-row total broadcast for digit shares",
     "seasonal_index_dow": "1-row overall-mean broadcast for the index denominator",
+    "spend_quartile_migration": "two 1-row per-year quartile-threshold broadcasts",
+    "share_of_parent_rollup": "1-row grand-total broadcast over the rollup levels",
     "unigram_logprob_docs": "1-row corpus-totals broadcast for smoothing denominators",
     "chi2_type_dow": "1-row grand-total broadcast for the independence expectation",
     "kmv_overlap_sketch": "1-row sketch-estimate broadcasts (four tiny sides)",
@@ -75,6 +77,7 @@ ALLOWLIST_GLOBAL_WINDOW = {
     "kmv_overlap_sketch": "k-min selection windows; swap for an aggregate-HOF k-min merge at scale (KMV docstring note)",
     "ewma_daily_revenue": "21-lag weighted window over the daily pre-aggregate (time-span-bounded)",
     "autocorrelation_daily": "7 lag columns over the daily pre-aggregate (time-span-bounded)",
+    "seasonal_naive_eval": "lag-7 window over the daily pre-aggregate (time-span-bounded)",
 }
 
 
