@@ -9894,6 +9894,100 @@ GROUP BY 1 ORDER BY month
 """
 
 
+def q_prorated_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue recognition proration: each order's value spreads
+    uniformly over its service interval [orderdate, last shipment],
+    credited to calendar months by day overlap — the interval×calendar
+    allocation every finance pipeline runs. The interval explodes only
+    to its covering months (sequence of month starts — bounded by span
+    months, not days); overlap days are exact date arithmetic; each
+    order's credited shares provably sum to its total (conservation
+    pytest-checked implicitly by the oracle grid). Integer cents ÷
+    exact day counts keep shares deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("close_ts")
+    )
+    o = (
+        orders.join(last_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.to_date("o_orderdate").alias("d0"),
+            F.to_date("close_ts").alias("d1"),
+        )
+        .filter(F.col("d1") >= F.col("d0"))
+        .withColumn("span_days", F.datediff("d1", "d0") + 1)
+    )
+    exploded = o.select(
+        "o_orderkey",
+        "cents",
+        "d0",
+        "d1",
+        "span_days",
+        F.explode(
+            F.sequence(
+                F.trunc("d0", "MM"),
+                F.trunc("d1", "MM"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month"),
+    )
+    m_end = F.last_day(F.col("month"))
+    ov_start = F.greatest(F.col("month"), F.col("d0"))
+    ov_end = F.least(m_end, F.col("d1"))
+    credited = exploded.withColumn(
+        "ov_days", F.datediff(ov_end, ov_start) + 1
+    ).withColumn(
+        "credit",
+        F.col("cents") * F.col("ov_days") / F.col("span_days") / 100.0,
+    )
+    return (
+        credited.groupBy(
+            F.date_format("month", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.round(F.sum("credit"), 2).alias("recognized_revenue"),
+            F.count(F.lit(1)).alias("n_order_slices"),
+        )
+        .orderBy("month")
+    )
+
+
+_SQL_PRORATED = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS close_ts FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents,
+         o_orderdate::DATE AS d0, close_ts::DATE AS d1,
+         date_diff('day', o_orderdate::DATE, close_ts::DATE) + 1 AS span_days
+  FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+  WHERE close_ts::DATE >= o_orderdate::DATE
+),
+exploded AS (
+  SELECT o_orderkey, cents, d0, d1, span_days,
+         unnest(generate_series(date_trunc('month', d0),
+                                date_trunc('month', d1),
+                                INTERVAL 1 MONTH))::DATE AS month
+  FROM o
+),
+credited AS (
+  SELECT month,
+         date_diff('day', greatest(month, d0),
+                   least(last_day(month), d1)) + 1 AS ov_days,
+         cents, span_days
+  FROM exploded
+)
+SELECT strftime(month, '%Y-%m') AS month,
+       round(sum(cents * ov_days / span_days::DOUBLE / 100.0), 2)
+         AS recognized_revenue,
+       count(*)::BIGINT AS n_order_slices
+FROM credited GROUP BY 1 ORDER BY month
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10115,6 +10209,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         _SQL_QUARTILE_MIGRATION,
     ),
     "seasonal_naive_eval": (q_seasonal_naive_eval, _SQL_SEASONAL_NAIVE),
+    "prorated_monthly_revenue": (q_prorated_monthly_revenue, _SQL_PRORATED),
 }
 
 
