@@ -152,6 +152,13 @@ HEADLINE = [
     "chi2_type_dow",
     "frame_sample_manifest",
     "top_decile_spenders_by_nation",
+    "gini_by_nation",
+    "concentration_by_type",
+    "temporal_state_lookup",
+    "share_of_parent_rollup",
+    "spend_quartile_migration",
+    "seasonal_naive_eval",
+    "prorated_monthly_revenue",
 ]
 
 
