@@ -9988,6 +9988,138 @@ FROM credited GROUP BY 1 ORDER BY month
 """
 
 
+def q_user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Censoring-aware retention (Kaplan-Meier-style at fixed
+    horizons): S(k) = share of users still active ≥ k days after first
+    seen, computed ONLY over users observable for ≥ k days (first seen
+    at least k days before corpus end) — ignoring censoring inflates
+    churn for late joiners, the classic retention-curve mistake. One
+    per-user lifetime agg + a tiny horizons cross join (7 rows)."""
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_d"),
+        F.to_date(F.max("ts")).alias("last_d"),
+    )
+    end = ev.agg(F.to_date(F.max("ts")).alias("end_d"))
+    lt = spans.join(F.broadcast(end)).select(
+        "user_id",
+        F.datediff("last_d", "first_d").alias("lifetime"),
+        F.datediff("end_d", "first_d").alias("observable"),
+    )
+    horizons = spark.range(7).select((F.col("id") * 5).cast("int").alias("k"))
+    return (
+        lt.crossJoin(F.broadcast(horizons))
+        .filter(F.col("observable") >= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_observable"),
+            F.sum(
+                F.when(F.col("lifetime") >= F.col("k"), 1).otherwise(0)
+            ).alias("n_surviving"),
+            F.round(
+                F.sum(F.when(F.col("lifetime") >= F.col("k"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("survival"),
+        )
+        .orderBy("k")
+    )
+
+
+_SQL_SURVIVAL = """
+WITH spans AS (
+  SELECT user_id, min(ts)::DATE AS first_d, max(ts)::DATE AS last_d
+  FROM events GROUP BY 1
+),
+end_ AS (SELECT max(ts)::DATE AS end_d FROM events),
+lt AS (
+  SELECT user_id,
+         date_diff('day', first_d, last_d) AS lifetime,
+         date_diff('day', first_d, end_d) AS observable
+  FROM spans CROSS JOIN end_
+),
+horizons AS (SELECT (range * 5)::INT AS k FROM range(7))
+SELECT k, count(*)::BIGINT AS n_observable,
+       sum(CASE WHEN lifetime >= k THEN 1 ELSE 0 END)::BIGINT AS n_surviving,
+       round(sum(CASE WHEN lifetime >= k THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS survival
+FROM lt CROSS JOIN horizons
+WHERE observable >= k
+GROUP BY k ORDER BY k
+"""
+
+
+def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split by a deterministic hash
+    bucket (the assignment every experimentation platform does),
+    conversion = made ≥1 purchase; the two-proportion pooled z-test
+    statistic plus absolute lift — the significance arithmetic as
+    column algebra over two tiny per-bucket aggregates. Assignment
+    hashes user_id (md5-prefix parity), NOT raw id parity, so
+    correlated-id artifacts can't leak into arms."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", bucket)
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("conv"),
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("c_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("c_b")
+    )
+    j = a.join(F.broadcast(b))
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    p_pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (p_a - p_b) / F.sqrt(
+        p_pool * (1 - p_pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(p_a - p_b, 6).alias("lift"),
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
+_SQL_AB_TEST = """
+WITH per_user AS (
+  SELECT user_id,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2 AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, count(*)::BIGINT AS n, sum(converted)::BIGINT AS conv
+  FROM per_user GROUP BY arm
+),
+a AS (SELECT n AS n_a, conv AS c_a FROM arms WHERE arm = 0),
+b AS (SELECT n AS n_b, conv AS c_b FROM arms WHERE arm = 1)
+SELECT n_a, n_b,
+       round(c_a / n_a::DOUBLE, 6) AS rate_a,
+       round(c_b / n_b::DOUBLE, 6) AS rate_b,
+       round(c_a / n_a::DOUBLE - c_b / n_b::DOUBLE, 6) AS lift,
+       round((c_a / n_a::DOUBLE - c_b / n_b::DOUBLE)
+             / sqrt(((c_a + c_b) / (n_a + n_b)::DOUBLE)
+                    * (1 - (c_a + c_b) / (n_a + n_b)::DOUBLE)
+                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat
+FROM a CROSS JOIN b
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10210,6 +10342,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "seasonal_naive_eval": (q_seasonal_naive_eval, _SQL_SEASONAL_NAIVE),
     "prorated_monthly_revenue": (q_prorated_monthly_revenue, _SQL_PRORATED),
+    "user_survival_curve": (q_user_survival_curve, _SQL_SURVIVAL),
+    "ab_test_conversion": (q_ab_test_conversion, _SQL_AB_TEST),
 }
 
 
