@@ -10120,6 +10120,82 @@ FROM a CROSS JOIN b
 """
 
 
+def q_staypoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory stay-point detection: maximal runs of consecutive
+    pings in the SAME grid cell lasting ≥ 30 minutes — the dwell
+    episodes mobility analysis mines (home/work/POI visits). The
+    trajectory family's gaps-and-islands member: cell-change flags
+    cumsum into island ids per user (the SCD2 collapse applied to a
+    spatial state), then island duration filters. Cell size ties to
+    the dwell radius exactly like DBSCAN's eps-grid. Output: per-user
+    stay counts and dwell-time stats."""
+    ev = _t(spark, sf_dir, "events")
+    pts = _derived_points(ev).select("user_id", "ts", "event_id", "lon", "lat")
+    gx, gy = grid_cell("lat", "lon", 40.5, -74.3, 0.05)
+    cells = pts.withColumn("cell", gx * 1000 + gy)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = cells.withColumn(
+        "chg",
+        F.when(
+            F.lag("cell").over(w).isNull()
+            | (F.col("cell") != F.lag("cell").over(w)),
+            1,
+        ).otherwise(0),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = flagged.withColumn("island", F.sum("chg").over(wrun))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        ((F.max(us) - F.min(us)) / F.lit(6e7)).alias("dwell_min"),
+    )
+    stays = per_island.filter(F.col("dwell_min") >= 30.0)
+    return (
+        stays.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_stays"),
+            F.round(F.avg("dwell_min"), 4).alias("avg_dwell_min"),
+            F.round(F.max("dwell_min"), 4).alias("max_dwell_min"),
+            F.sum("n_pings").alias("n_stay_pings"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_STAYPOINTS = f"""
+WITH p AS ({_DERIVED_POINTS_SQL}),
+cells AS (
+  SELECT user_id, ts, event_id,
+         floor((lon - (-74.3)) / 0.05) * 1000 + floor((lat - 40.5) / 0.05)
+           AS cell
+  FROM p
+),
+flagged AS (
+  SELECT user_id, ts, event_id, cell,
+         CASE WHEN lag(cell) OVER w IS NULL OR cell <> lag(cell) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM cells WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts, cell,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+per_island AS (
+  SELECT user_id, island, count(*)::BIGINT AS n_pings,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) / 6e7 AS dwell_min
+  FROM islands GROUP BY 1, 2
+),
+stays AS (SELECT * FROM per_island WHERE dwell_min >= 30.0)
+SELECT user_id, count(*)::BIGINT AS n_stays,
+       round(avg(dwell_min), 4) AS avg_dwell_min,
+       round(max(dwell_min), 4) AS max_dwell_min,
+       sum(n_pings)::BIGINT AS n_stay_pings
+FROM stays GROUP BY user_id ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10344,6 +10420,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "prorated_monthly_revenue": (q_prorated_monthly_revenue, _SQL_PRORATED),
     "user_survival_curve": (q_user_survival_curve, _SQL_SURVIVAL),
     "ab_test_conversion": (q_ab_test_conversion, _SQL_AB_TEST),
+    "staypoint_detection": (q_staypoint_detection, _SQL_STAYPOINTS),
 }
 
 
