@@ -159,6 +159,9 @@ HEADLINE = [
     "spend_quartile_migration",
     "seasonal_naive_eval",
     "prorated_monthly_revenue",
+    "user_survival_curve",
+    "ab_test_conversion",
+    "staypoint_detection",
 ]
 
 
