@@ -10196,6 +10196,135 @@ FROM stays GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_degree_assortativity_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the modular graph — Pearson correlation
+    of endpoint degrees over undirected edges (counted once per
+    direction, the standard Newman formulation): do hubs attach to
+    hubs? Composes the degree table with a two-sided broadcast join
+    back onto the edge list; the correlation assembles from moment
+    sums (the linregress algebra on integer degrees — exact sums)."""
+    edges = _mod_graph_edges(spark)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    both_dirs = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    pairs = (
+        both_dirs.join(
+            F.broadcast(deg.select(F.col("id").alias("u"), F.col("d").alias("da"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("id").alias("v"), F.col("d").alias("db"))),
+            "v",
+        )
+        .select(F.col("da").cast("double").alias("a"), F.col("db").cast("double").alias("b"))
+    )
+    n = F.count(F.lit(1)).cast("double")
+    corr = (F.sum(F.col("a") * F.col("b")) - F.sum("a") * F.sum("b") / n) / F.sqrt(
+        (F.sum(F.col("a") * F.col("a")) - F.sum("a") * F.sum("a") / n)
+        * (F.sum(F.col("b") * F.col("b")) - F.sum("b") * F.sum("b") / n)
+    )
+    return pairs.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        F.round(corr, 6).alias("assortativity"),
+    )
+
+
+_SQL_ASSORTATIVITY = f"""
+WITH {_SQL_MOD_GRAPH},
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e
+),
+deg AS (
+  SELECT id, count(*)::BIGINT AS d FROM (
+    SELECT u AS id FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY id
+),
+both_dirs AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+),
+pairs AS (
+  SELECT da.d::DOUBLE AS a, db.d::DOUBLE AS b
+  FROM both_dirs
+  JOIN deg da ON both_dirs.u = da.id
+  JOIN deg db ON both_dirs.v = db.id
+)
+SELECT (count(*) / 2)::BIGINT AS n_edges,
+       round((sum(a * b) - sum(a) * sum(b) / count(*))
+             / sqrt((sum(a * a) - sum(a) * sum(a) / count(*))
+                    * (sum(b * b) - sum(b) * sum(b) / count(*))), 6)
+         AS assortativity
+FROM pairs
+"""
+
+
+def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality geometry: pairwise cosine similarity between
+    per-label embedding centroids — the separation matrix that grades
+    a labeling/quantizer (well-separated labels → low off-diagonal
+    similarity). Centroids come from ONE grouped element-wise mean
+    (the KMeans-update shuffle shape); the 10×10 pair matrix is a
+    broadcast self-join over 10 rows — the heavy work never exceeds
+    the centroid agg. Output: top-5 most-confusable label pairs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    first = emb.select(F.size(x).alias("d")).first()
+    dim = first["d"]
+    cents = emb.select("label", *[x[i].alias(f"c{i}") for i in range(dim)]).groupBy(
+        "label"
+    ).agg(*[F.avg(f"c{i}").alias(f"c{i}") for i in range(dim)])
+    a = cents.select(
+        F.col("label").alias("la"), *[F.col(f"c{i}").alias(f"a{i}") for i in range(dim)]
+    )
+    b = cents.select(
+        F.col("label").alias("lb"), *[F.col(f"c{i}").alias(f"b{i}") for i in range(dim)]
+    )
+    dot = sum(F.col(f"a{i}") * F.col(f"b{i}") for i in range(dim))
+    na = F.sqrt(sum(F.col(f"a{i}") * F.col(f"a{i}") for i in range(dim)))
+    nb = F.sqrt(sum(F.col(f"b{i}") * F.col(f"b{i}") for i in range(dim)))
+    return (
+        a.join(F.broadcast(b), F.col("la") < F.col("lb"))
+        .select(
+            "la",
+            "lb",
+            F.round(dot / (na * nb), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "la", "lb")
+        .limit(5)
+    )
+
+
+def _sql_centroid_separation(dim: int = 64) -> str:
+    cols = ", ".join(
+        f"avg(embedding[{i + 1}]::DOUBLE) AS c{i}" for i in range(dim)
+    )
+    dot = " + ".join(f"a.c{i} * b.c{i}" for i in range(dim))
+    na = " + ".join(f"a.c{i} * a.c{i}" for i in range(dim))
+    nb = " + ".join(f"b.c{i} * b.c{i}" for i in range(dim))
+    return f"""
+WITH cents AS (
+  SELECT label, {cols} FROM embeddings GROUP BY label
+)
+SELECT a.label AS la, b.label AS lb,
+       round(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS cos_sim
+FROM cents a JOIN cents b ON a.label < b.label
+ORDER BY cos_sim DESC, la, lb
+LIMIT 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10421,6 +10550,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "user_survival_curve": (q_user_survival_curve, _SQL_SURVIVAL),
     "ab_test_conversion": (q_ab_test_conversion, _SQL_AB_TEST),
     "staypoint_detection": (q_staypoint_detection, _SQL_STAYPOINTS),
+    "degree_assortativity_mod": (q_degree_assortativity_mod, _SQL_ASSORTATIVITY),
+    "centroid_separation": (q_centroid_separation, _sql_centroid_separation()),
 }
 
 
