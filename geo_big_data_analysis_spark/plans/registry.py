@@ -10325,6 +10325,145 @@ LIMIT 5
 """
 
 
+_HOLIDAYS = [
+    f"{y}-{md}" for y in range(1995, 2002) for md in ("01-01", "07-04", "12-25")
+]
+
+
+def q_business_day_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holiday-aware business-day lag: working days (Mon–Fri, minus a
+    fixed holiday calendar) between order placement and final shipment,
+    averaged per priority — calendar math as pure HOFs: sequence of
+    covered dates → filter(weekday ∧ ¬holiday) → size, all codegen, no
+    UDF, no calendar dimension join (the broadcast-calendar form is
+    the alternative when holiday rules get data-driven)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
+    hol = F.array(*[F.lit(h).cast("date") for h in _HOLIDAYS])
+    o = (
+        orders.join(last_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("d0"),
+            F.to_date("close_ts").alias("d1"),
+        )
+        .filter(F.col("d1") > F.col("d0"))
+    )
+    bdays = F.size(
+        F.filter(
+            F.sequence(F.date_add("d0", 1), F.col("d1")),
+            lambda d: ((F.dayofweek(d) + 5) % 7 < 5)
+            & ~F.array_contains(hol, d),
+        )
+    )
+    return (
+        o.withColumn("bdays", bdays)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("bdays"), 4).alias("avg_bdays"),
+            F.max("bdays").alias("max_bdays"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _sql_business_day_lag() -> str:
+    hol = ", ".join(f"'{h}'::DATE" for h in _HOLIDAYS)
+    return f"""
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS close_ts FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT o_orderpriority, o_orderdate::DATE AS d0, close_ts::DATE AS d1
+  FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+  WHERE close_ts::DATE > o_orderdate::DATE
+),
+b AS (
+  SELECT o_orderpriority,
+         len(list_filter(generate_series(d0 + 1, d1, INTERVAL 1 DAY),
+             d -> (dayofweek(d::DATE) + 6) % 7 < 5
+                  AND NOT list_contains([{hol}], d::DATE))) AS bdays
+  FROM o
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       round(avg(bdays), 4) AS avg_bdays, max(bdays)::INT AS max_bdays
+FROM b GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
+_EMB_DIM = 64
+
+
+def q_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette score per label — cluster-quality at
+    the POINT level (the separation matrix grades centroids; this
+    grades every member): a(i) = distance to own centroid, b(i) = min
+    distance to any other, s = (b−a)/max(a,b), averaged per label.
+    Physical shape: points cross-join the 10-row centroid table
+    (broadcast — a 10× row expansion, not |points|²), each pair's
+    64-term squared distance in one codegen'd projection, then a
+    per-point min-split agg. The full-pairwise silhouette is
+    quadratic; the centroid form is the one that scales."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    cents = emb.select(
+        "label", *[x[i].alias(f"c{i}") for i in range(_EMB_DIM)]
+    ).groupBy("label").agg(
+        *[F.avg(f"c{i}").alias(f"c{i}") for i in range(_EMB_DIM)]
+    ).withColumnRenamed("label", "cl")
+    pts = emb.select(
+        "vec_id", "label", *[x[i].alias(f"e{i}") for i in range(_EMB_DIM)]
+    )
+    d2 = sum(
+        (F.col(f"e{i}") - F.col(f"c{i}")) * (F.col(f"e{i}") - F.col(f"c{i}"))
+        for i in range(_EMB_DIM)
+    )
+    pairs = pts.join(F.broadcast(cents)).select(
+        "vec_id", "label", "cl", d2.alias("d2")
+    )
+    per = pairs.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("label") == F.col("cl"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("label") != F.col("cl"), F.col("d2"))).alias("b2"),
+    )
+    s = (F.sqrt("b2") - F.sqrt("a2")) / F.greatest(F.sqrt("a2"), F.sqrt("b2"))
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(s), 6).alias("silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+def _sql_silhouette(dim: int = _EMB_DIM) -> str:
+    cols = ", ".join(f"avg(embedding[{i + 1}]::DOUBLE) AS c{i}" for i in range(dim))
+    d2 = " + ".join(
+        f"(e.embedding[{i + 1}]::DOUBLE - c.c{i})"
+        f" * (e.embedding[{i + 1}]::DOUBLE - c.c{i})"
+        for i in range(dim)
+    )
+    return f"""
+WITH cents AS (SELECT label AS cl, {cols} FROM embeddings GROUP BY label),
+pairs AS (
+  SELECT e.vec_id, e.label, c.cl, {d2} AS d2
+  FROM embeddings e CROSS JOIN cents c
+),
+per AS (
+  SELECT vec_id, label,
+         min(CASE WHEN label = cl THEN d2 END) AS a2,
+         min(CASE WHEN label <> cl THEN d2 END) AS b2
+  FROM pairs GROUP BY 1, 2
+)
+SELECT label, count(*)::BIGINT AS n,
+       round(avg((sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))), 6)
+         AS silhouette
+FROM per GROUP BY label ORDER BY label
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10552,6 +10691,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "staypoint_detection": (q_staypoint_detection, _SQL_STAYPOINTS),
     "degree_assortativity_mod": (q_degree_assortativity_mod, _SQL_ASSORTATIVITY),
     "centroid_separation": (q_centroid_separation, _sql_centroid_separation()),
+    "business_day_lag": (q_business_day_lag, _sql_business_day_lag()),
+    "silhouette_by_label": (q_silhouette_by_label, _sql_silhouette()),
 }
 
 
