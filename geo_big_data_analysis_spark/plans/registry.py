@@ -10464,6 +10464,154 @@ FROM per GROUP BY label ORDER BY label
 """
 
 
+def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric overlap) near-dup detection:
+    |A∩B| / min(|A|,|B|) ≥ 0.8 over 3-gram shingle sets — the
+    subset-duplicate catcher Jaccard structurally misses (a short doc
+    embedded verbatim in a long one has high containment but low
+    Jaccard, because the union is dominated by the long doc). Same
+    inverted-index physical shape as the Jaccard query (integer
+    shingle equi-join, co-count, per-doc set sizes); only the
+    normalizer changes. Reports pairs where containment clears the
+    bar but Jaccard ≤ 0.5 alongside both scores — the pairs ONLY this
+    operator finds."""
+    from ..operators.dedup import shingle_hash_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_hash_rows(docs, "text", "doc_id", 3).distinct()
+    sh = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ).localCheckpoint()
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb")
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    cont = F.col("i") / F.least("na", "nb")
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.filter((cont >= 0.8) & (jac <= 0.5))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SQL_CONTAINMENT = f"""
+WITH docs AS (SELECT doc_id, {{clean}} AS ct FROM documents),
+sh AS (
+  SELECT doc_id, {{shingles}} AS shingles
+  FROM (SELECT doc_id, string_split(ct, ' ') AS toks FROM docs)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles)) AS i,
+         len(a.shingles) AS na, len(b.shingles) AS nb
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(i / least(na, nb)::DOUBLE, 6) AS containment,
+       round(i / (na + nb - i)::DOUBLE, 6) AS jaccard
+FROM pairs
+WHERE i / least(na, nb)::DOUBLE >= 0.8
+  AND i / (na + nb - i)::DOUBLE <= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_shipment_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-shipment analysis: how many distinct shipment DATES an
+    order's lines spread over (1 = shipped complete, k = k waves),
+    distributed per priority with the average wave count — the order-
+    fulfillment fragmentation report. Two chained aggs (per-order
+    distinct dates, then the per-priority distribution)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    waves = li.groupBy("l_orderkey").agg(
+        F.countDistinct(F.to_date("l_shipdate")).alias("n_waves")
+    )
+    return (
+        orders.join(waves, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("n_waves"), 4).alias("avg_waves"),
+            F.sum(F.when(F.col("n_waves") == 1, 1).otherwise(0)).alias(
+                "n_single_wave"
+            ),
+            F.max("n_waves").alias("max_waves"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_SHIPMENT_WAVES = """
+WITH waves AS (
+  SELECT l_orderkey, count(DISTINCT l_shipdate::DATE)::BIGINT AS n_waves
+  FROM lineitem GROUP BY 1
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       round(avg(n_waves), 4) AS avg_waves,
+       sum(CASE WHEN n_waves = 1 THEN 1 ELSE 0 END)::BIGINT AS n_single_wave,
+       max(n_waves)::BIGINT AS max_waves
+FROM orders JOIN waves ON o_orderkey = l_orderkey
+GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process characterization: per-type inter-arrival gap
+    mean and coefficient of variation (cv ≈ 1 ⇒ Poisson-like, cv ≪ 1
+    ⇒ regular/scheduled, cv ≫ 1 ⇒ bursty) plus the implied hourly
+    rate — the first diagnostic before any queueing or anomaly model.
+    One lag window per type, exact integral-microsecond gaps."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select("event_type", "ts", "event_id").select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_us") / 6e7, 4).alias("mean_gap_min"),
+            F.round(
+                F.stddev_samp("gap_us") / F.avg("gap_us"), 6
+            ).alias("cv"),
+            F.round(3.6e9 / F.avg("gap_us"), 4).alias("rate_per_hour"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_INTERARRIVAL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_gaps,
+       round(avg(gap_us) / 6e7, 4) AS mean_gap_min,
+       round(stddev_samp(gap_us) / avg(gap_us), 6) AS cv,
+       round(3.6e9 / avg(gap_us), 4) AS rate_per_hour
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10693,6 +10841,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "centroid_separation": (q_centroid_separation, _sql_centroid_separation()),
     "business_day_lag": (q_business_day_lag, _sql_business_day_lag()),
     "silhouette_by_label": (q_silhouette_by_label, _sql_silhouette()),
+    "shingle_containment_pairs": (
+        q_shingle_containment_pairs,
+        _SQL_CONTAINMENT.format(clean=_CLEAN_SQL, shingles=_SHINGLES_SQL),
+    ),
+    "shipment_waves": (q_shipment_waves, _SQL_SHIPMENT_WAVES),
+    "interarrival_stats": (q_interarrival_stats, _SQL_INTERARRIVAL),
 }
 
 
