@@ -10612,6 +10612,134 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_backlog_age_at_month_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time backlog aging: at quarterly month-start snapshots,
+    the orders still open (placed, last line not yet shipped) with
+    their age percentiles — the WIP-aging report. Snapshot probes come
+    from a tiny generated calendar; the interval test is a residual on
+    a broadcast cross join (probes × orders is |probes|-fold, bounded
+    by the calendar, not data²). Ages are integral days ⇒ exact
+    percentile arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
+    o = orders.join(last_ship, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.to_date("o_orderdate").alias("d0"), F.to_date("close_ts").alias("d1")
+    )
+    span = o.agg(F.min("d0").alias("lo"), F.max("d1").alias("hi"))
+    # month-START snapshots: stepping month intervals from a day-1 date
+    # never clamps, so Spark's start+k*interval and DuckDB's cumulative
+    # generate_series agree on every probe (a last_day start diverges:
+    # Jan31+6mo = Jul31 one way, Apr30+3mo = Jul30 the other)
+    probes = span.select(
+        F.explode(
+            F.sequence(
+                F.trunc(F.add_months(F.col("lo"), 1), "MM"),
+                F.col("hi"),
+                F.expr("INTERVAL 3 MONTHS"),
+            )
+        ).alias("snap")
+    )
+    open_at = o.join(F.broadcast(probes)).filter(
+        (F.col("d0") <= F.col("snap")) & (F.col("snap") < F.col("d1"))
+    )
+    age = F.datediff("snap", "d0")
+    return (
+        open_at.groupBy(F.date_format("snap", "yyyy-MM-dd").alias("snapshot"))
+        .agg(
+            F.count(F.lit(1)).alias("n_open"),
+            F.round(F.percentile(age, F.lit(0.5)), 2).alias("p50_age_days"),
+            F.max(age).alias("max_age_days"),
+        )
+        .orderBy("snapshot")
+    )
+
+
+_SQL_BACKLOG_AGE = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS close_ts FROM lineitem GROUP BY 1
+),
+o AS (
+  SELECT o_orderdate::DATE AS d0, close_ts::DATE AS d1
+  FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+),
+span AS (SELECT min(d0) AS lo, max(d1) AS hi FROM o),
+probes AS (
+  SELECT unnest(generate_series(date_trunc('month', lo + INTERVAL 1 MONTH)::DATE,
+                                hi, INTERVAL 3 MONTH))::DATE AS snap
+  FROM span
+),
+open_at AS (
+  SELECT snap, date_diff('day', d0, snap) AS age
+  FROM o CROSS JOIN probes
+  WHERE d0 <= snap AND snap < d1
+)
+SELECT strftime(snap, '%Y-%m-%d') AS snapshot, count(*)::BIGINT AS n_open,
+       round(quantile_cont(age, 0.5), 2) AS p50_age_days,
+       max(age)::BIGINT AS max_age_days
+FROM open_at GROUP BY snap ORDER BY snapshot
+"""
+
+
+def q_repurchase_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase-cycle analysis: each repeat customer's mean days
+    between consecutive orders (lag per customer), distributed per
+    market segment — the replenishment-cadence report behind inventory
+    and CRM timing. Two stages: per-customer gap means (customer-keyed
+    window + agg), then the per-segment rollup with exact median."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn(
+            "gap_days",
+            F.datediff(
+                F.to_date("o_orderdate"),
+                F.to_date(F.lag("o_orderdate").over(w)),
+            ),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.avg("gap_days").alias("mean_gap"), F.count(F.lit(1)).alias("n_repeats")
+    )
+    return (
+        per_cust.join(F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+                      F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_repeat_customers"),
+            F.round(F.avg("mean_gap"), 4).alias("avg_cycle_days"),
+            F.round(F.percentile("mean_gap", F.lit(0.5)), 4).alias(
+                "median_cycle_days"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_SQL_REPURCHASE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate::DATE) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate::DATE) AS gap_days
+  FROM orders
+),
+per_cust AS (
+  SELECT o_custkey, avg(gap_days) AS mean_gap, count(*)::BIGINT AS n_repeats
+  FROM gaps WHERE gap_days IS NOT NULL GROUP BY 1
+)
+SELECT c_mktsegment, count(*)::BIGINT AS n_repeat_customers,
+       round(avg(mean_gap), 4) AS avg_cycle_days,
+       round(quantile_cont(mean_gap, 0.5), 4) AS median_cycle_days
+FROM per_cust JOIN customer ON o_custkey = c_custkey
+GROUP BY 1 ORDER BY c_mktsegment
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10847,6 +10975,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "shipment_waves": (q_shipment_waves, _SQL_SHIPMENT_WAVES),
     "interarrival_stats": (q_interarrival_stats, _SQL_INTERARRIVAL),
+    "backlog_age_at_month_end": (q_backlog_age_at_month_end, _SQL_BACKLOG_AGE),
+    "repurchase_cycle": (q_repurchase_cycle, _SQL_REPURCHASE),
 }
 
 
