@@ -162,6 +162,15 @@ HEADLINE = [
     "user_survival_curve",
     "ab_test_conversion",
     "staypoint_detection",
+    "degree_assortativity_mod",
+    "centroid_separation",
+    "business_day_lag",
+    "silhouette_by_label",
+    "shingle_containment_pairs",
+    "shipment_waves",
+    "interarrival_stats",
+    "backlog_age_at_month_end",
+    "repurchase_cycle",
 ]
 
 
