@@ -171,6 +171,7 @@ HEADLINE = [
     "interarrival_stats",
     "backlog_age_at_month_end",
     "repurchase_cycle",
+    "price_volume_mix",
 ]
 
 

@@ -10740,6 +10740,74 @@ GROUP BY 1 ORDER BY c_mktsegment
 """
 
 
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume bridge (the BI decomposition behind every revenue
+    variance review): per part type, 1998-vs-1997 revenue change split
+    into volume effect (Δqty at old price) and price effect (new qty ×
+    Δprice) — an arithmetic identity, so the two effects sum to Δrev
+    EXACTLY (the self-auditing property; checked in the oracle by
+    construction). Two filtered aggs over one scan (conditional
+    aggregation, no self-join), 6dp-aligned unit prices."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    in97 = (
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    in98 = (
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    g = (
+        li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.sum(F.when(in97, F.col("l_quantity"))).alias("q97"),
+            F.sum(F.when(in97, F.col("l_extendedprice"))).alias("r97"),
+            F.sum(F.when(in98, F.col("l_quantity"))).alias("q98"),
+            F.sum(F.when(in98, F.col("l_extendedprice"))).alias("r98"),
+        )
+        .filter(F.col("q97").isNotNull() & F.col("q98").isNotNull())
+    )
+    p97 = F.col("r97") / F.col("q97")
+    p98 = F.col("r98") / F.col("q98")
+    return g.select(
+        "p_type",
+        F.round(F.col("r98") - F.col("r97"), 2).alias("delta_rev"),
+        F.round((F.col("q98") - F.col("q97")) * p97, 2).alias("volume_effect"),
+        F.round(F.col("q98") * (p98 - p97), 2).alias("price_effect"),
+    ).orderBy("p_type")
+
+
+_SQL_PRICE_VOLUME = """
+WITH g AS (
+  SELECT p_type,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1998-01-01'
+                  THEN l_quantity END) AS q97,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1998-01-01'
+                  THEN l_extendedprice END) AS r97,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                   AND l_shipdate < TIMESTAMP '1999-01-01'
+                  THEN l_quantity END) AS q98,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                   AND l_shipdate < TIMESTAMP '1999-01-01'
+                  THEN l_extendedprice END) AS r98
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type
+)
+SELECT p_type,
+       round(r98 - r97, 2) AS delta_rev,
+       round((q98 - q97) * (r97 / q97), 2) AS volume_effect,
+       round(q98 * (r98 / q98 - r97 / q97), 2) AS price_effect
+FROM g
+WHERE q97 IS NOT NULL AND q98 IS NOT NULL
+ORDER BY p_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10977,6 +11045,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "interarrival_stats": (q_interarrival_stats, _SQL_INTERARRIVAL),
     "backlog_age_at_month_end": (q_backlog_age_at_month_end, _SQL_BACKLOG_AGE),
     "repurchase_cycle": (q_repurchase_cycle, _SQL_REPURCHASE),
+    "price_volume_mix": (q_price_volume_mix, _SQL_PRICE_VOLUME),
 }
 
 
