@@ -172,6 +172,7 @@ HEADLINE = [
     "backlog_age_at_month_end",
     "repurchase_cycle",
     "price_volume_mix",
+    "referential_integrity_audit",
 ]
 
 

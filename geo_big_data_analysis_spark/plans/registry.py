@@ -10808,6 +10808,77 @@ ORDER BY p_type
 """
 
 
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's four fact
+    relationships — orphan counts in BOTH directions per edge
+    (lineitem→orders, lineitem→part, lineitem→supplier,
+    orders→customer), each an anti-join pair over distinct keys. The
+    ingest-gate companion to the column profiler: zero rows violated
+    is the contract a warehouse asserts before exposing a load. One
+    row per relationship with child/parent orphan counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+
+    def edge(name, child, ck, parent, pk) -> DataFrame:
+        c = child.select(F.col(ck).alias("k")).distinct()
+        p = parent.select(F.col(pk).alias("k")).distinct()
+        # stay lazy: counts as 1-row aggs unioned
+        co = c.join(p, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("child_orphans")
+        )
+        po = p.join(c, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("unreferenced_parents")
+        )
+        return co.join(F.broadcast(po)).select(
+            F.lit(name).alias("relationship"), "child_orphans",
+            "unreferenced_parents",
+        )
+
+    out = edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+    for args in [
+        ("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        ("lineitem->supplier", li, "l_suppkey", supplier, "s_suppkey"),
+        ("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+    ]:
+        out = out.unionByName(edge(*args))
+    return out.orderBy("relationship")
+
+
+_SQL_REF_INTEGRITY = """
+SELECT * FROM (
+  SELECT 'lineitem->orders' AS relationship,
+    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem)
+     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT
+      AS child_orphans,
+    (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM orders)
+     WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem))::BIGINT
+      AS unreferenced_parents
+  UNION ALL
+  SELECT 'lineitem->part',
+    (SELECT count(*) FROM (SELECT DISTINCT l_partkey FROM lineitem)
+     WHERE l_partkey NOT IN (SELECT p_partkey FROM part))::BIGINT,
+    (SELECT count(*) FROM (SELECT DISTINCT p_partkey FROM part)
+     WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem))::BIGINT
+  UNION ALL
+  SELECT 'lineitem->supplier',
+    (SELECT count(*) FROM (SELECT DISTINCT l_suppkey FROM lineitem)
+     WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))::BIGINT,
+    (SELECT count(*) FROM (SELECT DISTINCT s_suppkey FROM supplier)
+     WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem))::BIGINT
+  UNION ALL
+  SELECT 'orders->customer',
+    (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders)
+     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT,
+    (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer)
+     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))::BIGINT
+)
+ORDER BY relationship
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -11046,6 +11117,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "backlog_age_at_month_end": (q_backlog_age_at_month_end, _SQL_BACKLOG_AGE),
     "repurchase_cycle": (q_repurchase_cycle, _SQL_REPURCHASE),
     "price_volume_mix": (q_price_volume_mix, _SQL_PRICE_VOLUME),
+    "referential_integrity_audit": (
+        q_referential_integrity_audit,
+        _SQL_REF_INTEGRITY,
+    ),
 }
 
 

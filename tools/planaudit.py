@@ -57,6 +57,7 @@ ALLOWLIST_NLJ = {
     "centroid_separation": "10x10 centroid pair matrix (non-equi < join over |labels| rows)",
     "silhouette_by_label": "points x 10-row centroid broadcast (deliberate |labels|-fold expansion)",
     "backlog_age_at_month_end": "calendar-bounded probe snapshots crossed with open intervals",
+    "referential_integrity_audit": "1-row orphan-count aggregates joined per relationship",
     "unigram_logprob_docs": "1-row corpus-totals broadcast for smoothing denominators",
     "chi2_type_dow": "1-row grand-total broadcast for the independence expectation",
     "kmv_overlap_sketch": "1-row sketch-estimate broadcasts (four tiny sides)",
