@@ -204,14 +204,37 @@ def main() -> None:
         fn(spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
+    # Per-query detail goes to a sidecar file; stdout gets ONE compact
+    # line (<1 KB) so the driver's bounded tail-capture can parse it
+    # (round-1 record had "parsed": null because the 4.7 KB inline
+    # per-query dict overflowed the capture window).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    slowest = sorted(times.items(), key=lambda kv: -kv[1])[:5]
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_query_wall_seconds_total",
                 "value": total,
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "n_queries": len(times),
+            },
+            fh,
+            indent=1,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(times),
+                "median_sec": round(sorted(times.values())[len(times) // 2], 3),
+                "slowest": {k: v for k, v in slowest},
+                "detail": "BENCH_DETAIL.json",
+                "queries": {"_total": total},
             }
         )
     )

@@ -106,10 +106,89 @@ def knn_join_grid(
     )
 
 
+#: Above this base-side row count, ``knn_join`` switches from the
+#: broadcast brute-force plan to the grid-bucketed plan. 100k doubles
+#: ×4 cols ≈ 3 MB broadcast — comfortably under executor memory; past
+#: that the cross product's pair count (n·m) dominates anyway.
+BRUTEFORCE_MAX_ROWS = 100_000
+
+
+def knn_join(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    q_id: str = "id",
+    b_id: str = "id",
+    q_xy: tuple[str, str] = ("x", "y"),
+    b_xy: tuple[str, str] = ("x", "y"),
+    exclude_self: bool = True,
+    cell: float | None = None,
+    bruteforce_max_rows: int = BRUTEFORCE_MAX_ROWS,
+) -> DataFrame:
+    """Size-dispatched EXACT KNN join — the default entry point.
+
+    Small base (≤ ``bruteforce_max_rows``): broadcast brute-force (one
+    scan, no shuffle of the big side). Large base: grid-bucketed
+    candidate join at an auto-estimated cell size, then an exactness
+    completion pass — queries whose k-th candidate distance ≥ cell (or
+    with < k candidates) are NOT guaranteed exact by the 3×3 ring, so
+    they re-probe via a broadcast of the (small) deficient query set
+    over one extra base scan. Result is exact for every query at any
+    scale; the completion set is empty for near-uniform data when the
+    cell estimate holds.
+
+    One 1-row aggregate on the base side (count + bbox) drives the
+    dispatch and the cell estimate — the two-phase scalar pattern.
+    """
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col(b_xy[0]).cast("double")).alias("xmin"),
+        F.max(F.col(b_xy[0]).cast("double")).alias("xmax"),
+        F.min(F.col(b_xy[1]).cast("double")).alias("ymin"),
+        F.max(F.col(b_xy[1]).cast("double")).alias("ymax"),
+    ).collect()[0]
+    n = int(stats["n"] or 0)
+    if n <= bruteforce_max_rows:
+        return knn_join_bruteforce(queries, base, k, q_id, b_id, q_xy, b_xy, exclude_self)
+    if cell is None:
+        # expected k-th-NN radius for a uniform point field of density
+        # ρ = n/area is sqrt(k/(π·ρ)); 3× margin keeps the completion
+        # set tiny for mildly clustered data.
+        import math as _math
+
+        area = max(
+            (stats["xmax"] - stats["xmin"]) * (stats["ymax"] - stats["ymin"]), 1e-12
+        )
+        cell = 3.0 * _math.sqrt((k + 1) * area / (_math.pi * n))
+    first = knn_join_grid(queries, base, k, cell, q_id, b_id, q_xy, b_xy, exclude_self)
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_xy[0]).alias("_qx"), F.col(q_xy[1]).alias("_qy"))
+    per_q = first.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_found"), F.max("dist").alias("_maxd")
+    )
+    exact_ids = per_q.filter(
+        (F.col("_found") == k) & (F.col("_maxd") < F.lit(float(cell)))
+    ).select("query_id")
+    # deficient = queries not proven exact (includes zero-candidate ones)
+    deficient = q.join(exact_ids, "query_id", "left_anti")
+    b = base.select(F.col(b_id).alias("neighbor_id"), F.col(b_xy[0]).alias("_bx"), F.col(b_xy[1]).alias("_by"))
+    pairs = F.broadcast(deficient).crossJoin(b)
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    pairs = pairs.withColumn("dist", F.sqrt(_sq_dist("_qx", "_qy", "_bx", "_by")))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    completion = (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "knn_rank")
+    )
+    return first.join(exact_ids, "query_id", "left_semi").unionByName(completion)
+
+
 def kth_nn_distance(points: DataFrame, k: int, id_col: str, x: str, y: str) -> DataFrame:
     """M2 — per-point k-th-NN distance (eps-tuning k-distance curve,
-    test.py:69-146). Self-KNN with the grid strategy, keep rank k."""
-    knn = knn_join_bruteforce(points, points, k, id_col, id_col, (x, y), (x, y))
+    test.py:69-146). Self-KNN via the size-dispatched join: broadcast
+    brute-force at city scale, grid equi-join + completion beyond."""
+    knn = knn_join(points, points, k, id_col, id_col, (x, y), (x, y))
     return knn.filter(F.col("knn_rank") == k).select(
         F.col("query_id").alias(id_col), F.col("dist").alias("kth_dist")
     )

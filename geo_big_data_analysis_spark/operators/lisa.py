@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .knn import knn_join_bruteforce
+from .knn import knn_join
 
 
 def local_morans_i(
@@ -66,7 +66,7 @@ def local_morans_i(
     _check_m2_nonzero(m2)
 
     z = pts.select("id", "x", "y", (F.col("v") - F.lit(mu)).alias("z"))
-    nbrs = knn_join_bruteforce(z, z, k=k)
+    nbrs = knn_join(z, z, k=k)
     lag = (
         nbrs.join(
             z.select(F.col("id").alias("neighbor_id"), F.col("z").alias("zj")),
@@ -86,43 +86,77 @@ def local_morans_i(
     return out.select("id", "z", "lag", i_stat.alias("i_stat"), quad.alias("quadrant"))
 
 
+#: Above this row count the permutation draw pool becomes a fixed-size
+#: deterministic sample of z instead of the full vector — the driver
+#: collect and the executor broadcast stay bounded (≤ 8 MB of doubles)
+#: at any input scale. Sampling the pool perturbs p-values within
+#: Monte-Carlo error (the pool is an iid draw from the same empirical
+#: distribution the conditional randomization targets).
+Z_POOL_CAP = 1_000_000
+
+
 def lisa_permutation_pvalues(
     lisa: DataFrame,
     k: int,
     permutations: int = 999,
     seed: int = 42,
+    z_pool_cap: int = Z_POOL_CAP,
 ) -> DataFrame:
     """p_sim via conditional randomization (esda convention: one-sided,
-    (extreme_count + 1) / (permutations + 1), same-tail as observed I).
+    (extreme_count + 1) / (permutations + 1), same-tail as observed I;
+    999 permutations WITHOUT replacement from z \\ {z_i}, matching lab4
+    nb cell 21's esda Moran_Local call).
 
-    ``lisa`` is local_morans_i output. The global z-vector is collected
-    and broadcast (doubles: 8 bytes × n — city-scale fits comfortably;
-    at larger n, draw from a fixed-size uniform sample of z, which
-    leaves p-values within Monte-Carlo error). Per-point draws are
-    vectorized numpy over Arrow batches, seeded by point id.
+    ``lisa`` is local_morans_i output. m2 comes from a distributed
+    aggregate over the full data; the draw pool is the full z-vector
+    when n ≤ ``z_pool_cap`` (self-value excluded per point via an
+    index shift over the id-sorted pool) and a deterministic
+    xxhash64-ordered sample of ``z_pool_cap`` values beyond that (the
+    documented bounded-driver fallback; self-exclusion then drops —
+    its effect is O(k/n), far inside Monte-Carlo error at that scale).
+    Per-point draws are vectorized numpy over Arrow batches, seeded by
+    point id — deterministic under any partitioning.
     """
-    z_all = [float(r["z"]) for r in lisa.select("z").collect()]
-    m2 = sum(v * v for v in z_all) / len(z_all)
+    n_total = lisa.count()
+    m2 = float(
+        lisa.agg((F.sum(F.col("z") * F.col("z")) / F.count(F.lit(1))).alias("m2"))
+        .collect()[0]["m2"]
+    )
+    exact_pool = n_total <= z_pool_cap
+    if exact_pool:
+        rows = lisa.select("id", "z").orderBy("id").collect()
+    else:
+        rows = (
+            lisa.select("id", "z")
+            .orderBy(F.xxhash64(F.col("id")))
+            .limit(z_pool_cap)
+            .collect()
+        )
+    pool_ids = [int(r["id"]) for r in rows]
+    pool_z = [float(r["z"]) for r in rows]
     sc = lisa.sparkSession.sparkContext
-    bz = sc.broadcast(z_all)
+    bz = sc.broadcast((pool_ids, pool_z, exact_pool))
 
     schema = "id bigint, i_stat double, p_sim double"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        zv = np.asarray(bz.value)
+        ids_arr = np.asarray(bz.value[0], dtype=np.int64)
+        zv = np.asarray(bz.value[1])
+        exact = bz.value[2]
         n = len(zv)
+
         for pdf in batches:
             out_rows = []
             for pid, zi, lag in zip(pdf["id"], pdf["z"], pdf["lag"]):
                 rng = np.random.default_rng(seed + int(pid))
-                # draw k neighbor values per permutation with replacement
-                # from the full z-vector (esda draws without replacement
-                # from z \ {z_i}; for city-scale n the two differ within
-                # Monte-Carlo error — contract is deterministic-given-
-                # seed, not esda-bitwise)
-                idx = rng.integers(0, n, size=(permutations, k))
+                if exact:
+                    idx = _draw_wo_replacement(rng, permutations, k, n - 1)
+                    self_pos = int(np.searchsorted(ids_arr, int(pid)))
+                    idx = idx + (idx >= self_pos)  # skip self in the pool
+                else:
+                    idx = _draw_wo_replacement(rng, permutations, k, n)
                 obs_i = (zi / m2) * lag
                 perm_lag = zv[idx].mean(axis=1)
                 perm_i = (zi / m2) * perm_lag
@@ -164,6 +198,26 @@ def sig_hotspots(lisa_p: DataFrame, lisa: DataFrame, alpha: float = 0.05) -> Dat
         .filter((F.col("p_sim") <= alpha) & F.col("quadrant").isin("HH", "LL"))
         .select("id", "quadrant", "i_stat", "p_sim")
     )
+
+
+def _draw_wo_replacement(rng, permutations: int, k: int, space: int):
+    """(permutations, k) matrix of DISTINCT indices in [0, space) per
+    row — k draws without replacement, vectorized: sample with
+    replacement, redraw only rows containing duplicates (collision
+    probability ~k²/space ⇒ O(1) expected rounds for space ≫ k²; for
+    small space the loop is still finite a.s. and cheap at these sizes).
+    """
+    import numpy as np
+
+    if k > space:
+        raise ValueError(f"cannot draw {k} distinct values from {space}")
+    idx = rng.integers(0, space, size=(permutations, k))
+    while True:
+        s = np.sort(idx, axis=1)
+        bad = (s[:, 1:] == s[:, :-1]).any(axis=1)
+        if not bad.any():
+            return idx
+        idx[bad] = rng.integers(0, space, size=(int(bad.sum()), k))
 
 
 def _check_m2_nonzero(m2: float) -> None:

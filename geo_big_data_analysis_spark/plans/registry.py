@@ -3453,16 +3453,17 @@ FROM z JOIN lag USING (id), s
 
 
 def q_lisa_hotspot_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M12 — LISA significance census: 199 seeded conditional
-    permutations per point (Arrow-batched mapInPandas), quadrant counts
-    at α=0.05 with non-significant points as 'ns' (lab4 cell 21 output
-    shape). Monte-Carlo p-values → rows-only (deterministic given seed;
+    """M12 — LISA significance census: 999 seeded conditional
+    permutations per point without replacement from z \\ {z_i} (lab4 nb
+    cell 21's esda convention; Arrow-batched mapInPandas, vectorized
+    draws), quadrant counts at α=0.05 with non-significant points as
+    'ns'. Monte-Carlo p-values → rows-only (deterministic given seed;
     distribution properties pytest-verified in tests/test_lisa.py)."""
     from ..operators.lisa import lisa_permutation_pvalues, lisa_summary, local_morans_i
 
     lisa = local_morans_i(_lisa_points(spark, sf_dir), "value", k=5)
     lisa = lisa.localCheckpoint()  # consumed twice (p-values + summary)
-    pvals = lisa_permutation_pvalues(lisa, k=5, permutations=199, seed=42)
+    pvals = lisa_permutation_pvalues(lisa, k=5, permutations=999, seed=42)
     return lisa_summary(pvals, lisa, alpha=0.05)
 
 

@@ -78,3 +78,46 @@ def test_lisa_zero_variance_raises(spark):
 
     with pytest.raises(ValueError):
         _check_m2_nonzero(0.0)
+
+
+def test_lisa_pool_cap_bounds_driver_collect(spark):
+    """The sampled-z fallback keeps the draw pool at z_pool_cap values
+    and still produces valid, deterministic p-values (VERDICT r1 #3)."""
+    lisa = local_morans_i(_planted(spark), "value", k=5).localCheckpoint()
+    p_cap = sorted(
+        (r["id"], r["p_sim"])
+        for r in lisa_permutation_pvalues(
+            lisa, k=5, permutations=99, seed=7, z_pool_cap=64
+        ).collect()
+    )
+    p_cap2 = sorted(
+        (r["id"], r["p_sim"])
+        for r in lisa_permutation_pvalues(
+            lisa, k=5, permutations=99, seed=7, z_pool_cap=64
+        ).collect()
+    )
+    assert p_cap == p_cap2  # deterministic under the capped pool too
+    assert all(0 < p <= 1 for _, p in p_cap)
+    # planted block interiors stay significant even with the capped pool
+    pmap = dict(p_cap)
+    assert pmap[1 * 16 + 1] <= 0.05 and pmap[14 * 16 + 14] <= 0.05
+
+
+def test_lisa_draws_without_replacement():
+    """Every permutation row holds k DISTINCT pool indices (esda's
+    conditional randomization draws without replacement), even when the
+    draw space barely exceeds k, and the draw is seed-deterministic."""
+    import numpy as np
+
+    from geo_big_data_analysis_spark.operators.lisa import _draw_wo_replacement
+
+    for space in (5, 6, 50, 10_000):
+        idx = _draw_wo_replacement(np.random.default_rng(7), 199, 5, space)
+        assert idx.shape == (199, 5)
+        assert idx.min() >= 0 and idx.max() < space
+        assert all(len(set(row)) == 5 for row in idx)
+    a = _draw_wo_replacement(np.random.default_rng(11), 99, 4, 77)
+    b = _draw_wo_replacement(np.random.default_rng(11), 99, 4, 77)
+    assert (a == b).all()
+    with pytest.raises(ValueError):
+        _draw_wo_replacement(np.random.default_rng(1), 10, 6, 5)
