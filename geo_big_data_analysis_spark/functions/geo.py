@@ -100,6 +100,117 @@ def equirect_xy_m(lat, lon, ref_lat: float):
     return x, y
 
 
+# ---------------------------------------------------------------------------
+# Exact Transverse Mercator (UTM) — Karney (2011) Krüger series, order n⁶.
+# Replaces the reference's pyproj EPSG:32618 transform
+# (实习一/实习一代码/test.py:81,161) with pure column expressions — stays in
+# whole-stage codegen, no pyproj UDF. Series truncation error < 1 nm
+# within a UTM zone (Karney 2011, "Transverse Mercator with an accuracy
+# of a few nanometers"), so accuracy is limited only by double precision.
+# ---------------------------------------------------------------------------
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+UTM_K0 = 0.9996
+UTM_FALSE_EASTING = 500000.0
+UTM_FALSE_NORTHING_SOUTH = 10000000.0
+
+
+def _utm_series_constants() -> tuple[float, list[float]]:
+    """(rectifying radius A, [α₁..α₆]) for WGS84 — Karney 2011 eq. 12/35."""
+    n = WGS84_F / (2.0 - WGS84_F)
+    n2, n3, n4, n5, n6 = n * n, n**3, n**4, n**5, n**6
+    big_a = WGS84_A / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0 + n6 / 256.0)
+    alpha = [
+        n / 2.0 - 2.0 / 3.0 * n2 + 5.0 / 16.0 * n3 + 41.0 / 180.0 * n4
+        - 127.0 / 288.0 * n5 + 7891.0 / 37800.0 * n6,
+        13.0 / 48.0 * n2 - 3.0 / 5.0 * n3 + 557.0 / 1440.0 * n4
+        + 281.0 / 630.0 * n5 - 1983433.0 / 1935360.0 * n6,
+        61.0 / 240.0 * n3 - 103.0 / 140.0 * n4 + 15061.0 / 26880.0 * n5
+        + 167603.0 / 181440.0 * n6,
+        49561.0 / 161280.0 * n4 - 179.0 / 168.0 * n5 + 6601661.0 / 7257600.0 * n6,
+        34729.0 / 80640.0 * n5 - 3418889.0 / 1995840.0 * n6,
+        212378941.0 / 319334400.0 * n6,
+    ]
+    return big_a, alpha
+
+
+def utm_central_lon(zone: int) -> float:
+    """Central meridian of a UTM zone (zone 18 → −75°)."""
+    return float(zone * 6 - 183)
+
+
+def utm_xy_m(lat, lon, zone: int, northern: bool = True) -> tuple[Column, Column]:
+    """Exact UTM easting/northing (meters) from lon/lat degrees as pure
+    column expressions. EPSG:326xx (north) / 327xx (south) semantics:
+    k₀=0.9996, false easting 500 km, false northing 10 000 km south.
+
+    Karney's forward algorithm: conformal latitude via
+    σ = sinh(e·atanh(e·sinφ)), then ξ′/η′ on the sphere, then the
+    6-term Krüger series in the third flattening. Valid over a whole
+    UTM zone (|λ−λ₀| ≤ 3° + overlap); series error ≪ 1 mm.
+    """
+    big_a, alpha = _utm_series_constants()
+    e = math.sqrt(WGS84_F * (2.0 - WGS84_F))
+    lam = F.radians(_c(lon) - F.lit(utm_central_lon(zone)))
+    phi = F.radians(_c(lat))
+    sphi = F.sin(phi)
+    t = F.tan(phi)
+    sigma = F.sinh(F.lit(e) * F.atanh(F.lit(e) * sphi))
+    tp = t * F.sqrt(1.0 + sigma * sigma) - sigma * F.sqrt(1.0 + t * t)
+    coslam = F.cos(lam)
+    xi_p = F.atan2(tp, coslam)
+    eta_p = F.asinh(F.sin(lam) / F.sqrt(tp * tp + coslam * coslam))
+    xi = xi_p
+    eta = eta_p
+    for j, aj in enumerate(alpha, start=1):
+        xi = xi + F.lit(aj) * F.sin(F.lit(2.0 * j) * xi_p) * F.cosh(F.lit(2.0 * j) * eta_p)
+        eta = eta + F.lit(aj) * F.cos(F.lit(2.0 * j) * xi_p) * F.sinh(F.lit(2.0 * j) * eta_p)
+    x = F.lit(UTM_FALSE_EASTING) + F.lit(UTM_K0 * big_a) * eta
+    y = F.lit(UTM_K0 * big_a) * xi
+    if not northern:
+        y = y + F.lit(UTM_FALSE_NORTHING_SOUTH)
+    return x, y
+
+
+def utm_xy_sql(lat_expr: str, lon_expr: str, zone: int, northern: bool = True) -> tuple[str, str]:
+    """DuckDB-SQL twin of :func:`utm_xy_m` for oracle replay — same
+    Karney series, same Python-computed float constants embedded via
+    repr (sinh/cosh/asinh/atanh spelled with exp/ln since DuckDB lacks
+    the hyperbolic family; cross-libm disagreement ≲ 1e-9 m)."""
+    big_a, alpha = _utm_series_constants()
+    e = math.sqrt(WGS84_F * (2.0 - WGS84_F))
+    lon0 = utm_central_lon(zone)
+
+    def _sinh(u: str) -> str:
+        return f"((exp({u}) - exp(-({u}))) * 0.5)"
+
+    def _cosh(u: str) -> str:
+        return f"((exp({u}) + exp(-({u}))) * 0.5)"
+
+    lam = f"radians(({lon_expr}) - {lon0!r})"
+    phi = f"radians({lat_expr})"
+    es = f"({e!r} * sin({phi}))"
+    # atanh(u) = 0.5*ln((1+u)/(1-u)); asinh(u) = ln(u + sqrt(u*u+1))
+    sigma = _sinh(f"({e!r} * 0.5 * ln((1.0 + {es}) / (1.0 - {es})))")
+    t = f"tan({phi})"
+    tp = f"({t} * sqrt(1.0 + {sigma} * {sigma}) - {sigma} * sqrt(1.0 + {t} * {t}))"
+    xi_p = f"atan2({tp}, cos({lam}))"
+    u = f"(sin({lam}) / sqrt({tp} * {tp} + cos({lam}) * cos({lam})))"
+    eta_p = f"ln({u} + sqrt({u} * {u} + 1.0))"
+    xi_terms = [xi_p]
+    eta_terms = [eta_p]
+    for j, aj in enumerate(alpha, start=1):
+        xi_terms.append(f"{aj!r} * sin({2.0 * j!r} * {xi_p}) * {_cosh(f'{2.0 * j!r} * {eta_p}')}")
+        eta_terms.append(f"{aj!r} * cos({2.0 * j!r} * {xi_p}) * {_sinh(f'{2.0 * j!r} * {eta_p}')}")
+    k0a = UTM_K0 * big_a
+    x = f"({UTM_FALSE_EASTING!r} + {k0a!r} * ({' + '.join(eta_terms)}))"
+    y = f"({k0a!r} * ({' + '.join(xi_terms)}))"
+    if not northern:
+        y = f"({y} + {UTM_FALSE_NORTHING_SOUTH!r})"
+    return x, y
+
+
 def clip(col, lo, hi) -> Column:
     """np.clip equivalent (lab2 nb cell 22)."""
     return F.greatest(F.least(_c(col), F.lit(hi)), F.lit(lo))

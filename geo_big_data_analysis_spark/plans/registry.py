@@ -1390,33 +1390,67 @@ FROM g
 # --------------------------------------------------------------------------
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.45), exact baseline.
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.45), EXACT baseline —
+    the oracle anchor for srp_near_dup_pairs. Explicit ``exact=True``
+    through the size-guarded operator (ValueError past 100k rows unless
+    forced), so the O(n²) plan is unreachable by accident; the default
+    SRP-LSH path is the production shape."""
+    from ..operators.similarity import embedding_near_dup_pairs
 
-    Block-nested join over the partitioned base — the exact-answer path;
-    the SRP-bucketed variant (srp_topk_embeddings) is the approximate
-    scale path."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    # compute each vector's norm ONCE before the join — recomputing it
-    # per pair inside the cross join is O(n²·d) wasted work
-    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v * v))
-    with_norm = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    a = with_norm.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
+    return embedding_near_dup_pairs(emb, 0.45, _srp_tables(), exact=True).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
-    b = with_norm.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
+
+
+def q_srp_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via the DEFAULT scale path: 8-table SRP-LSH
+    banding equi-join candidates → exact cosine ≥ 0.45 verify — no
+    cross product anywhere (VERDICT r1 #4 fix). Deterministic planes ⇒
+    the oracle independently recomputes every bucket and the candidate
+    union, making the approximate result value-checked end-to-end;
+    recall vs the exact baseline is pytest-asserted separately."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
     )
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    return embedding_near_dup_pairs(emb, 0.45, _srp_tables()).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
-    return (
-        pairs.withColumn("cosine", dot / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= 0.45)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    )
+
+
+def _sql_srp_near_dup() -> str:
+    tables = _srp_tables()
+    selects = []
+    for planes in tables:
+        sig_terms = " + ".join(
+            f"(CASE WHEN list_inner_product(v, [{', '.join(repr(x) for x in p)}]) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        selects.append(
+            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b\n"
+            f"  FROM (SELECT vec_id, {sig_terms} AS s FROM emb) a\n"
+            f"  JOIN (SELECT vec_id, {sig_terms} AS s FROM emb) b ON a.s = b.s\n"
+            f"  WHERE a.vec_id < b.vec_id"
+        )
+    cand = "\nUNION\n".join(selects)
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cand AS (
+{cand}
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM cand c JOIN emb a ON a.vec_id = c.id_a JOIN emb b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.45
+"""
 
 
 _SQL_EMB_NEAR_DUP = """
@@ -2373,19 +2407,32 @@ def q_kdist_curve_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.pipeline import kth_nn_distance_stats
     from ..operators.knn import kth_nn_distance
 
+    from ..functions.geo import utm_xy_m
+
     pts = _derived_points(_t(spark, sf_dir, "events")).filter(F.col("event_id") < 500)
-    pts = pts.select(F.col("event_id").alias("id"), F.col("lon").alias("x"), F.col("lat").alias("y"))
+    ux, uy = utm_xy_m("lat", "lon", zone=18)
+    pts = pts.select(F.col("event_id").alias("id"), ux.alias("x"), uy.alias("y"))
     kd = kth_nn_distance(pts, k=4, id_col="id", x="x", y="y")
     s = kth_nn_distance_stats(kd, dist_col="kth_dist")
     return s.select(
         "n",
-        *[F.round(F.col(c), 9).alias(c) for c in ["mean_dist", "median_dist", "p90_dist", "max_dist"]],
+        *[F.round(F.col(c), 4).alias(c) for c in ["mean_dist", "median_dist", "p90_dist", "max_dist"]],
     )
 
 
+def _sql_utm_xy() -> tuple[str, str]:
+    """DuckDB twin of the engine's exact UTM zone-18N projection
+    (functions.geo.utm_xy_sql) over lon/lat columns in scope."""
+    from ..functions.geo import utm_xy_sql
+
+    return utm_xy_sql("lat", "lon", zone=18)
+
+
+_UTM_X_SQL, _UTM_Y_SQL = _sql_utm_xy()
+
 _SQL_KDIST = f"""
 WITH d AS ({_DERIVED_POINTS_SQL}),
-p AS (SELECT event_id AS id, lon AS x, lat AS y FROM d WHERE event_id < 500),
+p AS (SELECT event_id AS id, {_UTM_X_SQL} AS x, {_UTM_Y_SQL} AS y FROM d WHERE event_id < 500),
 pairs AS (
   SELECT q.id AS query_id,
          sqrt((q.x - b.x) * (q.x - b.x) + (q.y - b.y) * (q.y - b.y)) AS dist,
@@ -2397,10 +2444,10 @@ pairs AS (
   FROM pairs
 ), kd AS (SELECT query_id, dist FROM ranked WHERE rk = 4)
 SELECT count(*)::BIGINT AS n,
-       round(avg(dist), 9) AS mean_dist,
-       round(quantile_cont(dist, 0.5), 9) AS median_dist,
-       round(quantile_cont(dist, 0.9), 9) AS p90_dist,
-       round(max(dist), 9) AS max_dist
+       round(avg(dist), 4) AS mean_dist,
+       round(quantile_cont(dist, 0.5), 4) AS median_dist,
+       round(quantile_cont(dist, 0.9), 4) AS p90_dist,
+       round(max(dist), 4) AS max_dist
 FROM kd
 """
 
@@ -3712,11 +3759,11 @@ def q_dbscan_event_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment — and the per-cluster census must match label-for-label.
     The partition contract is additionally pytest-verified against a
     pure-python reference (tests/test_dbscan.py)."""
-    from ..functions.geo import equirect_xy_m
+    from ..functions.geo import utm_xy_m
     from ..operators.dbscan import dbscan
 
     pts = _derived_points(_t(spark, sf_dir, "events"))
-    x, y = equirect_xy_m("lat", "lon", 40.75)
+    x, y = utm_xy_m("lat", "lon", zone=18)  # exact EPSG:32618, test.py:81
     pts = pts.select(F.col("event_id").alias("id"), x.alias("x"), y.alias("y"))
     labels = dbscan(pts, eps=500.0, min_samples=5)
     return (
@@ -3727,12 +3774,9 @@ def q_dbscan_event_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dbscan() -> str:
-    import math
-
-    kx = repr(111320.0 * math.cos(math.radians(40.75)))
     return f"""
 WITH RECURSIVE p AS ({_DERIVED_POINTS_SQL}),
-pts AS (SELECT event_id AS id, lon * {kx} AS x, lat * 111320.0 AS y FROM p),
+pts AS (SELECT event_id AS id, {_UTM_X_SQL} AS x, {_UTM_Y_SQL} AS y FROM p),
 locs AS (SELECT x, y, min(id) AS id, count(*)::BIGINT AS cnt FROM pts GROUP BY x, y),
 pairs AS (
   SELECT a.id AS a_id, b.id AS b_id, b.cnt AS b_cnt
@@ -3765,6 +3809,33 @@ loc_lab AS (
 SELECT cluster, sum(cnt)::BIGINT AS n_points
 FROM loc_lab GROUP BY cluster
 ORDER BY n_points DESC, cluster ASC
+"""
+
+
+def q_utm_project_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.8 geo scalars — exact UTM zone-18N (EPSG:32618) projection of
+    1,000 derived event points (reference: test.py:81,161 pyproj
+    Transformer to 32618). Karney/Krüger order-n⁶ series as pure column
+    expressions; the oracle replays the identical series in DuckDB SQL
+    (exp/ln-spelled hyperbolics). Rounded to cm — cross-libm trig
+    disagreement is ~1e-9 m, six orders below the rounding step."""
+    from ..functions.geo import utm_xy_m
+
+    pts = _derived_points(_t(spark, sf_dir, "events")).filter(F.col("event_id") < 1000)
+    x, y = utm_xy_m("lat", "lon", zone=18)
+    return pts.select(
+        "event_id",
+        F.round(x, 2).alias("easting_m"),
+        F.round(y, 2).alias("northing_m"),
+    )
+
+
+_SQL_UTM_PROJECT = f"""
+WITH d AS ({_DERIVED_POINTS_SQL})
+SELECT event_id,
+       round({_UTM_X_SQL}, 2) AS easting_m,
+       round({_UTM_Y_SQL}, 2) AS northing_m
+FROM d WHERE event_id < 1000
 """
 
 
@@ -10924,6 +10995,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, _SQL_NGRAM_JACCARD),
     "doc_fingerprint_dups": (q_doc_fingerprint_dups, _SQL_FINGERPRINT),
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),
+    "srp_near_dup_pairs": (q_srp_near_dup_pairs, _sql_srp_near_dup()),
     "srp_topk_embeddings": (q_srp_topk_embeddings, _sql_srp()),
     "srp_multi_topk_embeddings": (q_srp_multi_topk_embeddings, _sql_srp_multi()),
     "ivf_topk_embeddings": (q_ivf_topk_embeddings, _SQL_IVF),
@@ -10981,6 +11053,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "summary_stats_lineitem": (q_summary_stats_lineitem, _SQL_SUMMARY),
     "knn_grid_points": (q_knn_grid_points, _SQL_KNN_GRID),
     "dbscan_event_clusters": (q_dbscan_event_clusters, _sql_dbscan()),
+    "utm_project_events": (q_utm_project_events, _SQL_UTM_PROJECT),
     "lloyd_kmeans_clusters": (q_lloyd_kmeans_clusters, _sql_lloyd()),
     "sssp_grid": (q_sssp_grid, _SQL_SSSP_GRID),
     "shortest_path_route_grid": (q_shortest_path_route_grid, _SQL_ROUTE_GRID),

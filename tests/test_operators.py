@@ -556,3 +556,46 @@ def test_knn_join_dispatch_and_completion(spark):
     for r in got_small.collect():
         by_q2.setdefault(r.query_id, []).append((r.knn_rank, r.neighbor_id))
     assert by_q2 == by_q
+
+
+def test_embedding_near_dup_default_is_srp_and_exact_is_guarded(spark):
+    """The default near-dup path is SRP-bucketed (no cross product) and
+    finds planted true duplicates; the exact all-pairs path refuses
+    large inputs unless forced (VERDICT r1 #4)."""
+    import random
+
+    import pytest as _pytest
+
+    from geo_big_data_analysis_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rnd = random.Random(5)
+    dim = 8
+
+    def vec():
+        return [rnd.gauss(0, 1) for _ in range(dim)]
+
+    base = [vec() for _ in range(40)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # planted near-dups: tiny perturbations of existing vectors
+    for j, src in enumerate([0, 7, 19]):
+        rows.append((100 + j, [x + rnd.gauss(0, 0.01) for x in base[src]]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    tables = [
+        [[(((1103515245 * (t * 97 + p * dim + d) + 12345) % 2**31) / 2**31) - 0.5
+          for d in range(dim)] for p in range(4)]
+        for t in range(8)
+    ]
+    got = embedding_near_dup_pairs(df, 0.99, tables)
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert {(0, 100), (7, 101), (19, 102)} <= pairs
+    # no cross product in the default plan
+    assert "Cartesian" not in got._jdf.queryExecution().executedPlan().toString()
+    # exact path: guard trips beyond the row cap unless forced
+    with _pytest.raises(ValueError, match="exact_max_rows"):
+        embedding_near_dup_pairs(df, 0.99, tables, exact=True, exact_max_rows=10)
+    forced = embedding_near_dup_pairs(
+        df, 0.99, tables, exact=True, exact_max_rows=10, force_exact=True
+    )
+    assert {(r["id_a"], r["id_b"]) for r in forced.collect()} >= pairs
