@@ -67,10 +67,19 @@ def read_csv_with_rejects(
 
     PERMISSIVE mode + ``columnNameOfCorruptRecord`` routes each bad
     line's raw text into ``_corrupt_record``; the pair of returned
-    frames partitions the input exactly."""
-    from pyspark.sql.types import StringType
+    frames partitions the input exactly.
 
-    aug = schema.add("_corrupt_record", StringType())
+    The parsed input is cached only while both halves materialize
+    (Spark requires a cache to query ``_corrupt_record`` reliably):
+    each returned frame is localCheckpoint()ed and the scratch cache
+    unpersisted, so repeated ingests don't pin executor storage for
+    the session lifetime."""
+    from pyspark.sql.types import StringType, StructField
+
+    # fresh StructType — StructType.add mutates the caller's schema
+    # in place (appends to self), which would leak a phantom
+    # _corrupt_record column into later reads using the same object
+    aug = StructType(list(schema.fields) + [StructField("_corrupt_record", StringType())])
     df = (
         spark.read.option("header", str(header).lower())
         .option("sep", sep)
@@ -78,10 +87,15 @@ def read_csv_with_rejects(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(aug)
         .csv(path)
-        .cache()  # Spark requires caching to query _corrupt_record reliably
+        .cache()
     )
-    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    rejects = df.filter(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw_line")
-    )
+    try:
+        good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record").localCheckpoint()
+        rejects = (
+            df.filter(F.col("_corrupt_record").isNotNull())
+            .select(F.col("_corrupt_record").alias("raw_line"))
+            .localCheckpoint()
+        )
+    finally:
+        df.unpersist()
     return good, rejects

@@ -213,15 +213,28 @@ def plan_compaction(path: str, target_bytes: int) -> list[list[str]]:
 
 
 def execute_compaction(
-    spark: SparkSession, path: str, out_path: str, target_bytes: int
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_bytes: int,
+    plan: list[list[str]] | None = None,
 ) -> int:
     """Rewrite a small-file directory as one output file per planned
     bin (each bin's files read together, coalesced to 1): row-for-row
     content-preserving, file count drops to len(bins). Real table
     formats do this transactionally (rewrite then atomic swap); here
     the swap is the caller's rename, keeping the operator pure.
-    Returns the number of output groups."""
-    bins = plan_compaction(path, target_bytes)
+    Returns the number of output groups.
+
+    Pass ``plan`` (a prior plan_compaction result) to make a
+    preview-then-execute flow consistent — otherwise the plan is
+    recomputed here and files added since the preview are included.
+    An empty/non-parquet source raises instead of silently writing
+    nothing (a downstream read of ``out_path`` would fail confusingly
+    with path-not-found)."""
+    bins = plan_compaction(path, target_bytes) if plan is None else plan
+    if not bins:
+        raise ValueError(f"no parquet files to compact under {path!r}")
     for i, group in enumerate(bins):
         (
             spark.read.parquet(*group)

@@ -34,10 +34,31 @@ def write_audit_publish(
     publish_path: str,
     audits: list[tuple[str, Callable[[DataFrame], bool]]],
 ) -> list[str]:
-    """Stage → audit → atomically publish. Returns the passed audit
-    names; raises AuditFailure (leaving any existing published data
-    untouched) if any audit rejects the staged data."""
-    staging = publish_path.rstrip("/") + ".__staging__"
+    """Stage → audit → publish via rename swap. Returns the passed
+    audit names; raises AuditFailure (leaving any existing published
+    data untouched) if any audit rejects the staged data.
+
+    Cutover window: replacing existing data takes TWO renames
+    (publish → .__old__, staging → publish) — a crash between them
+    leaves the dataset only in ``.__old__``. Both sides of that window
+    are handled here: a stale ``.__old__`` from a prior crash is
+    recovered (restored if the publish path is missing, else removed)
+    BEFORE staging, and if the second rename fails the first is rolled
+    back. Readers on a shared POSIX filesystem can still observe a
+    missing path for the instant between the renames; for a genuinely
+    atomic cutover publish to a versioned directory and swap a pointer
+    (that variant is ``publish_versioned`` in this module's tests'
+    scope of future work)."""
+    publish_path = publish_path.rstrip("/")
+    staging = publish_path + ".__staging__"
+    old = publish_path + ".__old__"
+    if os.path.exists(old):
+        # prior crash mid-swap: restore if the publish dir vanished,
+        # otherwise the swap completed and .__old__ is just debris
+        if not os.path.exists(publish_path):
+            os.rename(old, publish_path)
+        else:
+            shutil.rmtree(old)
     if os.path.exists(staging):
         shutil.rmtree(staging)
     df.write.mode("overwrite").parquet(staging)
@@ -49,9 +70,12 @@ def write_audit_publish(
             raise AuditFailure(name)
         passed.append(name)
     if os.path.exists(publish_path):
-        old = publish_path.rstrip("/") + ".__old__"
         os.rename(publish_path, old)
-        os.rename(staging, publish_path)
+        try:
+            os.rename(staging, publish_path)
+        except BaseException:
+            os.rename(old, publish_path)  # roll back the first rename
+            raise
         shutil.rmtree(old)
     else:
         os.rename(staging, publish_path)

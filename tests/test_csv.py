@@ -73,3 +73,22 @@ def test_csv_corrupt_rows_side_output(spark, tmp_path):
     assert {r.id for r in good.collect()} == {1, 3, 4}
     bad = rejects.collect()
     assert len(bad) == 1 and "not_a_number" in bad[0].raw_line
+
+
+def test_read_csv_with_rejects_does_not_mutate_schema(spark, tmp_path):
+    """StructType.add mutates in place — the reader must build a fresh
+    augmented schema so the caller's object is reusable (ADVICE r1)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from geo_big_data_analysis_spark.sources.csv import read_csv_with_rejects
+
+    p = tmp_path / "in.csv"
+    p.write_text("a,b\n1,x\nbad_row_only_one_colum_no_wait_two,y\n2,z\n")
+    schema = StructType([StructField("a", IntegerType()), StructField("b", StringType())])
+    good, rejects = read_csv_with_rejects(spark, str(p), schema)
+    assert len(schema.fields) == 2  # caller's schema untouched
+    # second call with the SAME object must not produce a duplicate
+    # _corrupt_record field
+    good2, rejects2 = read_csv_with_rejects(spark, str(p), schema)
+    assert good.columns == good2.columns == ["a", "b"]
+    assert good.count() == good2.count()

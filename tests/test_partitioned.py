@@ -174,3 +174,34 @@ def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
     b = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert a == b
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_execute_compaction_empty_source_raises(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from geo_big_data_analysis_spark.sources.partitioned import execute_compaction
+
+    src = tmp_path / "empty"
+    os.makedirs(src)
+    with _pytest.raises(ValueError, match="no parquet files"):
+        execute_compaction(spark, str(src), str(tmp_path / "out"), 1 << 20)
+
+
+def test_execute_compaction_honors_precomputed_plan(spark, tmp_path):
+    from geo_big_data_analysis_spark.sources.partitioned import (
+        execute_compaction,
+        plan_compaction,
+    )
+
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.mode("append").parquet(src)
+    plan = plan_compaction(src, 1 << 30)
+    # a file added AFTER the preview must not sneak into the execution
+    spark.range(100, 110).coalesce(1).write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+    n = execute_compaction(spark, src, out, 1 << 30, plan=plan)
+    assert n == len(plan)
+    assert spark.read.parquet(out).count() == 30

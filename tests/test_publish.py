@@ -69,3 +69,26 @@ def test_backfill_fills_exactly_missing_partitions(spark, tmp_path):
     assert spark.read.parquet(sink).count() == ev.count()
     assert run_backfill(ev, "ts", sink) == []
     assert plan_backfill(ev, "ts", sink) == []
+
+
+def test_write_audit_publish_recovers_stale_old_dir(spark, tmp_path):
+    """A leftover .__old__ from a crash mid-swap is recovered: restored
+    when the publish dir is missing, discarded when the swap completed
+    (ADVICE r1)."""
+    import os
+    import shutil
+
+    pub = str(tmp_path / "ds")
+    df1 = spark.range(3).toDF("id")
+    write_audit_publish(df1, pub, [("nonempty", lambda d: d.count() > 0)])
+    # simulate crash after first rename: publish moved to .__old__
+    os.rename(pub, pub + ".__old__")
+    df2 = spark.range(5).toDF("id")
+    write_audit_publish(df2, pub, [("nonempty", lambda d: d.count() > 0)])
+    assert spark.read.parquet(pub).count() == 5
+    assert not os.path.exists(pub + ".__old__")
+    # stale .__old__ alongside a completed publish is just removed
+    shutil.copytree(pub, pub + ".__old__")
+    write_audit_publish(df1, pub, [("nonempty", lambda d: d.count() > 0)])
+    assert spark.read.parquet(pub).count() == 3
+    assert not os.path.exists(pub + ".__old__")
