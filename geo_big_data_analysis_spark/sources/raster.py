@@ -14,10 +14,12 @@ raster instead lands as a (tile_x, tile_y, array) DataFrame and the
 sample becomes a grid-cell equi-join on tile id — same pattern as the
 spatial join; the broadcast path below is the small-raster strategy.
 
-The container has no rasterio/GDAL, so the GeoTIFF decode step is
-stubbed (`read_geotiff`); the engine-side contract — north-up affine
-(x0, dx, y0, dy), row-major array, nodata sentinel — is real and is
-exercised by the deterministic synthetic raster used in tests/oracle.
+The container has no rasterio/GDAL, so `read_geotiff` is a minimal
+pure-Python TIFF 6.0 + GeoTIFF parser (strips/tiles, none/deflate
+compression, horizontal predictor, uint/int/float samples, both byte
+orders) producing the engine contract — north-up affine (x0, dx, y0,
+dy), row-major float64 array, nodata sentinel — which the synthetic
+raster used by tests/oracle shares.
 """
 
 from __future__ import annotations
@@ -45,13 +47,147 @@ class Affine:
         return row, col
 
 
-def read_geotiff(path: str):  # pragma: no cover - environment stub
-    """S10 — GeoTIFF decode stub: rasterio is not available in this
-    environment. At deploy time this returns (array, Affine, nodata)."""
-    raise NotImplementedError(
-        "GeoTIFF decode requires rasterio/GDAL; use synthetic_raster() "
-        "or pass a (numpy array, Affine, nodata) triple directly"
-    )
+# --- minimal pure-Python GeoTIFF decode (S10) ------------------------------
+# No rasterio/GDAL in this environment, so the decode is implemented
+# directly from the TIFF 6.0 + GeoTIFF specs: classic (non-Big) TIFF,
+# both byte orders, strip or tile layout, uncompressed or
+# deflate-compressed (codes 8 / 32946), horizontal-differencing
+# predictor, single band, uint/int/float samples of 8-64 bits.
+# Reference behavior being re-expressed: 实习二/实习二代码/clicp_image.py:8-37
+# reads the population GeoTIFF via rasterio; lab2 nb cell 22 samples it.
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TIFF_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+def _read_ifd_entries(buf: bytes, bo: str):
+    """Parse the first IFD into {tag: list-of-values} (ASCII as bytes)."""
+    import struct
+
+    (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+    (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
+    tags: dict[int, list] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(bo + "HHI", buf[off : off + 8])
+        size = _TIFF_TYPE_SIZE.get(typ, 1) * cnt
+        if size <= 4:
+            raw = buf[off + 8 : off + 8 + size]
+        else:
+            (voff,) = struct.unpack(bo + "I", buf[off + 8 : off + 12])
+            raw = buf[voff : voff + size]
+        if typ == 2:  # ASCII
+            tags[tag] = [raw.rstrip(b"\x00")]
+        elif typ == 5 or typ == 10:  # RATIONAL
+            parts = struct.unpack(bo + ("iI"[typ == 5] * 2 * cnt), raw)
+            tags[tag] = [parts[2 * j] / max(parts[2 * j + 1], 1) for j in range(cnt)]
+        else:
+            fmt = _TIFF_TYPE_FMT.get(typ)
+            if fmt is None:
+                continue
+            tags[tag] = list(struct.unpack(bo + fmt * cnt, raw))
+    return tags
+
+
+def _decompress(chunk: bytes, compression: int) -> bytes:
+    if compression == 1:
+        return chunk
+    if compression in (8, 32946):  # zlib/deflate (Adobe + old code)
+        import zlib
+
+        return zlib.decompress(chunk)
+    raise NotImplementedError(f"TIFF compression {compression} not supported")
+
+
+def read_geotiff(path: str) -> tuple[np.ndarray, Affine, float | None]:
+    """S10 — decode a single-band GeoTIFF into (array, Affine, nodata)
+    without rasterio/GDAL: classic TIFF, strips or tiles, none/deflate
+    compression, horizontal predictor, 8-64-bit uint/int/float samples.
+    Georeferencing from ModelPixelScale (33550) + ModelTiepoint (33922)
+    — the north-up affine the rest of the raster stack consumes — and
+    nodata from the GDAL_NODATA ASCII tag (42113)."""
+    import struct
+
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    order = buf[:2]
+    if order == b"II":
+        bo = "<"
+    elif order == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"not a TIFF file: {path!r}")
+    (magic,) = struct.unpack(bo + "H", buf[2:4])
+    if magic == 43:
+        raise NotImplementedError("BigTIFF not supported by the minimal reader")
+    if magic != 42:
+        raise ValueError(f"not a TIFF file: {path!r}")
+    tags = _read_ifd_entries(buf, bo)
+
+    w = int(tags[256][0])
+    h = int(tags[257][0])
+    bits = int(tags.get(258, [8])[0])
+    compression = int(tags.get(259, [1])[0])
+    spp = int(tags.get(277, [1])[0])
+    predictor = int(tags.get(317, [1])[0])
+    sample_format = int(tags.get(339, [1])[0])
+    if spp != 1:
+        raise NotImplementedError("only single-band GeoTIFFs supported")
+    kind = {1: "u", 2: "i", 3: "f"}.get(sample_format)
+    if kind is None:
+        raise NotImplementedError(f"TIFF sample format {sample_format} not supported")
+    dtype = np.dtype(f"{bo}{kind}{bits // 8}")
+
+    def decode_chunk(raw: bytes, rows: int, cols: int) -> np.ndarray:
+        data = np.frombuffer(_decompress(raw, compression), dtype=dtype)
+        a = data[: rows * cols].reshape(rows, cols).copy()
+        if predictor == 2:
+            if kind == "f":
+                raise NotImplementedError("floating-point predictor not supported")
+            a = np.cumsum(a, axis=1, dtype=a.dtype)
+        elif predictor != 1:
+            raise NotImplementedError(f"TIFF predictor {predictor} not supported")
+        return a
+
+    if 322 in tags:  # tiled layout
+        tw = int(tags[322][0])
+        th = int(tags[323][0])
+        offsets = tags[324]
+        counts = tags[325]
+        tiles_across = (w + tw - 1) // tw
+        arr = np.zeros((h, w), dtype=dtype)
+        for t_i, (off, cnt) in enumerate(zip(offsets, counts)):
+            tr, tc = divmod(t_i, tiles_across)
+            tile = decode_chunk(buf[int(off) : int(off) + int(cnt)], th, tw)
+            r0, c0 = tr * th, tc * tw
+            arr[r0 : min(r0 + th, h), c0 : min(c0 + tw, w)] = tile[
+                : min(th, h - r0), : min(tw, w - c0)
+            ]
+    else:  # strip layout
+        rows_per_strip = int(tags.get(278, [h])[0])
+        offsets = tags[273]
+        counts = tags[279]
+        parts = []
+        for s_i, (off, cnt) in enumerate(zip(offsets, counts)):
+            rows = min(rows_per_strip, h - s_i * rows_per_strip)
+            parts.append(decode_chunk(buf[int(off) : int(off) + int(cnt)], rows, w))
+        arr = np.concatenate(parts, axis=0)
+
+    scale = tags.get(33550)
+    tie = tags.get(33922)
+    if scale is None or tie is None:
+        raise ValueError("GeoTIFF missing ModelPixelScale/ModelTiepoint tags")
+    sx, sy = float(scale[0]), float(scale[1])
+    i, j, _k, x, y, _z = (float(v) for v in tie[:6])
+    transform = Affine(x0=x - i * sx, dx=sx, y0=y + j * sy, dy=sy)
+
+    nodata = None
+    if 42113 in tags:
+        try:
+            nodata = float(tags[42113][0].decode("ascii").strip())
+        except (ValueError, UnicodeDecodeError):
+            nodata = None
+    return arr.astype("float64"), transform, nodata
 
 
 def clip_raster(
