@@ -3344,6 +3344,95 @@ FROM scored GROUP BY 1 ORDER BY category
 """
 
 
+def q_sentiment_pattern_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 at TextBlob parity — PatternAnalyzer's stateful assessment
+    chain (intensifier multiply+clamp, negation ×−0.5 with inverted
+    pending intensity, unknown-word chain break) as one JVM `aggregate`
+    fold per document; per-category census + mean polarity /
+    subjectivity. The oracle replays the FULL state machine as a
+    recursive CTE stepping token positions — every branch of the fold
+    is value-checked cross-engine (lab4 nb cell 13 semantics)."""
+    from ..functions import sentiment as sn
+
+    docs = _t(spark, sf_dir, "documents")
+    sc = sn.pattern_scores("text")
+    scored = docs.select(
+        "doc_id",
+        F.round(sc["polarity"], 6).alias("pol"),
+        F.round(sc["subjectivity"], 6).alias("subj"),
+    )
+    return (
+        scored.select(sn.sentiment_category(F.col("pol")).alias("category"), "pol", "subj")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("pol"), 6).alias("avg_polarity"),
+            F.round(F.avg("subj"), 6).alias("avg_subjectivity"),
+        )
+        .orderBy("category")
+    )
+
+
+def _sql_sentiment_pattern_docs() -> str:
+    from ..functions import sentiment as sn
+
+    negs = sn.negations_sql_list()
+    clamp_pi = "greatest(-1.0, least(1.0, lex.p * w.oi))"
+    clamp_si = "greatest(-1.0, least(1.0, lex.s * w.oi))"
+    close_p = "w.sum_p + (CASE WHEN w.open THEN w.op * (CASE WHEN w.oneg THEN -0.5 ELSE 1.0 END) ELSE 0.0 END)"
+    close_s = "w.sum_s + (CASE WHEN w.open THEN w.os ELSE 0.0 END)"
+    close_c = "w.cnt + (CASE WHEN w.open THEN 1.0 ELSE 0.0 END)"
+    is_neg = f"t.w IN {negs}"
+    is_lex = "lex.word IS NOT NULL"
+    ext = f"(NOT ({is_neg})) AND {is_lex} AND w.open AND w.omod"
+    fresh = f"(NOT ({is_neg})) AND {is_lex} AND NOT (w.open AND w.omod)"
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
+  FROM (SELECT doc_id, regexp_split_to_array({_CLEAN_TEXT_SQL}, '\\s+') AS l FROM documents)
+),
+walk(doc_id, pos, sum_p, sum_s, cnt, open, op, os, oneg, omod, oi, neg) AS (
+  SELECT doc_id, 0, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, false,
+         0.0::DOUBLE, 0.0::DOUBLE, false, false, 1.0::DOUBLE, false
+  FROM documents
+  UNION ALL
+  SELECT w.doc_id, t.pos,
+    CASE WHEN {fresh} THEN {close_p} ELSE w.sum_p END,
+    CASE WHEN {fresh} THEN {close_s} ELSE w.sum_s END,
+    CASE WHEN {fresh} THEN {close_c} ELSE w.cnt END,
+    CASE WHEN ({is_neg}) OR NOT {is_lex} THEN w.open ELSE true END,
+    CASE WHEN {ext} THEN {clamp_pi} WHEN {fresh} THEN lex.p ELSE w.op END,
+    CASE WHEN {ext} THEN {clamp_si} WHEN {fresh} THEN lex.s ELSE w.os END,
+    CASE WHEN {ext} THEN w.oneg WHEN {fresh} THEN w.neg ELSE w.oneg END,
+    CASE WHEN {ext} OR {fresh} THEN lex.i <> 1.0 WHEN {is_neg} THEN w.omod ELSE false END,
+    CASE WHEN {ext} THEN lex.i WHEN {fresh} THEN (CASE WHEN w.neg THEN 1.0 / lex.i ELSE lex.i END) ELSE w.oi END,
+    CASE WHEN {is_neg} THEN true ELSE false END
+  FROM walk w
+  JOIN toks t ON t.doc_id = w.doc_id AND t.pos = w.pos + 1
+  LEFT JOIN {sn.pattern_lexicon_sql_values('lex')} ON lex.word = t.w
+),
+final AS (
+  SELECT w.doc_id,
+         {close_p} AS tot_p, {close_s} AS tot_s, {close_c} AS tot_c
+  FROM walk w
+  JOIN (SELECT doc_id, max(pos) AS mx FROM toks GROUP BY 1) m
+    ON m.doc_id = w.doc_id AND w.pos = m.mx
+),
+scored AS (
+  SELECT doc_id,
+         round(CASE WHEN tot_c > 0 THEN tot_p / tot_c ELSE 0.0 END, 6) AS pol,
+         round(CASE WHEN tot_c > 0 THEN tot_s / tot_c ELSE 0.0 END, 6) AS subj
+  FROM final
+)
+SELECT CASE WHEN pol > 0.1 THEN 'positive' WHEN pol < -0.1 THEN 'negative'
+            ELSE 'neutral' END AS category,
+       count(*)::BIGINT AS n,
+       round(avg(pol), 6) AS avg_polarity,
+       round(avg(subj), 6) AS avg_subjectivity
+FROM scored GROUP BY 1 ORDER BY category
+"""
+
+
 def q_lab4_sentiment_linregress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed Lab-4 correlation stage (SURVEY §3.3, A12+M11): per-doc
     lexicon polarity vs quality score → closed-form linear regression
@@ -11042,6 +11131,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "road_density_grid": (q_road_density_grid, _SQL_ROAD_DENSITY),
     "isochrone_poi_access": (q_isochrone_poi_access, _SQL_ISOCHRONE),
     "sentiment_docs": (q_sentiment_docs, _sql_sentiment_docs()),
+    "sentiment_pattern_docs": (q_sentiment_pattern_docs, _sql_sentiment_pattern_docs()),
     "sentiment_source_ranks": (q_sentiment_source_ranks, _sql_sentiment_ranks()),
     "lab4_sentiment_linregress": (q_lab4_sentiment_linregress, _sql_lab4_linregress()),
     "lisa_moran_events": (q_lisa_moran_events, _SQL_LISA),

@@ -85,3 +85,37 @@ def test_lexicon_sql_matches_python():
     sql = sn.lexicon_sql_values(0, "p")
     assert sql.startswith("(VALUES") and "AS p(word, valence)" in sql
     assert "('good', 0.7)" in sql
+
+
+# --- PatternAnalyzer parity (VERDICT r1 #8) --------------------------------
+
+def test_pattern_scores_match_textblob_pinned_phrases(spark):
+    """Pinned TextBlob(x).sentiment outputs for phrases whose lexicon
+    entries PATTERN_LEXICON reproduces (pattern-en sense averages):
+    intensifier multiply+clamp, negation x-0.5, negation-inverted
+    intensity, unknown-word chain break, empty -> (0, 0)."""
+    from geo_big_data_analysis_spark.functions.sentiment import pattern_scores
+
+    cases = [
+        ("good", 0.7, 0.6),
+        ("great", 0.8, 0.75),
+        ("terrible", -1.0, 1.0),
+        ("bad", -0.6999999999999998, 0.6666666666666666),
+        ("very good", 0.7 * 1.3, 0.6 * 1.3),                      # 0.91 / 0.78
+        ("not good", 0.7 * -0.5, 0.6),                             # -0.35 / 0.6
+        ("not very good", 0.7 * (1 / 1.3) * -0.5, 0.6 * (1 / 1.3)),
+        ("very terrible", -1.0, 1.0),                              # clamped
+        ("good and very bad", (0.7 + max(-1.0, -0.6999999999999998 * 1.3)) / 2,
+         (0.6 + 0.6666666666666666 * 1.3) / 2),
+        ("the weather report arrived", 0.0, 0.0),
+        ("", 0.0, 0.0),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _, _) in enumerate(cases)], "id bigint, text string")
+    out = {
+        r["id"]: (r["sc"]["polarity"], r["sc"]["subjectivity"])
+        for r in df.select("id", pattern_scores("text").alias("sc")).collect()
+    }
+    for i, (text, ep, es) in enumerate(cases):
+        gp, gs = out[i]
+        assert abs(gp - ep) < 1e-6, (text, gp, ep)
+        assert abs(gs - es) < 1e-6, (text, gs, es)
