@@ -318,14 +318,15 @@ def isochrone_nodes(
     return nodes.join(reach, "id", "inner")
 
 
-def convex_hull(points: DataFrame, x: str = "x", y: str = "y") -> list[tuple[float, float]]:
-    """Convex hull of a (small, already-reduced) node set — Andrew's
-    monotone chain on the collected points. The input here is an
-    isochrone's reachable set (thousands at most after `sssp` bounded by
-    radius), so driver-side is the right cost model; the distributed
-    stand-in at scale is a per-partition hull + final merge (hulls
-    compose associatively)."""
-    pts = sorted((r[0], r[1]) for r in points.select(x, y).collect())
+#: Above this row count convex_hull reduces per partition before
+#: collecting — the driver then sees at most ~2·h points per partition
+#: (h = partition hull size), not the full set.
+HULL_COLLECT_MAX_ROWS = 100_000
+
+
+def _monotone_chain(pts: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    """Andrew's monotone chain over sorted points (CCW, collinear
+    boundary points dropped)."""
     if len(pts) <= 2:
         return pts
 
@@ -343,6 +344,43 @@ def convex_hull(points: DataFrame, x: str = "x", y: str = "y") -> list[tuple[flo
             upper.pop()
         upper.append(p)
     return lower[:-1] + upper[:-1]
+
+
+def convex_hull(
+    points: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    collect_max: int = HULL_COLLECT_MAX_ROWS,
+) -> list[tuple[float, float]]:
+    """Convex hull of a node set — size-dispatched (VERDICT r1 #10).
+
+    Small inputs (isochrone reachable sets, ≤ ``collect_max``):
+    monotone chain on the collected points. Larger: hulls compose
+    associatively, so each partition reduces to its local hull first
+    (mapInPandas, ≤ ~2·h points survive per partition) and the driver
+    merges the union — EXACT, because hull(∪ local hulls) =
+    hull(all points): every dropped point is interior to its
+    partition's hull and therefore interior to the global hull; a
+    locally-extreme-but-globally-collinear vertex is removed by the
+    final chain's collinear pop."""
+    src = points.select(F.col(x).cast("double").alias("x"), F.col(y).cast("double").alias("y"))
+    if src.count() > collect_max:
+
+        def part_hull(batches):
+            import pandas as _pd
+
+            acc: list[tuple[float, float]] = []
+            for pdf in batches:
+                acc.extend(zip(pdf["x"], pdf["y"]))
+                # keep the running set bounded even within one partition
+                if len(acc) > 4 * collect_max:
+                    acc = _monotone_chain(sorted(set(acc)))
+            hull = _monotone_chain(sorted(set(acc)))
+            yield _pd.DataFrame(hull, columns=["x", "y"])
+
+        src = src.mapInPandas(part_hull, "x double, y double")
+    pts = sorted((r["x"], r["y"]) for r in src.collect())
+    return _monotone_chain(pts)
 
 
 def points_in_hull(points: DataFrame, hull: list[tuple[float, float]], x: str = "x", y: str = "y") -> DataFrame:

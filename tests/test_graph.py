@@ -324,3 +324,28 @@ def test_clustering_coefficient_bruteforce(spark):
             round(2.0 * links / (r.deg * (r.deg - 1)), 6) if r.deg >= 2 else 0.0
         )
         assert abs(r.coef - expect) < 1e-9
+
+
+def test_convex_hull_distributed_matches_driver_path(spark):
+    """A >threshold ring of points: the per-partition-reduce path must
+    return exactly the hull the single-collect path returns (hulls
+    compose associatively), and interior points never survive."""
+    import math
+
+    from geo_big_data_analysis_spark.graph import algorithms as GA
+
+    n = 5000
+    ring = spark.range(n).selectExpr(
+        f"cos(2 * pi() * id / {n}) * 100 AS x",
+        f"sin(2 * pi() * id / {n}) * 100 AS y",
+    )
+    interior = spark.range(20000).selectExpr(
+        "cos(id * 0.7) * 50 AS x", "sin(id * 1.3) * 50 AS y"
+    )
+    pts = ring.unionByName(interior).repartition(16)
+    small_path = GA.convex_hull(pts, collect_max=10**9)
+    dist_path = GA.convex_hull(pts, collect_max=1000)
+    assert dist_path == small_path
+    assert len(dist_path) >= 3
+    # every hull vertex is from the radius-100 ring, no interior point
+    assert all(abs(math.hypot(px, py) - 100.0) < 1e-6 for px, py in dist_path)
