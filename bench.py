@@ -173,6 +173,10 @@ HEADLINE = [
     "repurchase_cycle",
     "price_volume_mix",
     "referential_integrity_audit",
+    "utm_project_events",
+    "sentiment_pattern_docs",
+    "srp_near_dup_pairs",
+    "lab2_pipeline",
 ]
 
 

@@ -1417,13 +1417,17 @@ def q_srp_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return embedding_near_dup_pairs(emb, 0.45, _srp_tables()).select(
+    return embedding_near_dup_pairs(emb, 0.45, _srp_tables(8, 8)).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
 
 
 def _sql_srp_near_dup() -> str:
-    tables = _srp_tables()
+    # 8 planes/table (256 buckets) — near-dup pair generation needs
+    # finer buckets than the 4-bit top-k tables: candidate volume is
+    # sum of squared bucket sizes, and recall for true near-dups
+    # (cosine >= 0.9, p_bit ~ 0.9) stays >= 0.999 across 8 tables.
+    tables = _srp_tables(8, 8)
     selects = []
     for planes in tables:
         sig_terms = " + ".join(
