@@ -177,6 +177,8 @@ HEADLINE = [
     "sentiment_pattern_docs",
     "srp_near_dup_pairs",
     "lab2_pipeline",
+    "gopher_quality_docs",
+    "dup_ngram_share_docs",
 ]
 
 

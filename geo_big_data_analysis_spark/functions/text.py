@@ -158,6 +158,95 @@ def lang_id_oracle_sql(col_sql: str) -> str:
     return "CASE " + " ".join(branches) + " ELSE 'und' END"
 
 
+#: Gopher-style "common English words" presence check (Rae et al. 2021
+#: §A.1.1: a document must contain ≥2 of a small closed set).
+GOPHER_COMMON = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(col) -> Column:
+    """Gopher-repetition-free quality rules (Rae et al. 2021, MassiveText
+    filtering §A.1.1) as a struct of per-rule booleans — the standard
+    pre-training corpus gate, pure column expressions:
+
+    - word_count_ok:   10 ≤ #words ≤ 100 000
+    - mean_word_len_ok: mean word length in [2, 12]
+    - alpha_share_ok:  ≥ 80% of words contain an alphabetic character
+    - symbol_ratio_ok: (# + … + bullet) to word ratio ≤ 0.1
+    - common_words_ok: contains ≥ 2 distinct Gopher common words
+    - pass_all:        conjunction
+    """
+    raw = _c(col)
+    toks = tokens(raw)
+    n_words = F.size(toks)
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(toks, F.lit(0.0), lambda a, w: a + F.length(w)) / n_words,
+    ).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    alpha_share = F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.length(raw)
+        - F.length(F.regexp_replace(raw, r"[#…•]|\.\.\.", ""))
+    )
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words).otherwise(F.lit(0.0))
+    low = F.concat(F.lit(" "), ascii_lower(clean_text(raw)), F.lit(" "))
+    n_common = sum(
+        (F.instr(low, f" {w} ") > 0).cast("int") for w in GOPHER_COMMON
+    )
+    word_count_ok = (n_words >= 10) & (n_words <= 100000)
+    mean_word_len_ok = (mean_len >= 2.0) & (mean_len <= 12.0)
+    alpha_share_ok = alpha_share >= 0.8
+    symbol_ratio_ok = symbol_ratio <= 0.1
+    common_words_ok = n_common >= 2
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_word_len_ok.alias("mean_word_len_ok"),
+        alpha_share_ok.alias("alpha_share_ok"),
+        symbol_ratio_ok.alias("symbol_ratio_ok"),
+        common_words_ok.alias("common_words_ok"),
+        (
+            word_count_ok & mean_word_len_ok & alpha_share_ok
+            & symbol_ratio_ok & common_words_ok
+        ).alias("pass_all"),
+    )
+
+
+def gopher_rules_sql(col_sql: str) -> dict[str, str]:
+    """DuckDB twins of gopher_rules' per-rule booleans."""
+    toks = f"regexp_split_to_array(trim({col_sql}), '\\s+')"
+    n_words = f"len({toks})"
+    mean_len = (
+        f"CASE WHEN {n_words} > 0 THEN"
+        f" list_sum(list_transform({toks}, w -> length(w)))::DOUBLE / {n_words}"
+        f" ELSE 0.0 END"
+    )
+    alpha_share = (
+        f"CASE WHEN {n_words} > 0 THEN"
+        f" len(list_filter({toks}, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / {n_words}"
+        f" ELSE 0.0 END"
+    )
+    n_symbols = (
+        f"length({col_sql}) - length(regexp_replace({col_sql}, '[#…•]|\\.\\.\\.', '', 'g'))"
+    )
+    symbol_ratio = f"CASE WHEN {n_words} > 0 THEN ({n_symbols})::DOUBLE / {n_words} ELSE 0.0 END"
+    cleaned = (
+        f"trim(regexp_replace(regexp_replace(regexp_replace(lower({col_sql}),"
+        f" 'http\\S+|www\\S+|https\\S+', ' ', 'g'), '[^a-zA-Z\\s]', ' ', 'g'),"
+        f" '\\s+', ' ', 'g'))"
+    )
+    low = f"(' ' || {cleaned} || ' ')"
+    n_common = " + ".join(
+        f"(CASE WHEN instr({low}, ' {w} ') > 0 THEN 1 ELSE 0 END)" for w in GOPHER_COMMON
+    )
+    return {
+        "word_count_ok": f"({n_words} >= 10 AND {n_words} <= 100000)",
+        "mean_word_len_ok": f"({mean_len} >= 2.0 AND {mean_len} <= 12.0)",
+        "alpha_share_ok": f"({alpha_share} >= 0.8)",
+        "symbol_ratio_ok": f"({symbol_ratio} <= 0.1)",
+        "common_words_ok": f"(({n_common}) >= 2)",
+    }
+
+
 def fingerprint64(col) -> Column:
     """64-bit document fingerprint: xxhash64 of the *cleaned* text —
     whitespace/case/punct-insensitive exact-dup key."""

@@ -91,3 +91,59 @@ def lloyd_kmeans(
 
     labeled = pts.withColumn("cluster_id", _argmin_cid(centers, "x", "y"))
     return labeled, centers
+
+
+def _argmin_cid_nd(centers: list[list[float]], cols: list[str]) -> Column:
+    """N-dimensional argmin-center index — same SortArray trick as
+    `_argmin_cid`, squared distance unrolled per coordinate column."""
+    structs = []
+    for i, ctr in enumerate(centers):
+        d = None
+        for col, cv in zip(cols, ctr):
+            x = F.col(col).cast("double")
+            term = (x - F.lit(cv)) * (x - F.lit(cv))
+            d = term if d is None else d + term
+        structs.append(F.struct(d.alias("d"), F.lit(i).alias("cid")))
+    return F.array_sort(F.array(*structs))[0]["cid"]
+
+
+def lloyd_kmeans_nd(
+    df: DataFrame,
+    id_col: str,
+    cols: list[str],
+    k: int,
+    iters: int,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Exact Lloyd in N dimensions over bigint coordinate columns —
+    the same bit-replayable contract as the 2-D version (exact integer
+    sums, smallest-id init, lowest-index tie break, empty clusters keep
+    their center), used as the PQ codebook trainer."""
+    pts = df.select(
+        F.col(id_col).alias("id"), *[F.col(c).cast("bigint").alias(c) for c in cols]
+    ).localCheckpoint()
+
+    init = pts.orderBy("id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"need at least k={k} points, got {len(init)}")
+    centers = [[float(r[c]) for c in cols] for r in init]
+
+    for _ in range(iters):
+        agg = (
+            pts.withColumn("cid", _argmin_cid_nd(centers, cols))
+            .groupBy("cid")
+            .agg(
+                *[F.sum(c).alias(f"s_{c}") for c in cols],
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()
+        )
+        got = {r["cid"]: r for r in agg}
+        centers = [
+            [got[i][f"s_{c}"] / got[i]["cnt"] for c in cols]
+            if i in got
+            else centers[i]
+            for i in range(k)
+        ]
+
+    labeled = pts.withColumn("cluster_id", _argmin_cid_nd(centers, cols))
+    return labeled, centers

@@ -392,6 +392,182 @@ def embedding_near_dup_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — codebook training, encoding, ADC search
+# ---------------------------------------------------------------------------
+# The third ANN index family next to SRP-LSH and IVF (Jégou et al. 2011
+# "Product quantization for nearest neighbor search"): split the vector
+# into m sub-blocks, train a small codebook per block, store each vector
+# as m small code ids, search via asymmetric distance (query block
+# distances to codebook centroids, summed over blocks). Training uses
+# the exact integer Lloyd (`ml/lloyd.lloyd_kmeans_nd`) on scaled-int
+# sub-coordinates, so codebooks — and therefore codes and ADC ranks —
+# are bit-replayable by the DuckDB oracle.
+
+
+def _pq_int_cols(vec_col: str, dims: list[int], scale: int) -> list[Column]:
+    """Scaled-integer sub-coordinates: round(v[d]·scale) as bigint —
+    HALF_UP in Spark and round-half-away in DuckDB agree for all signs."""
+    return [
+        F.round(F.col(vec_col)[d].cast("double") * scale, 0).cast("bigint").alias(f"c{d}")
+        for d in dims
+    ]
+
+
+def pq_train(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1000,
+) -> list[list[list[float]]]:
+    """Train m per-block codebooks (each k centroids of dim/m scaled-int
+    coords) with the exact replayable Lloyd. Returns
+    codebooks[block][code][sub_dim] in the SCALED integer space.
+
+    All m independent sub-problems run TOGETHER: the input explodes to
+    (id, block, c0..c{dsub−1}) rows and each Lloyd round is ONE
+    codegen'd projection (per-block argmin via a when-chain) + ONE
+    groupBy(block, cid) collecting m·k rows — 1 + iters Spark jobs
+    total instead of m·(1 + iters). Identical arithmetic to training
+    blocks separately (the oracle replays them separately)."""
+    dsub = dim // m
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block"),
+                *[
+                    F.round(F.col(vec_col)[b * dsub + j].cast("double") * scale, 0)
+                    .cast("bigint")
+                    .alias(f"c{j}")
+                    for j in range(dsub)
+                ],
+            )
+            for b in range(m)
+        ]
+    )
+    pts = (
+        emb.select(F.col(id_col).alias("id"), F.explode(structs).alias("s"))
+        .select("id", "s.block", *[F.col(f"s.c{j}").alias(f"c{j}") for j in range(dsub)])
+        .localCheckpoint()
+    )
+
+    init = pts.filter(
+        F.col("id").isin(
+            [r["id"] for r in emb.select(F.col(id_col).alias("id")).orderBy("id").limit(k).collect()]
+        )
+    ).collect()
+    by_block: dict[int, list] = {}
+    for r in sorted(init, key=lambda r: r["id"]):
+        by_block.setdefault(r["block"], []).append([float(r[f"c{j}"]) for j in range(dsub)])
+    if any(len(v) < k for v in by_block.values()) or len(by_block) < m:
+        raise ValueError(f"need at least k={k} vectors to train PQ codebooks")
+    codebooks = [by_block[b] for b in range(m)]
+
+    from ..ml.lloyd import _argmin_cid_nd
+
+    cols = [f"c{j}" for j in range(dsub)]
+    for _ in range(iters):
+        # per-block argmin as one when-chain (block 0 is the fallthrough)
+        cid = None
+        for b in range(m):
+            arm = _argmin_cid_nd(codebooks[b], cols)
+            cid = arm if cid is None else F.when(F.col("block") == F.lit(b), arm).otherwise(cid)
+        agg = (
+            pts.withColumn("cid", cid)
+            .groupBy("block", "cid")
+            .agg(
+                *[F.sum(c).alias(f"s_{c}") for c in cols],
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()
+        )
+        got = {(r["block"], r["cid"]): r for r in agg}
+        codebooks = [
+            [
+                [got[(b, i)][f"s_{c}"] / got[(b, i)]["cnt"] for c in cols]
+                if (b, i) in got
+                else codebooks[b][i]
+                for i in range(k)
+            ]
+            for b in range(m)
+        ]
+    return codebooks
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Encode each vector as m code columns code_0..code_{m-1} (the
+    nearest per-block centroid, lowest-index tie break)."""
+    from ..ml.lloyd import _argmin_cid_nd
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    out = emb
+    for b in range(m):
+        dims = list(range(b * dsub, (b + 1) * dsub))
+        cols = [f"c{d}" for d in dims]
+        out = out.select("*", *_pq_int_cols(vec_col, dims, scale))
+        out = out.withColumn(f"code_{b}", _argmin_cid_nd(codebooks[b], cols)).drop(*cols)
+    return out.drop(vec_col)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    b_id: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance top-k: broadcast the (small) query side into
+    the codes table; per pair the distance is Σ_b ‖q_b − C_b[code_b]‖²
+    in the scaled space — element_at into literal centroid arrays, all
+    codegen. Output (query_id, neighbor_id, adc_dist, pq_rank)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        *_pq_int_cols(q_vec, list(range(m * dsub)), scale),
+    )
+    b = codes.select(
+        F.col(b_id).alias("neighbor_id"), *[F.col(f"code_{i}") for i in range(m)]
+    )
+    pairs = b.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    dist = None
+    for blk in range(m):
+        cb = F.expr(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{c!r}D" for c in ctr) + ")" for ctr in codebooks[blk]
+            )
+            + ")"
+        )
+        ctr = F.element_at(cb, F.col(f"code_{blk}") + 1)
+        for j in range(dsub):
+            d = blk * dsub + j
+            qd = F.col(f"c{d}").cast("double")
+            term = (qd - F.element_at(ctr, j + 1)) * (qd - F.element_at(ctr, j + 1))
+            dist = term if dist is None else dist + term
+    pairs = pairs.withColumn("adc_dist", dist)
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("pq_rank", F.row_number().over(w))
+        .filter(F.col("pq_rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "pq_rank")
+    )
+
+
 def label_centroids(df: DataFrame, vec_col: str, label_col: str) -> list[tuple[int, list[float]]]:
     """Element-wise mean vector per label → [(label, center), …] sorted
     by label. Driver-side collect of (n_labels × dim) doubles — the

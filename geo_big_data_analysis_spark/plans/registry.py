@@ -1632,6 +1632,179 @@ SELECT query_id, neighbor_id, round(cosine, 6) AS cosine FROM ranked WHERE rn <=
 """
 
 
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_SCALE, _PQ_DIM = 8, 4, 2, 1000, 64
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import pq_train
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return emb, pq_train(
+        emb, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, scale=_PQ_SCALE
+    )
+
+
+def q_pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index family #3 — product quantization (Jégou et al. 2011):
+    8 per-block codebooks (k=4, 8 dims each) trained with the exact
+    integer Lloyd on scaled sub-coordinates, every vector encoded as 8
+    code ids. Output: per-(block, code) population + centroid norm.
+    The oracle re-trains ALL codebooks (per-block Lloyd iterations as
+    unrolled CTEs) and re-encodes every vector — training, assignment,
+    and centroid arithmetic are value-checked end-to-end."""
+    from ..operators.similarity import pq_encode
+
+    emb, cbs = _pq_codebooks(spark, sf_dir)
+    codes = pq_encode(emb, cbs, scale=_PQ_SCALE)
+    parts = []
+    for b in range(_PQ_M):
+        import math as _math
+
+        norm_map = F.create_map(
+            *[
+                F.lit(v)
+                for c, ctr in enumerate(cbs[b])
+                for v in (c, _math.sqrt(sum(x * x for x in ctr)))
+            ]
+        )
+        parts.append(
+            codes.groupBy(F.col(f"code_{b}").alias("code"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.lit(b).alias("block"),
+                "code",
+                "n",
+                F.round(norm_map[F.col("code")], 6).alias("centroid_norm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("block", "code")
+
+
+def _sql_pq_block_ctes(b: int) -> str:
+    """Per-block Lloyd replay CTEs over scaled-int sub-coordinates."""
+    dsub = _PQ_DIM // _PQ_M
+    dims = list(range(b * dsub, (b + 1) * dsub))
+    int_cols = ", ".join(
+        f"CAST(round(embedding[{d + 1}]::DOUBLE * {_PQ_SCALE}) AS BIGINT) AS c{j}"
+        for j, d in enumerate(dims)
+    )
+    dist = " + ".join(
+        f"(p.c{j}::DOUBLE - c.x{j}) * (p.c{j}::DOUBLE - c.x{j})" for j in range(dsub)
+    )
+    xcols = ", ".join(f"x{j}" for j in range(dsub))
+    parts = [
+        f"kp{b} AS (SELECT vec_id AS id, {int_cols} FROM embeddings)",
+        f"cb{b}_0 AS (SELECT (row_number() OVER (ORDER BY id) - 1)::INT AS cid, "
+        + ", ".join(f"c{j}::DOUBLE AS x{j}" for j in range(dsub))
+        + f" FROM (SELECT * FROM kp{b} ORDER BY id LIMIT {_PQ_K}))",
+    ]
+    for t in range(1, _PQ_ITERS + 1):
+        parts.append(
+            f"""a{b}_{t} AS (
+  SELECT id, {', '.join(f'c{j}' for j in range(dsub))}, cid FROM (
+    SELECT p.*, c.cid,
+           row_number() OVER (PARTITION BY p.id ORDER BY {dist} ASC, c.cid ASC) AS rk
+    FROM kp{b} p CROSS JOIN cb{b}_{t - 1} c
+  ) WHERE rk = 1
+)"""
+        )
+        sums = ", ".join(f"sum(c{j}) AS s{j}" for j in range(dsub))
+        parts.append(
+            f"s{b}_{t} AS (SELECT cid, {sums}, count(*) AS cnt FROM a{b}_{t} GROUP BY cid)"
+        )
+        news = ", ".join(
+            f"coalesce(s.s{j} / s.cnt, pc.x{j}) AS x{j}" for j in range(dsub)
+        )
+        parts.append(
+            f"cb{b}_{t} AS (SELECT r.cid, {news}"
+            f" FROM (SELECT range::INT AS cid FROM range({_PQ_K})) r"
+            f" LEFT JOIN s{b}_{t} s USING (cid)"
+            f" LEFT JOIN cb{b}_{t - 1} pc ON pc.cid = r.cid)"
+        )
+    parts.append(
+        f"""code{b} AS (
+  SELECT id, cid AS code FROM (
+    SELECT p.id, c.cid,
+           row_number() OVER (PARTITION BY p.id ORDER BY {dist} ASC, c.cid ASC) AS rk
+    FROM kp{b} p CROSS JOIN cb{b}_{_PQ_ITERS} c
+  ) WHERE rk = 1
+)"""
+    )
+    _ = xcols
+    return ",\n".join(parts)
+
+
+def _sql_pq_codes() -> str:
+    dsub = _PQ_DIM // _PQ_M
+    blocks = ",\n".join(_sql_pq_block_ctes(b) for b in range(_PQ_M))
+    norm = " + ".join(f"x{j} * x{j}" for j in range(dsub))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {b} AS block, g.code, g.n, round(sqrt({norm}), 6) AS centroid_norm\n"
+        f"FROM (SELECT code, count(*)::BIGINT AS n FROM code{b} GROUP BY code) g\n"
+        f"JOIN cb{b}_{_PQ_ITERS} c ON c.cid = g.code"
+        for b in range(_PQ_M)
+    )
+    return f"WITH {blocks}\n{unions}\nORDER BY block, code"
+
+
+def q_pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search: queries (vec_id < 32) against the
+    PQ-encoded base — per pair Σ_b ‖q_b − C_b[code_b]‖² in the scaled
+    space via element_at into literal centroid arrays (all codegen),
+    top-5 per query. The oracle re-trains the codebooks, re-encodes the
+    base, and recomputes every ADC distance."""
+    from ..operators.similarity import pq_adc_topk, pq_encode
+
+    emb, cbs = _pq_codebooks(spark, sf_dir)
+    codes = pq_encode(emb, cbs, scale=_PQ_SCALE)
+    queries = emb.filter(F.col("vec_id") < 32)
+    out = pq_adc_topk(queries, codes, cbs, k=5, scale=_PQ_SCALE)
+    return out.select(
+        "query_id", "neighbor_id", F.round("adc_dist", 4).alias("adc_dist"), "pq_rank"
+    )
+
+
+def _sql_pq_adc() -> str:
+    dsub = _PQ_DIM // _PQ_M
+    blocks = ",\n".join(_sql_pq_block_ctes(b) for b in range(_PQ_M))
+    qcols = ", ".join(
+        f"CAST(round(embedding[{d + 1}]::DOUBLE * {_PQ_SCALE}) AS BIGINT) AS q{d}"
+        for d in range(_PQ_DIM)
+    )
+    code_joins = "\n  ".join(
+        f"JOIN code{b} cd{b} ON cd{b}.id = b.vec_id"
+        f" JOIN cb{b}_{_PQ_ITERS} cc{b} ON cc{b}.cid = cd{b}.code"
+        for b in range(_PQ_M)
+    )
+    terms = []
+    for b in range(_PQ_M):
+        for j in range(dsub):
+            d = b * dsub + j
+            terms.append(f"(q.q{d}::DOUBLE - cc{b}.x{j}) * (q.q{d}::DOUBLE - cc{b}.x{j})")
+    dist = " + ".join(terms)
+    return f"""
+WITH {blocks},
+q AS (SELECT vec_id AS query_id, {qcols} FROM embeddings WHERE vec_id < 32),
+pairs AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, {dist} AS adc_dist
+  FROM embeddings b
+  {code_joins}
+  CROSS JOIN q
+  WHERE q.query_id <> b.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS pq_rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(adc_dist, 4) AS adc_dist, pq_rank
+FROM ranked WHERE pq_rank <= 5
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation — recall@5 of the two approximate paths
     (SRP-LSH buckets, IVF probe) against the exact brute-force top-5 on
@@ -3434,6 +3607,107 @@ SELECT CASE WHEN pol > 0.1 THEN 'positive' WHEN pol < -0.1 THEN 'negative'
        round(avg(pol), 6) AS avg_polarity,
        round(avg(subj), 6) AS avg_subjectivity
 FROM scored GROUP BY 1 ORDER BY category
+"""
+
+
+def q_gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-curation quality gate — Gopher/MassiveText filtering rules
+    (Rae et al. 2021 §A.1.1) per document, censused per source: pass
+    counts per rule + overall pass rate. Pure column expressions; the
+    oracle recomputes every rule independently."""
+    from ..functions.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_rules("text")
+    rules = ["word_count_ok", "mean_word_len_ok", "alpha_share_ok", "symbol_ratio_ok", "common_words_ok"]
+    scored = docs.select("source", g.alias("g"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[F.sum(F.col("g")[r].cast("bigint")).alias(f"n_{r}") for r in rules],
+            F.round(F.avg(F.col("g")["pass_all"].cast("double")), 6).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_gopher_quality() -> str:
+    from ..functions.text import gopher_rules_sql
+
+    r = gopher_rules_sql("text")
+    rules = ["word_count_ok", "mean_word_len_ok", "alpha_share_ok", "symbol_ratio_ok", "common_words_ok"]
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN {r[k]} THEN 1 ELSE 0 END)::BIGINT AS n_{k}" for k in rules
+    )
+    pass_all = " AND ".join(r[k] for k in rules)
+    return f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       {sums},
+       round(avg(CASE WHEN {pass_all} THEN 1.0 ELSE 0.0 END), 6) AS pass_rate
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_dup_ngram_share_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-curation duplication diagnostic — per-document share of
+    distinct word 5-grams that also occur in ANOTHER document
+    (cross-doc duplicate n-gram rate, the streaming-friendly stand-in
+    for exact substring dedup à la Lee et al. 2022), summarized per
+    source. Plan shape: explode distinct shingles → inverted index
+    (groupBy shingle, distinct-doc count) → join back — equi-joins on
+    the shingle key throughout, no pairwise comparisons anywhere."""
+    from ..operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", "source", F.explode(F.array_distinct(shingles("text", 5))).alias("sh"))
+    )
+    idx = sh.groupBy("sh").agg(F.count_distinct("doc_id").alias("df"))
+    per_doc = (
+        sh.join(idx, "sh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("bigint")).alias("n_dup"),
+        )
+        .withColumn("dup_share", F.col("n_dup") / F.col("n_shingles"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dup_share"), 6).alias("avg_dup_share"),
+            F.round(F.max("dup_share"), 6).alias("max_dup_share"),
+            F.sum((F.col("dup_share") > 0).cast("bigint")).alias("n_docs_with_dup"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_DUP_NGRAM = f"""
+WITH docs AS (SELECT doc_id, source, {_CLEAN_SQL} AS ct FROM documents),
+sh AS (
+  SELECT doc_id, source, unnest(
+    CASE WHEN len(toks) >= 5 THEN
+      list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, greatest(len(toks)-4, 1)+1)])
+    ELSE [array_to_string(toks, ' ')] END
+  ) AS sh
+  FROM (SELECT doc_id, source, string_split(ct, ' ') AS toks FROM docs)
+),
+idx AS (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh),
+per_doc AS (
+  SELECT s.doc_id, s.source,
+         count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN i.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM sh s JOIN idx i USING (sh)
+  GROUP BY s.doc_id, s.source
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(avg(n_dup::DOUBLE / n_shingles), 6) AS avg_dup_share,
+       round(max(n_dup::DOUBLE / n_shingles), 6) AS max_dup_share,
+       sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_dup
+FROM per_doc GROUP BY source ORDER BY source
 """
 
 
@@ -11493,6 +11767,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_fingerprint_dups": (q_doc_fingerprint_dups, _SQL_FINGERPRINT),
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),
     "srp_near_dup_pairs": (q_srp_near_dup_pairs, _sql_srp_near_dup()),
+    "pq_codes_embeddings": (q_pq_codes_embeddings, _sql_pq_codes()),
+    "pq_adc_topk_embeddings": (q_pq_adc_topk_embeddings, _sql_pq_adc()),
     "srp_topk_embeddings": (q_srp_topk_embeddings, _sql_srp()),
     "srp_multi_topk_embeddings": (q_srp_multi_topk_embeddings, _sql_srp_multi()),
     "ivf_topk_embeddings": (q_ivf_topk_embeddings, _SQL_IVF),
@@ -11502,6 +11778,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "pii_scrub_docs": (q_pii_scrub_docs, _SQL_PII_SCRUB),
     "lang_id_docs": (q_lang_id_docs, _SQL_LANG),
     "quality_score_docs": (q_quality_score_docs, _SQL_QUALITY),
+    "gopher_quality_docs": (q_gopher_quality_docs, _sql_gopher_quality()),
+    "dup_ngram_share_docs": (q_dup_ngram_share_docs, _SQL_DUP_NGRAM),
     "knn_embeddings": (q_knn_embeddings, _SQL_KNN),
     "knn_embeddings_pandas": (q_knn_embeddings_pandas, _SQL_KNN),
     "embedding_label_centroids": (q_embedding_label_centroids, _SQL_CENTROIDS),

@@ -599,3 +599,56 @@ def test_embedding_near_dup_default_is_srp_and_exact_is_guarded(spark):
         df, 0.99, tables, exact=True, exact_max_rows=10, force_exact=True
     )
     assert {(r["id_a"], r["id_b"]) for r in forced.collect()} >= pairs
+
+
+def test_pq_roundtrip_and_adc(spark):
+    """PQ: duplicate vectors encode to identical codes; ADC top-1 for a
+    query is its planted near-duplicate; codebooks have k entries per
+    block in the scaled space."""
+    import random
+
+    from geo_big_data_analysis_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rnd = random.Random(11)
+    dim, m, k = 16, 4, 3
+    base = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(30)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows.append((100, list(base[5])))          # exact duplicate of 5
+    rows.append((101, [x + 0.001 for x in base[9]]))  # near-dup of 9
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cbs = pq_train(df, dim=dim, m=m, k=k, iters=2)
+    assert len(cbs) == m and all(len(cb) == k for cb in cbs)
+    codes = pq_encode(df, cbs)
+    by_id = {r["vec_id"]: tuple(r[f"code_{b}"] for b in range(m)) for r in codes.collect()}
+    assert by_id[100] == by_id[5]  # identical vector -> identical codes
+    q = df.filter("vec_id = 101")
+    top = pq_adc_topk(q, codes, cbs, k=1).collect()
+    assert top[0]["neighbor_id"] == 9 or by_id[101] == by_id[9]
+
+
+def test_gopher_rules_each_axis(spark):
+    """Each Gopher rule fires on its designed violation."""
+    from geo_big_data_analysis_spark.functions.text import gopher_rules
+
+    good = "the quick brown fox jumps over the lazy dog and that dog did not have any objection to it"
+    cases = {
+        1: (good, True),
+        2: ("too short", False),                                   # word count
+        3: ("aa " * 20 + "supercalifragilisticexpialidociousxx " * 20, True),
+        4: ("#### " * 30 + good, False),                           # symbol ratio
+        5: ("zz qq ww rr tt yy uu ii oo pp ll kk", False),         # no common words
+        6: ("12 34 56 78 90 11 22 33 44 55 66 77", False),         # alpha share
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in cases.items()], "id int, text string"
+    )
+    out = {r["id"]: r["g"].asDict() for r in df.select("id", gopher_rules("text").alias("g")).collect()}
+    assert out[1]["pass_all"] is True
+    assert out[2]["word_count_ok"] is False
+    assert out[4]["symbol_ratio_ok"] is False
+    assert out[5]["common_words_ok"] is False
+    assert out[6]["alpha_share_ok"] is False

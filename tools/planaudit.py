@@ -27,6 +27,7 @@ ALLOWLIST_NLJ = {
     "session_drilldown": "J8 time-range join: few broadcast periods vs events",
     "percentile_filter_orders": "scalar threshold broadcast against orders",
     "knn_embeddings": "brute-force baseline variant is intentionally O(n*q) with tiny q",
+    "pq_adc_topk_embeddings": "ADC probe: 32-query broadcast over the code table — the PQ-indexed scan shape (codes are m small ints per row, not vectors)",
     "embedding_near_dup": "exact-baseline pairs on tiny doc count; LSH variant is the scale path",
     "kdist_curve_stats": "500-point eps-tuning sample, driver-bounded",
     # single-row global-stat broadcasts (μ/σ/total thresholds): the NLJ
