@@ -3660,8 +3660,20 @@ def q_dup_ngram_share_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles
 
     docs = _t(spark, sf_dir, "documents")
+    # hash shingles to int64 BEFORE the shuffle: the inverted index and
+    # join-back then move 8-byte keys instead of ~40-byte strings
+    # (collision odds over ~10⁶ distinct shingles ≈ 1e-7 — the oracle
+    # works on the raw strings, so a collision would surface as a
+    # hash-mismatch, not silently)
     sh = (
-        docs.select("doc_id", "source", F.explode(F.array_distinct(shingles("text", 5))).alias("sh"))
+        docs.select(
+            "doc_id", "source", F.explode(F.array_distinct(shingles("text", 5))).alias("sh")
+        )
+        .select("doc_id", "source", F.xxhash64("sh").alias("sh"))
+        # consumed twice (index build + join-back): materialize the
+        # hashed rows once — shingle construction is a chain of
+        # interpreted HOF lambdas, the single dominant cost here
+        .localCheckpoint(eager=False)
     )
     idx = sh.groupBy("sh").agg(F.count_distinct("doc_id").alias("df"))
     per_doc = (
