@@ -10937,9 +10937,11 @@ def q_ab_test_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_a = F.col("c_a") / F.col("n_a")
     p_b = F.col("c_b") / F.col("n_b")
     p_pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
-    z = (p_a - p_b) / F.sqrt(
-        p_pool * (1 - p_pool) * (1 / F.col("n_a") + 1 / F.col("n_b"))
-    )
+    # degenerate arms (p_pool 0 or 1) have zero pooled variance — the
+    # z-stat is undefined; report 0.0 instead of dividing by zero
+    # (ANSI mode turns the latter into a hard error)
+    se = F.sqrt(p_pool * (1 - p_pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    z = F.when(se > 0, (p_a - p_b) / se).otherwise(F.lit(0.0))
     return j.select(
         "n_a",
         "n_b",
@@ -10967,10 +10969,14 @@ SELECT n_a, n_b,
        round(c_a / n_a::DOUBLE, 6) AS rate_a,
        round(c_b / n_b::DOUBLE, 6) AS rate_b,
        round(c_a / n_a::DOUBLE - c_b / n_b::DOUBLE, 6) AS lift,
-       round((c_a / n_a::DOUBLE - c_b / n_b::DOUBLE)
-             / sqrt(((c_a + c_b) / (n_a + n_b)::DOUBLE)
-                    * (1 - (c_a + c_b) / (n_a + n_b)::DOUBLE)
-                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_stat
+       round(CASE WHEN sqrt(((c_a + c_b) / (n_a + n_b)::DOUBLE)
+                         * (1 - (c_a + c_b) / (n_a + n_b)::DOUBLE)
+                         * (1.0 / n_a + 1.0 / n_b)) > 0
+                  THEN (c_a / n_a::DOUBLE - c_b / n_b::DOUBLE)
+                       / sqrt(((c_a + c_b) / (n_a + n_b)::DOUBLE)
+                              * (1 - (c_a + c_b) / (n_a + n_b)::DOUBLE)
+                              * (1.0 / n_a + 1.0 / n_b))
+                  ELSE 0.0 END, 4) AS z_stat
 FROM a CROSS JOIN b
 """
 
