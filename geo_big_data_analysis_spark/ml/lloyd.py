@@ -147,3 +147,66 @@ def lloyd_kmeans_nd(
 
     labeled = pts.withColumn("cluster_id", _argmin_cid_nd(centers, cols))
     return labeled, centers
+
+
+def _argmin_cid_vec(centers: list[list[float]], vec_col: str) -> Column:
+    """High-dimensional argmin-center index over an ARRAY column: the
+    squared distance per center is a zip_with/aggregate fold against a
+    literal center array (left-assoc — the same summation order as the
+    unrolled per-column chain, so oracle replays stay bit-equal). Keeps
+    plan size O(k·d literals) instead of O(k·d expression nodes per
+    distance term) — at d=64 the unrolled form dominates compile time."""
+    structs = []
+    for i, ctr in enumerate(centers):
+        arr = F.expr("array(" + ", ".join(f"{float(c)!r}D" for c in ctr) + ")")
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col), arr,
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(i).alias("cid")))
+    return F.array_sort(F.array(*structs))[0]["cid"]
+
+
+def lloyd_kmeans_vec(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    iters: int,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Exact Lloyd over a bigint ARRAY column (the high-dimensional
+    twin of lloyd_kmeans_nd — same replayable contract: exact integer
+    sums, smallest-id init, lowest-index tie break, empty clusters keep
+    their center). Centroid updates aggregate per (cluster, position)
+    via posexplode — a (k·d)-row collect, never O(rows)."""
+    pts = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).localCheckpoint()
+
+    init = pts.orderBy("id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"need at least k={k} points, got {len(init)}")
+    centers = [[float(x) for x in r["v"]] for r in init]
+
+    for _ in range(iters):
+        agg = (
+            pts.withColumn("cid", _argmin_cid_vec(centers, "v"))
+            .select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        got = {(r["cid"], r["pos"]): r for r in agg}
+        centers = [
+            [
+                got[(i, j)]["sx"] / got[(i, j)]["cnt"] if (i, j) in got else centers[i][j]
+                for j in range(dim)
+            ]
+            for i in range(k)
+        ]
+
+    labeled = pts.withColumn("cluster_id", _argmin_cid_vec(centers, "v"))
+    return labeled, centers

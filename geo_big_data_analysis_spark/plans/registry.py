@@ -1805,6 +1805,126 @@ FROM ranked WHERE pq_rank <= 5
 """
 
 
+_SEMDEDUP_K, _SEMDEDUP_ITERS, _SEMDEDUP_TAU = 8, 2, 0.45
+
+
+def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    the embedding space (exact replayable Lloyd, k=8, scaled-int
+    coords), then WITHIN each cluster remove any vector whose cosine to
+    a lower-id cluster-mate is ≥ τ — pairwise work is confined to
+    clusters, the property that makes semantic dedup tractable at
+    corpus scale. Output: per-cluster census (n, n_removed, keep_rate).
+    The oracle replays clustering, assignment, and the within-cluster
+    EXISTS rule end-to-end."""
+    from ..ml.lloyd import _argmin_cid_vec, lloyd_kmeans_vec
+    from ..operators.similarity import _dot_sql
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    vint = F.expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT))"
+    )
+    pts = emb.select("vec_id", "embedding", vint.alias("vint"))
+    _, centers = lloyd_kmeans_vec(
+        pts.select("vec_id", "vint"), "vec_id", "vint", dim=64, k=_SEMDEDUP_K, iters=_SEMDEDUP_ITERS
+    )
+    nrm = F.sqrt(F.expr(f"({_dot_sql('embedding', 'embedding', 64)})"))
+    lab = pts.select(
+        "vec_id", "embedding", nrm.alias("_n"), _argmin_cid_vec(centers, "vint").alias("cluster")
+    ).localCheckpoint(eager=False)
+    a = lab.select(
+        F.col("cluster"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("_n").alias("na")
+    )
+    b = lab.select(
+        F.col("cluster"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("_n").alias("nb")
+    )
+    cos = F.expr(f"({_dot_sql('va', 'vb', 64)})") / (F.col("na") * F.col("nb"))
+    removed = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= _SEMDEDUP_TAU)
+        .select("cluster", F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        lab.select("cluster", "vec_id")
+        .join(removed.withColumn("rm", F.lit(1)), ["cluster", "vec_id"], "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("rm"), F.lit(0)).cast("bigint")).alias("n_removed"),
+        )
+        .withColumn("keep_rate", F.round(1 - F.col("n_removed") / F.col("n"), 6))
+        .orderBy("cluster")
+    )
+
+
+def _sql_semdedup() -> str:
+    k, iters = _SEMDEDUP_K, _SEMDEDUP_ITERS
+    dsub = 64
+    int_cols = ", ".join(
+        f"CAST(round(embedding[{d + 1}]::DOUBLE * 1000) AS BIGINT) AS c{d}" for d in range(dsub)
+    )
+    dist = " + ".join(
+        f"(p.c{j}::DOUBLE - c.x{j}) * (p.c{j}::DOUBLE - c.x{j})" for j in range(dsub)
+    )
+    parts = [
+        f"kp AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, {int_cols} FROM embeddings)",
+        "cb_0 AS (SELECT (row_number() OVER (ORDER BY id) - 1)::INT AS cid, "
+        + ", ".join(f"c{j}::DOUBLE AS x{j}" for j in range(dsub))
+        + f" FROM (SELECT * FROM kp ORDER BY id LIMIT {k}))",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""a_{t} AS (
+  SELECT * FROM (
+    SELECT p.*, c.cid,
+           row_number() OVER (PARTITION BY p.id ORDER BY {dist} ASC, c.cid ASC) AS rk
+    FROM kp p CROSS JOIN cb_{t - 1} c
+  ) WHERE rk = 1
+)"""
+        )
+        sums = ", ".join(f"sum(c{j}) AS s{j}" for j in range(dsub))
+        parts.append(f"s_{t} AS (SELECT cid, {sums}, count(*) AS cnt FROM a_{t} GROUP BY cid)")
+        news = ", ".join(f"coalesce(s.s{j} / s.cnt, pc.x{j}) AS x{j}" for j in range(dsub))
+        parts.append(
+            f"cb_{t} AS (SELECT r.cid, {news}"
+            f" FROM (SELECT range::INT AS cid FROM range({k})) r"
+            f" LEFT JOIN s_{t} s USING (cid)"
+            f" LEFT JOIN cb_{t - 1} pc ON pc.cid = r.cid)"
+        )
+    parts.append(
+        f"""lab AS (
+  SELECT id, v, cid AS cluster FROM (
+    SELECT p.id, p.v, c.cid,
+           row_number() OVER (PARTITION BY p.id ORDER BY {dist} ASC, c.cid ASC) AS rk
+    FROM kp p CROSS JOIN cb_{iters} c
+  ) WHERE rk = 1
+)"""
+    )
+    parts.append(
+        f"""removed AS (
+  SELECT DISTINCT b.cluster, b.id
+  FROM lab b JOIN lab a ON a.cluster = b.cluster AND a.id < b.id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {_SEMDEDUP_TAU}
+)"""
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT l.cluster, count(*)::BIGINT AS n,
+       sum(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+       round(1 - sum(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS keep_rate
+FROM lab l LEFT JOIN removed r ON r.cluster = l.cluster AND r.id = l.id
+GROUP BY l.cluster ORDER BY l.cluster
+"""
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation — recall@5 of the two approximate paths
     (SRP-LSH buckets, IVF probe) against the exact brute-force top-5 on
@@ -11786,6 +11906,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),
     "srp_near_dup_pairs": (q_srp_near_dup_pairs, _sql_srp_near_dup()),
     "pq_codes_embeddings": (q_pq_codes_embeddings, _sql_pq_codes()),
+    "semdedup_embeddings": (q_semdedup_embeddings, _sql_semdedup()),
     "pq_adc_topk_embeddings": (q_pq_adc_topk_embeddings, _sql_pq_adc()),
     "srp_topk_embeddings": (q_srp_topk_embeddings, _sql_srp()),
     "srp_multi_topk_embeddings": (q_srp_multi_topk_embeddings, _sql_srp_multi()),
