@@ -179,6 +179,8 @@ HEADLINE = [
     "lab2_pipeline",
     "gopher_quality_docs",
     "dup_ngram_share_docs",
+    "semdedup_embeddings",
+    "dsir_select_docs",
 ]
 
 

@@ -9861,6 +9861,96 @@ def q_unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection-by-importance-resampling (DSIR, Xie et al. 2023)
+    re-expressed with hashed-unigram features: fit add-1-smoothed
+    unigram LMs on a target domain (the lexicographically first source
+    — the 'high-quality domain' stand-in) and on the full corpus, score
+    every document by its mean per-token log importance ratio
+    log p_target(t) − log p_corpus(t) over the shared corpus
+    vocabulary, and deterministically select the top-100 (weight desc,
+    doc_id asc). Output: per-source selection census. Everything is two
+    vocab aggregates + broadcast joins — no per-row Python — and the
+    oracle replays both LMs, every ratio, and the selection rank."""
+    docs = _t(spark, sf_dir, "documents")
+    target_src = docs.agg(F.min("source").alias("s")).collect()[0]["s"]
+    toks = docs.select(
+        "doc_id", "source", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "").localCheckpoint(eager=False)
+    vocab_c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf_c"))
+    vocab_t = (
+        toks.filter(F.col("source") == target_src)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf_t"))
+    )
+    vocab = vocab_c.join(vocab_t, "tok", "left").withColumn(
+        "tf_t", F.coalesce(F.col("tf_t"), F.lit(0))
+    )
+    totals = vocab.agg(
+        F.sum("tf_c").alias("n_c"),
+        F.sum("tf_t").alias("n_t"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lr = F.log((F.col("tf_t") + 1.0) / (F.col("n_t") + F.col("v")).cast("double")) - F.log(
+        (F.col("tf_c") + 1.0) / (F.col("n_c") + F.col("v")).cast("double")
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id", "source")
+        .agg(F.avg(lr).alias("w"))
+    )
+    ranked = per_doc.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("w").desc(), F.col("doc_id").asc())
+        ),
+    )
+    return (
+        ranked.withColumn("selected", F.col("rk") <= 100)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("selected").cast("bigint")).alias("n_selected"),
+            F.round(F.avg(F.when(F.col("selected"), F.col("w"))), 6).alias("avg_sel_weight"),
+        )
+        .filter(F.col("n_selected") > 0)
+        .orderBy("source")
+    )
+
+
+_SQL_DSIR = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+t AS (SELECT * FROM toks WHERE tok <> ''),
+tgt AS (SELECT min(source) AS s FROM documents),
+vc AS (SELECT tok, count(*)::BIGINT AS tf_c FROM t GROUP BY tok),
+vt AS (SELECT tok, count(*)::BIGINT AS tf_t FROM t, tgt WHERE t.source = tgt.s GROUP BY tok),
+vocab AS (
+  SELECT vc.tok, vc.tf_c, coalesce(vt.tf_t, 0) AS tf_t
+  FROM vc LEFT JOIN vt USING (tok)
+),
+totals AS (SELECT sum(tf_c) AS n_c, sum(tf_t) AS n_t, count(*)::BIGINT AS v FROM vocab),
+per_doc AS (
+  SELECT doc_id, source,
+         avg(ln((tf_t + 1.0) / (n_t + v)::DOUBLE) - ln((tf_c + 1.0) / (n_c + v)::DOUBLE)) AS w
+  FROM t JOIN vocab USING (tok) CROSS JOIN totals
+  GROUP BY doc_id, source
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY w DESC, doc_id ASC) AS rk FROM per_doc
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN rk <= 100 THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+       round(avg(CASE WHEN rk <= 100 THEN w END), 6) AS avg_sel_weight
+FROM ranked
+GROUP BY source HAVING sum(CASE WHEN rk <= 100 THEN 1 ELSE 0 END) > 0
+ORDER BY source
+"""
+
+
 _SQL_UNIGRAM_LP = """
 WITH toks AS (
   SELECT doc_id, source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
@@ -12074,6 +12164,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "seasonal_index_dow": (q_seasonal_index_dow, _SQL_SEASONAL_DOW),
     "autocorrelation_daily": (q_autocorrelation_daily, _sql_acf()),
     "unigram_logprob_docs": (q_unigram_logprob_docs, _SQL_UNIGRAM_LP),
+    "dsir_select_docs": (q_dsir_select_docs, _SQL_DSIR),
     "pit_features_purchases": (q_pit_features_purchases, _SQL_PIT_FEATURES),
     "topk_with_ties_parts": (q_topk_with_ties_parts, _SQL_TOPK_TIES),
     "sql_frontend_revenue": (q_sql_frontend_revenue, _SQL_FRONTEND),

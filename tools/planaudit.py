@@ -27,6 +27,7 @@ ALLOWLIST_NLJ = {
     "session_drilldown": "J8 time-range join: few broadcast periods vs events",
     "percentile_filter_orders": "scalar threshold broadcast against orders",
     "knn_embeddings": "brute-force baseline variant is intentionally O(n*q) with tiny q",
+    "dsir_select_docs": "1-row totals broadcast (n_c/n_t/V) into the per-token scorer",
     "pq_adc_topk_embeddings": "ADC probe: 32-query broadcast over the code table — the PQ-indexed scan shape (codes are m small ints per row, not vectors)",
     "embedding_near_dup": "exact-baseline pairs on tiny doc count; LSH variant is the scale path",
     "kdist_curve_stats": "500-point eps-tuning sample, driver-bounded",
@@ -70,6 +71,7 @@ ALLOWLIST_NLJ = {
 # only over pre-aggregated bounded-cardinality inputs (SCALE.md).
 ALLOWLIST_GLOBAL_WINDOW = {
     "sentiment_source_ranks": "sorts per-source aggregates (#sources rows)",
+    "dsir_select_docs": "global top-k selection rank over ONE ROW PER DOC aggregates; at scale swap for a weight-threshold quantile cut (two-phase)",
     "lab1_noise_pipeline": "keyless sessionization over anomalous hourly buckets (time-span-bounded)",
     "trailing_7day_revenue": "RANGE frame over the daily pre-aggregate (time-span-bounded, ~2.4k rows/7y)",
     "auc_rank_metric": "cumulative counts over distinct-score groups (~550 rows, domain-bounded)",
