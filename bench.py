@@ -181,6 +181,8 @@ HEADLINE = [
     "dup_ngram_share_docs",
     "semdedup_embeddings",
     "dsir_select_docs",
+    "hex_density_events",
+    "snap_to_road",
 ]
 
 

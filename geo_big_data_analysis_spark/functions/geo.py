@@ -211,6 +211,55 @@ def utm_xy_sql(lat_expr: str, lon_expr: str, zone: int, northern: bool = True) -
     return x, y
 
 
+# ---------------------------------------------------------------------------
+# Hexagonal binning (H3-style axial cells, flat math — no library)
+# ---------------------------------------------------------------------------
+
+SQRT3 = 1.7320508075688772
+
+
+def hex_cell(x, y, size: float) -> tuple[Column, Column]:
+    """Axial (q, r) hex-cell ids for pointy-top hexagons of circumradius
+    ``size`` (same units as x/y) — the hex twin of `grid_cell`. The
+    fractional axial coords are cube-rounded (round all three cube
+    coords, then repair the one with the largest rounding error so
+    q+r+s stays 0 — the standard exact algorithm). Pure column math;
+    `hex_cell_sql` is its DuckDB twin, so hex aggregations are
+    oracle-checkable."""
+    xf = _c(x).cast("double")
+    yf = _c(y).cast("double")
+    qf = (F.lit(SQRT3 / 3.0) * xf - F.lit(1.0 / 3.0) * yf) / F.lit(float(size))
+    rf = (F.lit(2.0 / 3.0) * yf) / F.lit(float(size))
+    sf = -qf - rf
+    rq = F.round(qf, 0)
+    rr = F.round(rf, 0)
+    rs = F.round(sf, 0)
+    dq = F.abs(rq - qf)
+    dr = F.abs(rr - rf)
+    ds = F.abs(rs - sf)
+    q_fix = (-rr - rs)
+    r_fix = (-rq - rs)
+    q_out = F.when((dq > dr) & (dq > ds), q_fix).otherwise(rq)
+    r_out = F.when(~((dq > dr) & (dq > ds)) & (dr > ds), r_fix).otherwise(rr)
+    return q_out.cast("bigint"), r_out.cast("bigint")
+
+
+def hex_cell_sql(x_sql: str, y_sql: str, size: float) -> tuple[str, str]:
+    """DuckDB twin of :func:`hex_cell` (identical arithmetic order)."""
+    qf = f"(({SQRT3 / 3.0!r} * ({x_sql})::DOUBLE - {1.0 / 3.0!r} * ({y_sql})::DOUBLE) / {float(size)!r})"
+    rf = f"(({2.0 / 3.0!r} * ({y_sql})::DOUBLE) / {float(size)!r})"
+    sf = f"(-{qf} - {rf})"
+    rq, rr, rs = f"round({qf})", f"round({rf})", f"round({sf})"
+    dq, dr, ds = f"abs({rq} - {qf})", f"abs({rr} - {rf})", f"abs({rs} - {sf})"
+    cond_q = f"({dq} > {dr} AND {dq} > {ds})"
+    q_out = f"(CASE WHEN {cond_q} THEN (-{rr} - {rs}) ELSE {rq} END)::BIGINT"
+    r_out = (
+        f"(CASE WHEN NOT {cond_q} AND {dr} > {ds} THEN (-{rq} - {rs})"
+        f" ELSE {rr} END)::BIGINT"
+    )
+    return q_out, r_out
+
+
 def clip(col, lo, hi) -> Column:
     """np.clip equivalent (lab2 nb cell 22)."""
     return F.greatest(F.least(_c(col), F.lit(hi)), F.lit(lo))

@@ -4338,6 +4338,180 @@ FROM d WHERE event_id < 1000
 """
 
 
+_SNAP_CELL = 0.02  # degrees — snap radius AND candidate-grid cell size
+
+
+def q_snap_to_road(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching-lite (G3 extended): snap each event point to the
+    nearest road segment within 0.02° — exact point-to-segment
+    projection (clamped parametric t), candidates via a grid equi-join:
+    each street segment registers the cells of its bbox expanded by one
+    ring, each point probes its own cell, so every segment within the
+    snap radius is provably a candidate (no cross product). Long
+    connector segments (bbox diagonal > 0.05°) are generator artifacts
+    of the derived chain, excluded as non-streets. Output: per-type
+    snap census + mean snap distance. The oracle replays cell
+    registration, projection, and the min-distance tie-break."""
+    segs = _road_segments(spark, sf_dir).filter(
+        (F.abs(F.col("x2") - F.col("x1")) <= 0.05)
+        & (F.abs(F.col("y2") - F.col("y1")) <= 0.05)
+    )
+    c = _SNAP_CELL
+    seg_cells = segs.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.least("x1", "x2") / c).cast("bigint") - 1,
+                F.floor(F.greatest("x1", "x2") / c).cast("bigint") + 1,
+            )
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.least("y1", "y2") / c).cast("bigint") - 1,
+                F.floor(F.greatest("y1", "y2") / c).cast("bigint") + 1,
+            )
+        ).alias("cy"),
+    )
+    pts = _derived_points(_t(spark, sf_dir, "events")).select(
+        "event_id", "event_type", "lon", "lat",
+        F.floor(F.col("lon") / c).cast("bigint").alias("cx"),
+        F.floor(F.col("lat") / c).cast("bigint").alias("cy"),
+    )
+    j = pts.join(seg_cells, ["cx", "cy"])
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    len2 = dx * dx + dy * dy
+    t_raw = ((F.col("lon") - F.col("x1")) * dx + (F.col("lat") - F.col("y1")) * dy) / len2
+    t = F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))
+    px = F.col("x1") + t * dx
+    py = F.col("y1") + t * dy
+    dist = F.sqrt((F.col("lon") - px) * (F.col("lon") - px) + (F.col("lat") - py) * (F.col("lat") - py))
+    j = j.filter(len2 > 0).withColumn("snap_dist", dist).filter(F.col("snap_dist") <= c)
+    w = Window.partitionBy("event_id").orderBy(F.col("snap_dist").asc(), F.col("seg_id").asc())
+    best = (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_id", "event_type", "seg_id", "snap_dist")
+    )
+    return (
+        pts.select("event_id", "event_type")
+        .join(best.select("event_id", "snap_dist"), "event_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("snap_dist").isNotNull().cast("bigint")).alias("n_snapped"),
+            F.coalesce(F.round(F.avg("snap_dist"), 6), F.lit(-1.0)).alias("avg_snap_dist"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_snap_to_road() -> str:
+    c = _SNAP_CELL
+    return f"""
+WITH segs AS (
+  SELECT * FROM ({_ROAD_SEGMENTS_SQL})
+  WHERE abs(x2 - x1) <= 0.05 AND abs(y2 - y1) <= 0.05
+),
+seg_cells AS (
+  SELECT s.*, cx.cx, cy.cy
+  FROM segs s,
+       LATERAL (SELECT unnest(generate_series(
+           CAST(floor(least(x1, x2) / {c!r}) AS BIGINT) - 1,
+           CAST(floor(greatest(x1, x2) / {c!r}) AS BIGINT) + 1)) AS cx) cx,
+       LATERAL (SELECT unnest(generate_series(
+           CAST(floor(least(y1, y2) / {c!r}) AS BIGINT) - 1,
+           CAST(floor(greatest(y1, y2) / {c!r}) AS BIGINT) + 1)) AS cy) cy
+),
+d AS ({_DERIVED_POINTS_SQL}),
+pts AS (
+  SELECT event_id, event_type, lon, lat,
+         CAST(floor(lon / {c!r}) AS BIGINT) AS cx,
+         CAST(floor(lat / {c!r}) AS BIGINT) AS cy
+  FROM d
+),
+cand AS (
+  SELECT p.event_id, p.event_type, s.seg_id,
+         sqrt((p.lon - (s.x1 + greatest(0.0, least(1.0,
+             ((p.lon - s.x1) * (s.x2 - s.x1) + (p.lat - s.y1) * (s.y2 - s.y1))
+             / ((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1)))) * (s.x2 - s.x1)))
+              * (p.lon - (s.x1 + greatest(0.0, least(1.0,
+             ((p.lon - s.x1) * (s.x2 - s.x1) + (p.lat - s.y1) * (s.y2 - s.y1))
+             / ((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1)))) * (s.x2 - s.x1)))
+              + (p.lat - (s.y1 + greatest(0.0, least(1.0,
+             ((p.lon - s.x1) * (s.x2 - s.x1) + (p.lat - s.y1) * (s.y2 - s.y1))
+             / ((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1)))) * (s.y2 - s.y1)))
+              * (p.lat - (s.y1 + greatest(0.0, least(1.0,
+             ((p.lon - s.x1) * (s.x2 - s.x1) + (p.lat - s.y1) * (s.y2 - s.y1))
+             / ((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1)))) * (s.y2 - s.y1)))
+         ) AS snap_dist
+  FROM pts p JOIN seg_cells s ON s.cx = p.cx AND s.cy = p.cy
+  WHERE (s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1) > 0
+    AND sqrt((p.lon - (s.x1 + greatest(0.0, least(1.0,
+             ((p.lon - s.x1) * (s.x2 - s.x1) + (p.lat - s.y1) * (s.y2 - s.y1))
+             / ((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1)))) * (s.x2 - s.x1)))
+              * (p.lon - (s.x1 + greatest(0.0, least(1.0,
+             ((p.lon - s.x1) * (s.x2 - s.x1) + (p.lat - s.y1) * (s.y2 - s.y1))
+             / ((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1)))) * (s.x2 - s.x1)))
+              + (p.lat - (s.y1 + greatest(0.0, least(1.0,
+             ((p.lon - s.x1) * (s.x2 - s.x1) + (p.lat - s.y1) * (s.y2 - s.y1))
+             / ((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1)))) * (s.y2 - s.y1)))
+              * (p.lat - (s.y1 + greatest(0.0, least(1.0,
+             ((p.lon - s.x1) * (s.x2 - s.x1) + (p.lat - s.y1) * (s.y2 - s.y1))
+             / ((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1)))) * (s.y2 - s.y1)))
+        ) <= {c!r}
+),
+best AS (
+  SELECT event_id, min(snap_dist) AS snap_dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY snap_dist ASC, seg_id ASC) AS rk
+    FROM cand
+  ) WHERE rk = 1 GROUP BY event_id
+)
+SELECT p.event_type, count(*)::BIGINT AS n,
+       sum(CASE WHEN b.snap_dist IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_snapped,
+       coalesce(round(avg(b.snap_dist), 6), -1.0) AS avg_snap_dist
+FROM pts p LEFT JOIN best b USING (event_id)
+GROUP BY p.event_type ORDER BY p.event_type
+"""
+
+
+def q_hex_density_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14/2.8-geo — hexagonal density binning (H3-style axial cells,
+    1 km circumradius) over UTM-projected event points: the hex twin of
+    `geo_grid_density`. Cube-rounding is exact column math; the oracle
+    recomputes projection + hex assignment + census independently.
+    Hexes with n ≥ 5 reported (boundary-stable: a cell's census moves
+    only if a point's cell flips, and both engines run identical
+    arithmetic)."""
+    from ..functions.geo import hex_cell, utm_xy_m
+
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    x, y = utm_xy_m("lat", "lon", zone=18)
+    q, r = hex_cell(x, y, 1000.0)
+    return (
+        pts.select(q.alias("hex_q"), r.alias("hex_r"))
+        .groupBy("hex_q", "hex_r")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .orderBy(F.col("n").desc(), "hex_q", "hex_r")
+    )
+
+
+def _sql_hex_density() -> str:
+    from ..functions.geo import hex_cell_sql
+
+    qs, rs = hex_cell_sql(_UTM_X_SQL, _UTM_Y_SQL, 1000.0)
+    return f"""
+WITH d AS ({_DERIVED_POINTS_SQL}),
+h AS (SELECT {qs} AS hex_q, {rs} AS hex_r FROM d)
+SELECT hex_q, hex_r, count(*)::BIGINT AS n
+FROM h GROUP BY hex_q, hex_r HAVING count(*) >= 5
+ORDER BY n DESC, hex_q, hex_r
+"""
+
+
 def q_sssp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4 — weighted SSSP from node 0 over a deterministic 20×20 grid
     graph (edge weight = 1 + (src·dst mod 7)). The oracle replays the
@@ -12059,6 +12233,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "knn_grid_points": (q_knn_grid_points, _SQL_KNN_GRID),
     "dbscan_event_clusters": (q_dbscan_event_clusters, _sql_dbscan()),
     "utm_project_events": (q_utm_project_events, _SQL_UTM_PROJECT),
+    "hex_density_events": (q_hex_density_events, _sql_hex_density()),
+    "snap_to_road": (q_snap_to_road, _sql_snap_to_road()),
     "lloyd_kmeans_clusters": (q_lloyd_kmeans_clusters, _sql_lloyd()),
     "sssp_grid": (q_sssp_grid, _SQL_SSSP_GRID),
     "shortest_path_route_grid": (q_shortest_path_route_grid, _SQL_ROUTE_GRID),

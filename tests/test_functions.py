@@ -334,3 +334,39 @@ def test_utm_sql_twin_matches_spark(spark):
         ).fetchone()
         assert abs(got[(lat, lon)][0] - ox) < 1e-6
         assert abs(got[(lat, lon)][1] - oy) < 1e-6
+
+
+def test_hex_cell_matches_python_cube_round(spark):
+    """hex_cell equals the canonical pure-python axial cube-round on a
+    grid of awkward points (boundary-adjacent, negative coords)."""
+    import math
+
+    SQRT3 = 1.7320508075688772
+    size = 10.0
+
+    def py_hex(x, y):
+        qf = (SQRT3 / 3.0 * x - 1.0 / 3.0 * y) / size
+        rf = (2.0 / 3.0 * y) / size
+        sf = -qf - rf
+        # round-half-away-from-zero to mirror Spark/DuckDB round()
+        rnd = lambda v: math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+        rq, rr, rs = rnd(qf), rnd(rf), rnd(sf)
+        dq, dr, ds = abs(rq - qf), abs(rr - rf), abs(rs - sf)
+        if dq > dr and dq > ds:
+            rq = -rr - rs
+        elif dr > ds:
+            rr = -rq - rs
+        return rq, rr
+
+    pts = [
+        (i, (i * 7919 % 200 - 100) * 0.37, (i * 104729 % 200 - 100) * 0.53)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(pts, "id bigint, x double, y double")
+    q, r = geo.hex_cell("x", "y", size)
+    got = {rw["id"]: (rw["q"], rw["r"]) for rw in df.select("id", q.alias("q"), r.alias("r")).collect()}
+    for i, x, y in pts:
+        eq, er = py_hex(x, y)
+        assert got[i] == (eq, er), (i, x, y, got[i], (eq, er))
+        # axial ids satisfy the cube constraint by construction
+        assert isinstance(got[i][0], int)
