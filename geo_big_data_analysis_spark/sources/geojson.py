@@ -44,6 +44,36 @@ def read_geojson_points(spark: SparkSession, path: str) -> DataFrame:
     return base.filter(F.col("_geom_type") == "Point").drop("_geom_type")
 
 
+def read_geojson_features(spark: SparkSession, path: str) -> DataFrame:
+    """S6/F19 — FeatureCollection of MIXED geometries → DataFrame
+    (geom_type, coordinates_json, + properties). Point coordinates are
+    additionally promoted to lon/lat doubles (null for other types);
+    use :func:`filter_geometry_type` for the reference's
+    geometry-validity/type filters (geopandas `geom_type` masks)."""
+    doc = spark.read.option("multiLine", "true").json(path)
+    feats = doc.select(F.explode("features").alias("f"))
+    return feats.select(
+        F.col("f.geometry.type").alias("geom_type"),
+        F.to_json(F.col("f.geometry.coordinates")).alias("coordinates_json"),
+        F.when(
+            F.col("f.geometry.type") == "Point",
+            F.col("f.geometry.coordinates").getItem(0).cast("double"),
+        ).alias("lon"),
+        F.when(
+            F.col("f.geometry.type") == "Point",
+            F.col("f.geometry.coordinates").getItem(1).cast("double"),
+        ).alias("lat"),
+        F.col("f.properties.*"),
+    )
+
+
+def filter_geometry_type(df: DataFrame, keep: list[str]) -> DataFrame:
+    """F19 — geometry-type filter (`gdf[gdf.geom_type.isin([...])]`):
+    a plain isin predicate on the typed geom_type column, so Catalyst
+    pushes it to the scan."""
+    return df.filter(F.col("geom_type").isin(keep))
+
+
 def promote_csv_points(
     df: DataFrame,
     lat_col: str | None = None,
