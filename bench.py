@@ -183,6 +183,9 @@ HEADLINE = [
     "dsir_select_docs",
     "hex_density_events",
     "snap_to_road",
+    "global_moran_events",
+    "ripley_k_events",
+    "emerging_hotspots",
 ]
 
 

@@ -12124,6 +12124,259 @@ ORDER BY relationship
 """
 
 
+def q_global_moran_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global spatial autocorrelation scalars — Moran's I and Geary's C
+    with binary queen-contiguity weights over 0.05° grid-cell event
+    counts, plus Moran's analytic normality inference (E[I], Var_N[I],
+    z) — the global companion to `lisa_moran_events` (lab4 nb cell 21's
+    esda local Moran; esda's `Moran`/`Geary` are the global versions a
+    spatial analyst runs first). Contiguity materializes as an 8-offset
+    integer-cell equi-join (`operators/spatstats.queen_neighbor_pairs`)
+    — no distance search, |cells|×8 shuffle rows, scale-safe."""
+    from ..operators.spatstats import global_moran_geary
+
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    gx, gy = grid_cell("lat", "lon", 40.5, -74.3, 0.05)
+    cells = (
+        pts.withColumn("gx", gx)
+        .withColumn("gy", gy)
+        .groupBy("gx", "gy")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    out = global_moran_geary(cells, "n")
+    return out.select(
+        "n_cells",
+        "w_sum",
+        F.round("morans_i", 6).alias("morans_i"),
+        F.round("gearys_c", 6).alias("gearys_c"),
+        F.round("e_i", 6).alias("e_i"),
+        F.round("var_i", 9).alias("var_i"),
+        F.round("z_norm", 6).alias("z_norm"),
+    )
+
+
+_SQL_GLOBAL_MORAN = f"""
+WITH p AS ({_DERIVED_POINTS_SQL}),
+cells AS (
+  SELECT CAST(floor((lon - (-74.3)) / 0.05) AS BIGINT) AS gx,
+         CAST(floor((lat - 40.5) / 0.05) AS BIGINT) AS gy,
+         count(*)::DOUBLE AS n
+  FROM p GROUP BY 1, 2
+),
+s AS (SELECT avg(n) AS mu, count(*) AS n_cells FROM cells),
+z AS (SELECT gx, gy, n, n - mu AS zv FROM cells, s),
+pairs AS (
+  SELECT i.gx, i.gy, i.zv AS zi, j.zv AS zj, i.n AS xi, j.n AS xj
+  FROM z i JOIN z j
+    ON abs(i.gx - j.gx) <= 1 AND abs(i.gy - j.gy) <= 1
+   AND NOT (i.gx = j.gx AND i.gy = j.gy)
+),
+pa AS (
+  SELECT sum(zi * zj) AS cross_zz, sum((xi - xj) * (xi - xj)) AS sq_diff,
+         count(*)::BIGINT AS w_sum
+  FROM pairs
+),
+deg AS (
+  SELECT sum(d * d) AS sum_deg_sq
+  FROM (SELECT gx, gy, count(*) AS d FROM pairs GROUP BY 1, 2)
+),
+m AS (SELECT sum(zv * zv) AS m2, count(*)::BIGINT AS n_cells FROM z),
+f AS (
+  SELECT m.n_cells, pa.w_sum,
+         (m.n_cells / pa.w_sum) * pa.cross_zz / m.m2 AS morans_i,
+         ((m.n_cells - 1) / (2.0 * pa.w_sum)) * pa.sq_diff / m.m2 AS gearys_c,
+         -1.0 / (m.n_cells - 1) AS e_i,
+         (m.n_cells * m.n_cells * (2.0 * pa.w_sum)
+          - m.n_cells * (4.0 * deg.sum_deg_sq)
+          + 3.0 * pa.w_sum * pa.w_sum)
+         / (pa.w_sum * pa.w_sum * (m.n_cells * m.n_cells - 1))
+         - (1.0 / ((m.n_cells - 1) * (m.n_cells - 1))) AS var_i
+  FROM m, pa, deg
+)
+SELECT n_cells, w_sum, round(morans_i, 6) AS morans_i,
+       round(gearys_c, 6) AS gearys_c, round(e_i, 6) AS e_i,
+       round(var_i, 9) AS var_i,
+       round((morans_i - e_i) / sqrt(var_i), 6) AS z_norm
+FROM f
+"""
+
+
+_RIPLEY_RADII = [0.5, 1.0, 1.5, 2.0, 3.0]
+# Naive planar study-area size for the derived-point bbox
+# (0.6° lon × 0.5° lat around 40.75°N) — literal shared with the oracle.
+_RIPLEY_AREA_KM2 = (0.6 * 111.32 * 0.7576555560963426) * (0.5 * 110.574)
+
+
+def q_ripley_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K / Besag's L point-pattern statistic at 5 radii over
+    the DISTINCT derived event locations (the generator folds event_id
+    mod 1000, so distinct-location analysis is the meaningful pattern;
+    co-located multiplicities would swamp K). Pair counting uses the
+    3×3 covering-cell equi-join (cell 0.04° ≥ 3 km on both axes at
+    40.75°N → complete cover), one pass for all radii via conditional
+    aggregation (`operators/spatstats.ripley_k`). Naive estimator, no
+    edge correction (documented)."""
+    from ..operators.spatstats import ripley_k
+
+    pts = (
+        _derived_points(_t(spark, sf_dir, "events"))
+        .select("lon", "lat")
+        .distinct()
+    )
+    return ripley_k(
+        pts,
+        radii_km=_RIPLEY_RADII,
+        area_km2=_RIPLEY_AREA_KM2,
+        origin_lat=40.5,
+        origin_lon=-74.3,
+        cover_cell_deg=0.04,
+    ).orderBy("r_km")
+
+
+_SQL_RIPLEY = f"""
+WITH p AS ({_DERIVED_POINTS_SQL}),
+pts AS (SELECT DISTINCT lon, lat FROM p),
+n AS (SELECT count(*)::BIGINT AS n_pts FROM pts),
+pairs AS (
+  SELECT 2 * 6371.0 * asin(sqrt(
+           pow(sin((radians(b.lat) - radians(a.lat)) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin((radians(b.lon) - radians(a.lon)) / 2), 2)
+         )) AS dist_km
+  FROM pts a CROSS JOIN pts b
+),
+inrange AS (SELECT dist_km FROM pairs WHERE dist_km > 0 AND dist_km <= 3.0),
+r AS (SELECT unnest([{', '.join(repr(float(r)) for r in _RIPLEY_RADII)}]) AS r_km),
+c AS (
+  SELECT r.r_km,
+         (SELECT count(*) FROM inrange WHERE dist_km <= r.r_km)::BIGINT AS n_pairs
+  FROM r
+)
+SELECT c.r_km, c.n_pairs,
+       round({_RIPLEY_AREA_KM2!r} * c.n_pairs / (n.n_pts * (n.n_pts - 1)), 6) AS k_hat,
+       round(sqrt({_RIPLEY_AREA_KM2!r} * c.n_pairs
+                  / (n.n_pts * (n.n_pts - 1)) / 3.141592653589793), 6) AS l_hat
+FROM c, n
+ORDER BY r_km
+"""
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hot-spot analysis (ArcGIS space-time-cube style): 0.05°
+    grid × daily-bin event counts → per-cell Mann-Kendall trend test
+    (tie-corrected variance, continuity-corrected z;
+    `operators/spatstats.mann_kendall_by_key`) + hot/cold banding of
+    total cell volume against global quartiles → census per
+    (band, trend) class. The i<j day-pair self-join keys on the cell
+    id (T ≤ observation days, bounded fan-out per cell). Day index is
+    epoch-seconds div 86400 — identical arithmetic on both engines, no
+    week-convention risk."""
+    from ..operators.spatstats import mann_kendall_by_key
+
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    gx, gy = grid_cell("lat", "lon", 40.5, -74.3, 0.05)
+    day = (F.unix_timestamp("ts") / F.lit(86400)).cast("bigint")
+    cube = (
+        pts.withColumn("gx", gx)
+        .withColumn("gy", gy)
+        .withColumn("day", day)
+        .groupBy("gx", "gy", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    mk = mann_kendall_by_key(cube, ["gx", "gy"], "day", "n").filter(
+        F.col("n_bins") >= 5
+    )
+    totals = cube.groupBy("gx", "gy").agg(F.sum("n").alias("total"))
+    thresh = totals.agg(
+        F.expr("percentile(total, 0.75)").alias("_q75"),
+        F.expr("percentile(total, 0.25)").alias("_q25"),
+    )
+    banded = (
+        mk.join(totals, ["gx", "gy"])
+        .crossJoin(F.broadcast(thresh))
+        .withColumn(
+            "band",
+            F.when(F.col("total") >= F.col("_q75"), F.lit("hot"))
+            .when(F.col("total") <= F.col("_q25"), F.lit("cold"))
+            .otherwise(F.lit("mid")),
+        )
+        .withColumn(
+            "trend",
+            F.when(F.col("z_mk") > 1.645, F.lit("increasing"))
+            .when(F.col("z_mk") < -1.645, F.lit("decreasing"))
+            .otherwise(F.lit("flat")),
+        )
+    )
+    return (
+        banded.groupBy("band", "trend")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("total").cast("long").alias("n_events"),
+            F.round(F.avg("s_stat"), 6).alias("avg_s"),
+            F.round(F.avg("z_mk"), 6).alias("avg_z"),
+        )
+        .orderBy("band", "trend")
+    )
+
+
+_SQL_EMERGING = f"""
+WITH p AS ({_DERIVED_POINTS_SQL}),
+cube AS (
+  SELECT CAST(floor((lon - (-74.3)) / 0.05) AS BIGINT) AS gx,
+         CAST(floor((lat - 40.5) / 0.05) AS BIGINT) AS gy,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         count(*)::DOUBLE AS n
+  FROM p GROUP BY 1, 2, 3
+),
+s AS (
+  SELECT i.gx, i.gy, sum(sign(j.n - i.n))::BIGINT AS s_stat
+  FROM cube i JOIN cube j ON i.gx = j.gx AND i.gy = j.gy AND i.day < j.day
+  GROUP BY 1, 2
+),
+nb AS (SELECT gx, gy, count(*)::BIGINT AS n_bins FROM cube GROUP BY 1, 2),
+ties AS (
+  SELECT gx, gy, sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT gx, gy, n, count(*) AS t FROM cube GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+mk AS (
+  SELECT s.gx, s.gy, nb.n_bins, s.s_stat,
+         (nb.n_bins * (nb.n_bins - 1) * (2 * nb.n_bins + 5) - ties.tie_term)
+           / 18.0 AS var_s
+  FROM s JOIN nb USING (gx, gy) JOIN ties USING (gx, gy)
+  WHERE nb.n_bins >= 5
+),
+mkz AS (
+  SELECT *,
+         CASE WHEN var_s <= 0 THEN 0.0
+              WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+              WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+              ELSE 0.0 END AS z_mk
+  FROM mk
+),
+totals AS (SELECT gx, gy, sum(n) AS total FROM cube GROUP BY 1, 2),
+t AS (SELECT quantile_cont(total, 0.75) AS q75,
+             quantile_cont(total, 0.25) AS q25 FROM totals),
+banded AS (
+  SELECT mkz.*,
+         CASE WHEN totals.total >= t.q75 THEN 'hot'
+              WHEN totals.total <= t.q25 THEN 'cold'
+              ELSE 'mid' END AS band,
+         CASE WHEN mkz.z_mk > 1.645 THEN 'increasing'
+              WHEN mkz.z_mk < -1.645 THEN 'decreasing'
+              ELSE 'flat' END AS trend,
+         totals.total
+  FROM mkz JOIN totals USING (gx, gy), t
+)
+SELECT band, trend, count(*)::BIGINT AS n_cells,
+       sum(total)::BIGINT AS n_events,
+       round(avg(s_stat), 6) AS avg_s, round(avg(z_mk), 6) AS avg_z
+FROM banded
+GROUP BY 1, 2
+ORDER BY band, trend
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12383,6 +12636,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         q_referential_integrity_audit,
         _SQL_REF_INTEGRITY,
     ),
+    "global_moran_events": (q_global_moran_events, _SQL_GLOBAL_MORAN),
+    "ripley_k_events": (q_ripley_k_events, _SQL_RIPLEY),
+    "emerging_hotspots": (q_emerging_hotspots, _SQL_EMERGING),
 }
 
 

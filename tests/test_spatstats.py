@@ -1,0 +1,131 @@
+"""Unit tests for operators/spatstats (global Moran/Geary, Ripley K,
+Mann-Kendall) against closed-form expectations on constructed patterns."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from geo_big_data_analysis_spark.operators.spatstats import (
+    global_moran_geary,
+    mann_kendall_by_key,
+    queen_neighbor_pairs,
+    ripley_k,
+)
+
+
+def test_queen_pairs_interior_count(spark):
+    # 4x4 lattice: total ordered queen pairs = 2*(counted undirected)
+    # undirected edges in a 4x4 king graph = 2*n_rook + n_diag
+    # rook: 2*4*3 = 24; diag: 2*3*3 = 18 → 42 undirected, 84 ordered.
+    cells = spark.createDataFrame(
+        [(x, y, 1.0) for x in range(4) for y in range(4)], "gx long, gy long, v double"
+    )
+    assert queen_neighbor_pairs(cells).count() == 84
+
+
+def test_moran_matches_bruteforce(spark):
+    # Checkerboard on an 8x8 lattice, compared against an exact
+    # brute-force Cliff & Ord computation in pure Python. (Under QUEEN
+    # weights a checkerboard is only mildly negative — diagonal
+    # neighbors share the color — so parity, not a loose bound, is the
+    # meaningful assertion.)
+    rows = [(x, y, float((x + y) % 2)) for x in range(8) for y in range(8)]
+    cells = spark.createDataFrame(rows, "gx long, gy long, n double")
+    out = global_moran_geary(cells, "n").collect()[0]
+
+    pts = {(x, y): v for x, y, v in rows}
+    n = len(rows)
+    mu = sum(pts.values()) / n
+    z = {k: v - mu for k, v in pts.items()}
+    m2 = sum(w * w for w in z.values())
+    neigh = {
+        k: [
+            (k[0] + dx, k[1] + dy)
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0) and (k[0] + dx, k[1] + dy) in pts
+        ]
+        for k in pts
+    }
+    w_sum = sum(len(v) for v in neigh.values())
+    cross = sum(z[i] * z[j] for i, js in neigh.items() for j in js)
+    sqd = sum((pts[i] - pts[j]) ** 2 for i, js in neigh.items() for j in js)
+    exp_i = (n / w_sum) * cross / m2
+    exp_c = ((n - 1) / (2.0 * w_sum)) * sqd / m2
+    e_i = -1.0 / (n - 1)
+    s1, s2 = 2.0 * w_sum, 4.0 * sum(len(v) ** 2 for v in neigh.values())
+    var = (n * n * s1 - n * s2 + 3.0 * w_sum * w_sum) / (
+        w_sum * w_sum * (n * n - 1)
+    ) - e_i * e_i
+
+    assert out["n_cells"] == n and out["w_sum"] == w_sum
+    assert abs(out["morans_i"] - exp_i) < 1e-9
+    assert abs(out["gearys_c"] - exp_c) < 1e-9
+    assert abs(out["e_i"] - e_i) < 1e-12
+    assert abs(out["var_i"] - var) < 1e-12
+    assert abs(out["z_norm"] - (exp_i - e_i) / math.sqrt(var)) < 1e-9
+    assert out["morans_i"] < e_i  # still negative side of the null
+
+
+def test_moran_constant_surface_undefined_center(spark):
+    # Uniform surface: m2 = 0 → I is NaN; assert no crash and NaN out.
+    rows = [(x, y, 5.0) for x in range(4) for y in range(4)]
+    cells = spark.createDataFrame(rows, "gx long, gy long, n double")
+    out = global_moran_geary(cells, "n").collect()[0]
+    assert out["morans_i"] is None or math.isnan(out["morans_i"])
+
+
+def test_mann_kendall_monotone_and_ties(spark):
+    rows = (
+        # key 1: strictly increasing 10 bins → S = 45, no ties
+        [(1, t, float(t)) for t in range(10)]
+        # key 2: constant → S = 0, var_s = 0 (full tie), z = 0
+        + [(2, t, 3.0) for t in range(10)]
+        # key 3: strictly decreasing → S = -45
+        + [(3, t, float(-t)) for t in range(10)]
+    )
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {r["k"]: r for r in mann_kendall_by_key(df, ["k"], "t", "v").collect()}
+    n = 10
+    var_noties = n * (n - 1) * (2 * n + 5) / 18.0
+    assert out[1]["s_stat"] == 45
+    assert abs(out[1]["var_s"] - var_noties) < 1e-9
+    assert abs(out[1]["z_mk"] - (44 / math.sqrt(var_noties))) < 1e-9
+    assert out[2]["s_stat"] == 0 and out[2]["var_s"] == 0.0 and out[2]["z_mk"] == 0.0
+    assert out[3]["s_stat"] == -45
+    assert abs(out[3]["z_mk"] + (44 / math.sqrt(var_noties))) < 1e-9
+
+
+def test_ripley_grid_cover_matches_bruteforce(spark):
+    # 200 deterministic pseudo-random points; grid-join pair counts at
+    # every radius must equal the brute-force cross-join count.
+    pts = [
+        (
+            40.5 + ((i * 2654435761) % 100000) / 100000.0 * 0.2,
+            -74.3 + ((i * 40503) % 100000) / 100000.0 * 0.2,
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    radii = [0.5, 1.0, 2.0]
+    out = {
+        r["r_km"]: r
+        for r in ripley_k(
+            df, radii, 300.0, 40.5, -74.3, cover_cell_deg=0.03
+        ).collect()
+    }
+
+    from geo_big_data_analysis_spark.functions.geo import haversine_km
+
+    a = df.select(F.col("lat").alias("a_lat"), F.col("lon").alias("a_lon"))
+    b = df.select(F.col("lat").alias("b_lat"), F.col("lon").alias("b_lon"))
+    d = haversine_km("a_lat", "a_lon", "b_lat", "b_lon")
+    brute = a.crossJoin(b).select(d.alias("d")).filter(F.col("d") > 0)
+    for r in radii:
+        nb = brute.filter(F.col("d") <= r).count()
+        assert out[r]["n_pairs"] == nb
+        expect_k = 300.0 * nb / (200 * 199)
+        assert abs(out[r]["k_hat"] - round(expect_k, 6)) < 1e-9
+        assert abs(out[r]["l_hat"] - round(math.sqrt(expect_k / math.pi), 6)) < 1e-9

@@ -64,6 +64,9 @@ ALLOWLIST_NLJ = {
     "chi2_type_dow": "1-row grand-total broadcast for the independence expectation",
     "kmv_overlap_sketch": "1-row sketch-estimate broadcasts (four tiny sides)",
     "rolling_active_users": "1-row observed-span broadcast clamping WAU to full-history days",
+    "global_moran_events": "1-row global-stat broadcasts (mean, pair aggs, Σdeg²) combined into the Moran/Geary scalars",
+    "ripley_k_events": "1-row broadcasts: n_pts × all-radii pair counts combined into K(r)",
+    "emerging_hotspots": "1-row q75/q25 broadcast threshold over cell totals",
 }
 
 
