@@ -186,6 +186,9 @@ HEADLINE = [
     "global_moran_events",
     "ripley_k_events",
     "emerging_hotspots",
+    "bpe_merges_docs",
+    "span_dedup_docs",
+    "sorted_neighborhood_docs",
 ]
 
 

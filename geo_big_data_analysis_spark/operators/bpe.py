@@ -1,0 +1,88 @@
+"""Distributed BPE (byte-pair-encoding) merge training — the tokenizer
+primitive of an LLM data pipeline (Sennrich 2016 word-level variant).
+
+The reference repo tokenizes only by whitespace/regex (lab4 nb cell 16,
+json 991 ``extract_keywords``); BPE training is part of the
+training-data-pipeline extension the build brief asks for.
+
+Algorithm: corpus → (word, count) vocabulary; each word is a
+suffix-delimited symbol sequence (``'low' → 'l|o|w|'``). Each round
+counts all adjacent symbol pairs (overlapping, weighted by word count),
+picks the most frequent pair (tie-break: lexicographic (left, right)),
+and rewrites every word with the pair merged greedily left-to-right.
+
+Spark-first shape: the heavy step is the word-count aggregation over
+the corpus (one shuffle on the word). The merge loop then runs on the
+*distinct-vocabulary* table — |vocab| rows, corpus-size-independent —
+with per-round jobs that are (a) a pair-count hash aggregate and (b) a
+1-row argmax collect (the fit artifact, like Lloyd centroids). The
+sequence rewrite is a single ``replace`` on the suffix-delimited string:
+``replace(seq, 'l|r|', 'lr|')`` — replace scans left-to-right over
+non-overlapping matches, which IS greedy BPE merge order, and the
+suffix delimiter keeps adjacent matches from sharing a boundary char.
+Everything stays in whole-stage codegen; no Python UDFs.
+
+The vocabulary table is localCheckpoint'ed every round (consumed twice
+per round: pair count + rewrite — SCALE.md checkpoint-cadence rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_PAIRS_EXPR = """
+transform(
+  slice(_toks, 1, size(_toks) - 1),
+  (x, i) -> struct(x AS l, element_at(_toks, i + 2) AS r)
+)
+"""
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) vocabulary: whitespace split + count. The only
+    corpus-sized job; everything after runs on distinct words."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_train(
+    vocab: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Train ``n_merges`` BPE merges. Returns (merges, final_vocab_df)
+    where merges rows are (rank, left, right, merged, pair_count) and
+    the vocab DataFrame carries the fully-merged ``seq`` per word."""
+    words = vocab.withColumn(
+        "seq", F.regexp_replace(F.col("word"), "(.)", "$1|")
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            words.withColumn(
+                "_toks", F.expr("filter(split(seq, '\\\\|'), x -> x <> '')")
+            )
+            .select(F.explode(F.expr(_PAIRS_EXPR)).alias("_p"), "cnt")
+            .groupBy("_p.l", "_p.r")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        best = pairs.orderBy(F.desc("pc"), "l", "r").limit(1).collect()
+        if not best:
+            break
+        l, r, pc = best[0]["l"], best[0]["r"], int(best[0]["pc"])
+        merges.append((rank, l, r, l + r, pc))
+        words = words.withColumn(
+            "seq", F.expr(f"replace(seq, '{l}|{r}|', '{l}{r}|')")
+        ).localCheckpoint()
+    return merges, words
+
+
+def merges_df(spark: SparkSession, merges) -> DataFrame:
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string,"
+        " merged string, pair_count bigint",
+    )

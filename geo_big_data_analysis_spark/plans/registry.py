@@ -12377,6 +12377,284 @@ ORDER BY band, trend
 """
 
 
+_BPE_N_MERGES = 8
+
+
+def q_bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-merge training over the documents corpus
+    (`operators/bpe`): 8 merge rounds on the (word, count) vocabulary —
+    pair counting is a hash aggregate per round, the sequence rewrite is
+    a codegen'd `replace` on suffix-delimited symbol strings, and the
+    only corpus-sized job is the initial word count. The oracle replays
+    ALL 8 rounds as unrolled CTEs (argmax with the same
+    (count DESC, left, right) tie-break) — full cross-engine replay of
+    the iterative fit, like `lloyd_kmeans_clusters`."""
+    from ..operators.bpe import bpe_train, merges_df, word_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(word_vocab(docs), _BPE_N_MERGES)
+    return merges_df(spark, merges).orderBy("merge_rank")
+
+
+def _sql_bpe() -> str:
+    parts = [
+        "w0 AS (SELECT word, count(*)::BIGINT AS cnt,"
+        " regexp_replace(word, '(.)', '\\1|', 'g') AS seq"
+        " FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)"
+        " WHERE word <> '' GROUP BY word)"
+    ]
+    for t in range(1, _BPE_N_MERGES + 1):
+        parts.append(
+            f"""p{t} AS (
+  SELECT l, r, sum(cnt)::BIGINT AS pc FROM (
+    SELECT toks[i] AS l, toks[i + 1] AS r, cnt FROM (
+      SELECT cnt, toks, unnest(range(1, len(toks))) AS i
+      FROM (SELECT cnt, list_filter(string_split(seq, '|'), x -> x <> '') AS toks
+            FROM w{t - 1})
+    )
+  ) GROUP BY l, r
+)"""
+        )
+        parts.append(
+            f"b{t} AS (SELECT l, r, pc FROM p{t} ORDER BY pc DESC, l, r LIMIT 1)"
+        )
+        parts.append(
+            f"w{t} AS (SELECT word, cnt,"
+            f" replace(seq, b.l || '|' || b.r || '|', b.l || b.r || '|') AS seq"
+            f" FROM w{t - 1}, b{t} b)"
+        )
+    ranks = "\nUNION ALL\n".join(
+        f"SELECT {t} AS merge_rank, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, pc AS pair_count FROM b{t}"
+        for t in range(1, _BPE_N_MERGES + 1)
+    )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT * FROM (\n{ranks}\n) ORDER BY merge_rank"
+
+
+_SPAN_W = 8  # tokens per scrub span
+
+
+def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span scrub (Raffel 2020 §2.2 dedups exact
+    three-sentence spans corpus-wide, keeping one occurrence): docs →
+    non-overlapping 8-token spans → global span census → every
+    occurrence except the first (min (doc_id, span_idx), as a scalar
+    composite key) is removed; per-source scrub manifest.
+
+    Scale shape: span explode is a map (bounded fan-out: tokens/8 per
+    doc); the census + keeper-argmin is ONE hash aggregate keyed on the
+    span hash (xxhash64 — join carries 8-byte keys, not span text);
+    removal verdicts come from the equi-join back on the hash. Distinct
+    from `dup_ngram_share_docs` (overlapping-ngram diagnostic): this is
+    the *mutating* keep-first scrub with removed-volume accounting."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_toks", F.expr("filter(split(text, ' '), x -> x <> '')")
+    )
+    spans = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"""CASE WHEN size(_toks) < {_SPAN_W} THEN array()
+                ELSE transform(
+                  sequence(0, CAST(size(_toks) / {_SPAN_W} AS INT) - 1),
+                  i -> struct(
+                    i AS span_idx,
+                    array_join(slice(_toks, i * {_SPAN_W} + 1, {_SPAN_W}), ' ')
+                      AS span_text))
+                END"""
+            )
+        ).alias("_s"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("_s.span_idx").alias("span_idx"),
+        F.xxhash64("_s.span_text").alias("span_h"),
+        F.length("_s.span_text").alias("span_chars"),
+        (F.col("doc_id") * 1024 + F.col("_s.span_idx")).alias("_occ_key"),
+    )
+    census = spans.groupBy("span_h").agg(
+        F.count(F.lit(1)).alias("n_occ"), F.min("_occ_key").alias("_keep_key")
+    )
+    verdicts = spans.join(census, "span_h").withColumn(
+        "removed", (F.col("_occ_key") != F.col("_keep_key")).cast("int")
+    )
+    per_doc = verdicts.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("removed").alias("n_removed"),
+        F.sum(F.col("removed") * F.col("span_chars")).alias("chars_removed"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_spans").alias("n_spans"),
+            F.sum("n_removed").alias("n_removed"),
+            F.round(F.sum("n_removed") / F.sum("n_spans"), 6).alias("removed_share"),
+            F.sum("chars_removed").alias("chars_removed"),
+            F.sum((F.col("n_removed") > 0).cast("long")).alias("docs_touched"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_SPAN_DEDUP = f"""
+WITH sp AS (
+  SELECT doc_id, source, u['span_idx']::BIGINT AS span_idx,
+         hash(u['span_text']) AS span_h,
+         length(u['span_text'])::BIGINT AS span_chars,
+         doc_id * 1024 + u['span_idx'] AS occ_key
+  FROM (
+    SELECT doc_id, source,
+           unnest([{{'span_idx': i - 1,
+                     'span_text': array_to_string(
+                       toks[(i-1)*{_SPAN_W}+1:(i-1)*{_SPAN_W}+{_SPAN_W}], ' ')}}
+                   for i in range(1, len(toks) // {_SPAN_W} + 1)]) AS u
+    FROM (SELECT doc_id, source,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents)
+  )
+),
+census AS (
+  SELECT span_h, count(*) AS n_occ, min(occ_key) AS keep_key
+  FROM sp GROUP BY span_h
+),
+v AS (
+  SELECT sp.*, CASE WHEN sp.occ_key <> c.keep_key THEN 1 ELSE 0 END AS removed
+  FROM sp JOIN census c USING (span_h)
+),
+per_doc AS (
+  SELECT doc_id, source, count(*)::BIGINT AS n_spans,
+         sum(removed)::BIGINT AS n_removed,
+         sum(removed * span_chars)::BIGINT AS chars_removed
+  FROM v GROUP BY doc_id, source
+)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_spans)::BIGINT AS n_spans,
+       sum(n_removed)::BIGINT AS n_removed,
+       round(sum(n_removed) / sum(n_spans), 6) AS removed_share,
+       sum(chars_removed)::BIGINT AS chars_removed,
+       sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_touched
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+_SNM_W = 4  # sorted-neighborhood window (pairs within rank distance w-1)
+
+
+def q_sorted_neighborhood_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood-method blocking (Hernández & Stolfo 1995) —
+    the third blocking family next to LSH banding and prefix blocking:
+    sort docs per language by a compound key (first three tokens),
+    slide a rank window of 4, verify candidate pairs by 3-token
+    shingle Jaccard.
+
+    Scale shape: ranks come from a window partitioned by lang (sort is
+    per-partition, not global); the rank-distance < 4 pairing
+    runs as an equi-join on floor(rank/(w-1)) buckets with the probe
+    side exploded to (bucket, bucket+1) — bounded 2× fan-out, never a
+    non-equi range join. At 100 TB the lang partition would be
+    augmented with a key-prefix salt; documented in SCALE.md."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_toks", F.expr("filter(split(text, ' '), x -> x <> '')")
+    )
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("array_join(slice(_toks, 1, 3), ' ')").alias("snm_key"),
+        F.expr(
+            "CASE WHEN size(_toks) < 3 THEN array(array_join(_toks, ' ')) ELSE "
+            "transform(sequence(1, size(_toks) - 2), "
+            "i -> array_join(slice(_toks, i, 3), ' ')) END"
+        ).alias("_sh"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy("snm_key", "doc_id")
+        ),
+    )
+    w = _SNM_W - 1  # max rank distance
+    right = keyed.select(
+        "lang",
+        F.floor((F.col("rn") - 1) / w).alias("bkt"),
+        F.col("rn").alias("rn_j"),
+        F.col("doc_id").alias("doc_j"),
+        F.col("_sh").alias("sh_j"),
+    )
+    left = (
+        keyed.select(
+            "lang",
+            F.floor((F.col("rn") - 1) / w).alias("bkt0"),
+            F.col("rn").alias("rn_i"),
+            F.col("doc_id").alias("doc_i"),
+            F.col("_sh").alias("sh_i"),
+        )
+        .select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("_d")
+        )
+        .withColumn("bkt", F.col("bkt0") + F.col("_d"))
+    )
+    pairs = (
+        left.join(right, ["lang", "bkt"])
+        .filter(
+            (F.col("rn_j") > F.col("rn_i"))
+            & (F.col("rn_j") - F.col("rn_i") <= w)
+        )
+        .withColumn(
+            "jacc",
+            F.size(F.array_intersect("sh_i", "sh_j"))
+            / F.size(F.array_union("sh_i", "sh_j")),
+        )
+        # bucket overlap cannot double-produce a pair: (bkt0, bkt0+1)
+        # probes are distinct bucket keys, and rn_j lives in exactly one.
+    )
+    return (
+        pairs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("jacc") >= 0.5).cast("long")).alias("n_verified"),
+            F.round(F.avg("jacc"), 6).alias("avg_jaccard"),
+            F.round(F.max("jacc"), 6).alias("max_jaccard"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_SNM = f"""
+WITH d AS (
+  SELECT doc_id, lang, toks,
+         array_to_string(toks[1:3], ' ') AS snm_key,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE [array_to_string(toks[i:i+2], ' ')
+                    for i in range(1, len(toks) - 2 + 1)] END AS sh
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents)
+),
+r AS (
+  SELECT doc_id, lang, sh,
+         row_number() OVER (PARTITION BY lang ORDER BY snm_key, doc_id) AS rn
+  FROM d
+),
+pairs AS (
+  SELECT a.lang,
+         len(list_intersect(a.sh, b.sh))::DOUBLE
+           / len(list_distinct(list_concat(a.sh, b.sh))) AS jacc
+  FROM r a JOIN r b
+    ON a.lang = b.lang AND b.rn > a.rn AND b.rn - a.rn <= {_SNM_W - 1}
+)
+SELECT lang, count(*)::BIGINT AS n_candidates,
+       sum(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_verified,
+       round(avg(jacc), 6) AS avg_jaccard,
+       round(max(jacc), 6) AS max_jaccard
+FROM pairs
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12637,6 +12915,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         _SQL_REF_INTEGRITY,
     ),
     "global_moran_events": (q_global_moran_events, _SQL_GLOBAL_MORAN),
+    "bpe_merges_docs": (q_bpe_merges_docs, _sql_bpe()),
+    "span_dedup_docs": (q_span_dedup_docs, _SQL_SPAN_DEDUP),
+    "sorted_neighborhood_docs": (q_sorted_neighborhood_docs, _SQL_SNM),
     "ripley_k_events": (q_ripley_k_events, _SQL_RIPLEY),
     "emerging_hotspots": (q_emerging_hotspots, _SQL_EMERGING),
 }

@@ -1,0 +1,57 @@
+"""BPE merge training against the worked example from Sennrich 2016
+(low/lower/newest/widest) and greedy-rewrite edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geo_big_data_analysis_spark.operators.bpe import (
+    bpe_train,
+    word_vocab,
+)
+
+
+def _vocab(spark, counts):
+    return spark.createDataFrame(list(counts.items()), "word string, cnt long")
+
+
+def test_bpe_classic_corpus(spark):
+    # Sennrich's example: {'low':5, 'lower':2, 'newest':6, 'widest':3}.
+    # Pair counts round 1: ('e','s') = 6+3 = 9 is the max → merge 'es';
+    # round 2: ('es','t') = 9 → 'est'; round 3: ('l','o') = 7 → 'lo'.
+    vocab = _vocab(spark, {"low": 5, "lower": 2, "newest": 6, "widest": 3})
+    merges, words = bpe_train(vocab, 3)
+    assert [(m[1], m[2], m[4]) for m in merges] == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("l", "o", 7),
+    ]
+    seqs = {r["word"]: r["seq"] for r in words.collect()}
+    assert seqs["newest"] == "n|e|w|est|"
+    assert seqs["low"] == "lo|w|"
+
+
+def test_bpe_greedy_overlap(spark):
+    # 'aaaa' with merge (a,a): greedy left-to-right → (aa)(aa), and the
+    # second round merges (aa,aa). Overlapping pair COUNTS still see
+    # 3 (a,a) pairs in round 1 (standard BPE counting).
+    vocab = _vocab(spark, {"aaaa": 1})
+    merges, words = bpe_train(vocab, 2)
+    assert (merges[0][1], merges[0][2], merges[0][4]) == ("a", "a", 3)
+    assert (merges[1][1], merges[1][2], merges[1][4]) == ("aa", "aa", 1)
+    assert words.collect()[0]["seq"] == "aaaa|"
+
+
+def test_word_vocab_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b  c")], "doc_id long, text string"
+    )
+    v = {r["word"]: r["cnt"] for r in word_vocab(docs).collect()}
+    assert v == {"a": 2, "b": 2, "c": 1}
+
+
+def test_bpe_stops_when_no_pairs(spark):
+    vocab = _vocab(spark, {"a": 4, "b": 2})  # single-char words: no pairs
+    merges, words = bpe_train(vocab, 5)
+    assert merges == []
+    assert {r["seq"] for r in words.collect()} == {"a|", "b|"}
