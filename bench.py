@@ -189,6 +189,9 @@ HEADLINE = [
     "bpe_merges_docs",
     "span_dedup_docs",
     "sorted_neighborhood_docs",
+    "label_propagation_mod",
+    "hll_distinct_words",
+    "mrl_truncation_recall",
 ]
 
 

@@ -19,7 +19,7 @@ pre-partitioned by src so frontier joins are co-located.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -545,3 +545,63 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .select(F.col("a").alias("id"), "core_degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Deterministic synchronous label-propagation community detection
+    (Raghavan 2007, with the random tie-break replaced by a total
+    order): labels start as node ids; each round every node adopts the
+    label that is most frequent among its neighbors, ties broken by the
+    SMALLEST label. Deterministic by construction → exact cross-engine
+    replay (the oracle unrolls every round), unlike the randomized
+    original. Fixed round count, matching GraphFrames' LPA contract
+    (no convergence detection — oscillation on bipartite-ish structures
+    is bounded by the round budget).
+
+    Scale: each round is edges ⋈ labels (join keyed on the neighbor
+    id) → per-(node, label) count → per-node argmax via one partitioned
+    window over the count table — all integer-key shuffles; the label
+    table (O(N)) is the only state carried between rounds. Labels are
+    consumed twice per round (next round's join + the coalesce
+    fallback), so lineage doubles per round; checkpointing every 2
+    rounds bounds recompute at 4x of a trivial DAG while halving the
+    eager driver round-trips (measured faster than per-round on the
+    300-node fixture — same trade as k-core's cadence note). Returns
+    (id, label) after ``rounds`` rounds.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        und.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint()
+    nodes = adj.select(F.col("a").alias("id")).distinct()
+    labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
+    for _ in range(rounds):
+        nbr = adj.join(labels, adj["b"] == labels["id"]).select(
+            F.col("a"), F.col("label").alias("nl")
+        )
+        counts = nbr.groupBy("a", "nl").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("nl"))
+        best = (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("a").alias("id"), F.col("nl").alias("new_label"))
+        )
+        labels = labels.join(best, "id", "left").select(
+            "id", F.coalesce("new_label", "label").alias("label")
+        )
+        if (_ + 1) % checkpoint_every == 0 or _ == rounds - 1:
+            labels = labels.localCheckpoint()
+    return labels

@@ -12655,6 +12655,244 @@ ORDER BY lang
 """
 
 
+_LPA_ROUNDS = 5
+
+
+def q_label_propagation_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via deterministic label propagation
+    (`graph/algorithms.label_propagation`; min-label tie-break makes
+    the randomized algorithm exactly replayable): 5 synchronous rounds
+    over the modular graph, then the community census. The oracle
+    unrolls every round (neighbor-label count → windowed argmax →
+    coalesce fallback) — same full-replay discipline as
+    `pagerank_mod`/`lloyd_kmeans_clusters`."""
+    from ..graph.algorithms import label_propagation
+
+    labels = label_propagation(_mod_graph_edges(spark), rounds=_LPA_ROUNDS)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("label").alias("community"), "n_nodes")
+        .orderBy(F.desc("n_nodes"), "community")
+    )
+
+
+def _sql_lpa() -> str:
+    rounds = []
+    for k in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""l{k} AS (
+  SELECT l.id, coalesce(b.new_label, l.label) AS label
+  FROM l{k - 1} l LEFT JOIN (
+    SELECT a AS id, nl AS new_label FROM (
+      SELECT a, nl,
+             row_number() OVER (PARTITION BY a ORDER BY c DESC, nl ASC) AS rk
+      FROM (SELECT adj.a, l2.label AS nl, count(*) AS c
+            FROM adj JOIN l{k - 1} l2 ON l2.id = adj.b GROUP BY 1, 2)
+    ) WHERE rk = 1
+  ) b ON b.id = l.id
+)"""
+        )
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_SQL_MOD_GRAPH},
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM e WHERE src <> dst),
+adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+l0 AS (SELECT DISTINCT a AS id, a AS label FROM adj),
+{chain}
+SELECT label AS community, count(*)::BIGINT AS n_nodes
+FROM l{_LPA_ROUNDS}
+GROUP BY label
+ORDER BY n_nodes DESC, community
+"""
+
+
+def q_hll_distinct_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog (Flajolet 2007; the mergeable-sketch
+    family member next to `kmv_distinct_sketch`): per-source distinct-
+    word estimate with m=64 registers over the engine-portable 60-bit
+    md5-prefix hash — bucket = h mod 64, rho = leading zeros of the
+    remaining 54-bit field + 1, computed EXACTLY as 55 - bit_length via
+    `length(bin(w))` (no float log). Absent buckets are the zero
+    registers, so Z and the linear-counting V come from the present-
+    bucket aggregate alone — no bucket-range join. Includes the small-
+    range linear-counting correction. Graded against exact
+    count(DISTINCT) with relative error in the output.
+
+    Scale: sketch state is 64 registers per group — the groupBy carries
+    (source, bucket, max rho), mergeable across partitions/streams by
+    construction (max is associative); this is the shape of a 100 TB
+    distinct-count without the exact count's full shuffle of keys."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    h = F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint")
+    hashed = words.select("source", h.alias("h")).withColumn(
+        "bucket", F.col("h") % 64
+    ).withColumn("wbits", F.expr("h div 64"))
+    regs = (
+        hashed.withColumn(
+            "rho",
+            F.when(F.col("wbits") == 0, F.lit(55)).otherwise(
+                F.lit(55) - F.length(F.bin("wbits"))
+            ),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    sk = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("z_present"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / 64.0)
+    est_raw = F.lit(alpha * 64.0 * 64.0) / (
+        F.col("z_present") + (F.lit(64) - F.col("n_present"))
+    )
+    v = F.lit(64) - F.col("n_present")
+    est = F.when(
+        (est_raw <= 2.5 * 64) & (v > 0), F.lit(64.0) * F.log(F.lit(64.0) / v)
+    ).otherwise(est_raw)
+    exact = words.groupBy("source").agg(
+        F.countDistinct("w").alias("exact_distinct")
+    )
+    return (
+        sk.join(exact, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            F.round(est, 4).alias("hll_estimate"),
+            F.round(
+                (est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_HLL = """
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+hashed AS (
+  SELECT source, h, h % 64 AS bucket, h // 64 AS wbits
+  FROM (SELECT source, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+        FROM words WHERE w <> '')
+),
+regs AS (
+  SELECT source, bucket,
+         max(CASE WHEN wbits = 0 THEN 55
+                  ELSE 55 - length(bin(wbits)) END) AS m_j
+  FROM hashed GROUP BY 1, 2
+),
+sk AS (
+  SELECT source, count(*)::BIGINT AS n_present,
+         sum(power(2.0, -m_j)) AS z_present
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT source, n_present, z_present,
+         (0.7213 / (1 + 1.079 / 64.0)) * 64.0 * 64.0
+           / (z_present + (64 - n_present)) AS est_raw,
+         64 - n_present AS v
+  FROM sk
+),
+fin AS (
+  SELECT source,
+         CASE WHEN est_raw <= 2.5 * 64 AND v > 0
+              THEN 64.0 * ln(64.0 / v) ELSE est_raw END AS e
+  FROM est
+),
+exact AS (
+  SELECT source, count(DISTINCT w)::BIGINT AS exact_distinct
+  FROM words WHERE w <> '' GROUP BY 1
+)
+SELECT source, exact_distinct, round(e, 4) AS hll_estimate,
+       round((e - exact_distinct) / exact_distinct, 6) AS rel_err
+FROM fin JOIN exact USING (source)
+ORDER BY source
+"""
+
+
+_MRL_DIMS = [4, 16, 32]
+
+
+def q_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation (Kusupati 2022): recall@5
+    of cosine top-k computed on PREFIX dims {4, 16, 32} against the
+    full 64-dim exact top-5, per truncation width — the measurement
+    behind serving embeddings at reduced dimension (the cheap first-
+    stage retrieval a 100 TB vector pipeline runs before full-dim
+    re-rank). Reuses the proven exact-top-k operator at each width
+    (`operators/similarity.cosine_topk_bruteforce(dim=d)` — the cosine
+    unrolls over only the first d components, so the narrow widths also
+    cost proportionally less compute). Same sum-then-divide recall as
+    `ann_recall`."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 32)
+    # tiny (n_queries × 5) — checkpoint so the three per-width joins
+    # don't each replay the full-dim top-k lineage
+    exact = cosine_topk_bruteforce(q, emb, k=5, dim=64).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint()
+    nq = q.agg(F.count(F.lit(1)).alias("n"))
+    out = None
+    for d in _MRL_DIMS:
+        approx = cosine_topk_bruteforce(q, emb, k=5, dim=d).select(
+            "query_id", "neighbor_id"
+        )
+        hits = exact.join(approx, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("s")
+        )
+        row = hits.crossJoin(F.broadcast(nq)).select(
+            F.lit(d).alias("trunc_dim"),
+            F.col("n").cast("bigint").alias("n_queries"),
+            F.round(F.col("s") / (F.lit(5.0) * F.col("n")), 6).alias(
+                "recall_at_5"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("trunc_dim")
+
+
+def _sql_trunc_topk(d: int) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding[1:{d}] AS qv
+           FROM embeddings WHERE vec_id < 32),
+pairs AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         list_dot_product(q.qv::DOUBLE[], b.embedding[1:{d}]::DOUBLE[])
+           / (sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+              * sqrt(list_dot_product(b.embedding[1:{d}]::DOUBLE[],
+                                      b.embedding[1:{d}]::DOUBLE[]))) AS cosine
+  FROM q, embeddings b WHERE b.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id FROM ranked WHERE rn <= 5
+"""
+
+
+def _sql_mrl_recall() -> str:
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {d} AS trunc_dim,
+       (SELECT count(*) FROM embeddings WHERE vec_id < 32)::BIGINT AS n_queries,
+       round(
+         (SELECT count(*) FROM ({_sql_trunc_topk(64)}) e
+            JOIN ({_sql_trunc_topk(d)}) a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+         / (5.0 * (SELECT count(*) FROM embeddings WHERE vec_id < 32)), 6
+       ) AS recall_at_5"""
+        for d in _MRL_DIMS
+    )
+    return f"SELECT * FROM (\n{rows}\n) ORDER BY trunc_dim"
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12918,6 +13156,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bpe_merges_docs": (q_bpe_merges_docs, _sql_bpe()),
     "span_dedup_docs": (q_span_dedup_docs, _SQL_SPAN_DEDUP),
     "sorted_neighborhood_docs": (q_sorted_neighborhood_docs, _SQL_SNM),
+    "label_propagation_mod": (q_label_propagation_mod, _sql_lpa()),
+    "hll_distinct_words": (q_hll_distinct_words, _SQL_HLL),
+    "mrl_truncation_recall": (q_mrl_truncation_recall, _sql_mrl_recall()),
     "ripley_k_events": (q_ripley_k_events, _SQL_RIPLEY),
     "emerging_hotspots": (q_emerging_hotspots, _SQL_EMERGING),
 }

@@ -67,6 +67,7 @@ ALLOWLIST_NLJ = {
     "global_moran_events": "1-row global-stat broadcasts (mean, pair aggs, Σdeg²) combined into the Moran/Geary scalars",
     "ripley_k_events": "1-row broadcasts: n_pts × all-radii pair counts combined into K(r)",
     "emerging_hotspots": "1-row q75/q25 broadcast threshold over cell totals",
+    "mrl_truncation_recall": "exact brute-force baseline (32-query broadcast) at each truncation width + 1-row n_queries broadcast",
 }
 
 
