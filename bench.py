@@ -192,6 +192,10 @@ HEADLINE = [
     "label_propagation_mod",
     "hll_distinct_words",
     "mrl_truncation_recall",
+    "trajectory_hausdorff",
+    "item_item_cf",
+    "sampled_quantile_bands",
+    "jw_entity_resolution",
 ]
 
 

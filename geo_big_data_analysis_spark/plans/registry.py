@@ -12893,6 +12893,362 @@ def _sql_mrl_recall() -> str:
     return f"SELECT * FROM (\n{rows}\n) ORDER BY trunc_dim"
 
 
+def q_trajectory_hausdorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory similarity — symmetric Hausdorff distance between
+    user movement footprints, grid-simplified (distinct 0.05° cells per
+    user, distances between cell centers): the mobility-mining
+    companion to `staypoint_detection`/`user_trajectory_stats`.
+
+    Shape: footprints are DISTINCT cells (bounded by the grid extent,
+    not event volume — the simplification IS the scale lever); the
+    user-pair roster (u < v over 6 users) is a tiny allowlisted
+    non-equi self-join, and the cell-pair stage reaches cells via two
+    equi-joins on user id, so fan-out is |A|·|B| per pair with both
+    bounded by the grid. Both directed maxima come from the same pair
+    table (min-per-a-cell → max, min-per-b-cell → max)."""
+    pts = _derived_points(_t(spark, sf_dir, "events")).filter(
+        F.col("user_id") < 6
+    )
+    gx, gy = grid_cell("lat", "lon", 40.5, -74.3, 0.05)
+    cells = (
+        pts.withColumn("gx", gx)
+        .withColumn("gy", gy)
+        .select("user_id", "gx", "gy")
+        .distinct()
+        .withColumn("cx", F.lit(-74.3) + (F.col("gx") + 0.5) * 0.05)
+        .withColumn("cy", F.lit(40.5) + (F.col("gy") + 0.5) * 0.05)
+    )
+    users = cells.select("user_id").distinct()
+    roster = (
+        users.select(F.col("user_id").alias("ua"))
+        .join(
+            users.select(F.col("user_id").alias("ub")),
+            F.col("ua") < F.col("ub"),
+        )
+    )
+    a = cells.select(
+        F.col("user_id").alias("ua"), F.col("gx").alias("agx"),
+        F.col("gy").alias("agy"), F.col("cx").alias("ax"),
+        F.col("cy").alias("ay"),
+    )
+    b = cells.select(
+        F.col("user_id").alias("ub"), F.col("gx").alias("bgx"),
+        F.col("gy").alias("bgy"), F.col("cx").alias("bx"),
+        F.col("cy").alias("by"),
+    )
+    pairs = (
+        roster.join(a, "ua")
+        .join(b, "ub")
+        .withColumn("d", haversine_km("ay", "ax", "by", "bx"))
+    )
+    h_ab = (
+        pairs.groupBy("ua", "ub", "agx", "agy")
+        .agg(F.min("d").alias("md"))
+        .groupBy("ua", "ub")
+        .agg(F.max("md").alias("h_fwd"))
+    )
+    h_ba = (
+        pairs.groupBy("ua", "ub", "bgx", "bgy")
+        .agg(F.min("d").alias("md"))
+        .groupBy("ua", "ub")
+        .agg(F.max("md").alias("h_bwd"))
+    )
+    return (
+        h_ab.join(h_ba, ["ua", "ub"])
+        .select(
+            F.col("ua").alias("user_a"),
+            F.col("ub").alias("user_b"),
+            F.round(F.greatest("h_fwd", "h_bwd"), 6).alias("hausdorff_km"),
+        )
+        .orderBy("user_a", "user_b")
+    )
+
+
+_SQL_HAUSDORFF = f"""
+WITH p AS ({_DERIVED_POINTS_SQL}),
+cells AS (
+  SELECT DISTINCT user_id,
+         CAST(floor((lon - (-74.3)) / 0.05) AS BIGINT) AS gx,
+         CAST(floor((lat - 40.5) / 0.05) AS BIGINT) AS gy
+  FROM p WHERE user_id < 6
+),
+cc AS (
+  SELECT user_id, gx, gy,
+         -74.3 + (gx + 0.5) * 0.05 AS cx,
+         40.5 + (gy + 0.5) * 0.05 AS cy
+  FROM cells
+),
+pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub,
+         a.gx AS agx, a.gy AS agy, b.gx AS bgx, b.gy AS bgy,
+         2 * 6371.0 * asin(sqrt(
+           pow(sin((radians(b.cy) - radians(a.cy)) / 2), 2)
+           + cos(radians(a.cy)) * cos(radians(b.cy))
+             * pow(sin((radians(b.cx) - radians(a.cx)) / 2), 2)
+         )) AS d
+  FROM cc a JOIN cc b ON a.user_id < b.user_id
+),
+fwd AS (
+  SELECT ua, ub, max(md) AS h_fwd FROM (
+    SELECT ua, ub, agx, agy, min(d) AS md FROM pairs GROUP BY 1, 2, 3, 4
+  ) GROUP BY 1, 2
+),
+bwd AS (
+  SELECT ua, ub, max(md) AS h_bwd FROM (
+    SELECT ua, ub, bgx, bgy, min(d) AS md FROM pairs GROUP BY 1, 2, 3, 4
+  ) GROUP BY 1, 2
+)
+SELECT fwd.ua AS user_a, fwd.ub AS user_b,
+       round(greatest(h_fwd, h_bwd), 6) AS hausdorff_km
+FROM fwd JOIN bwd ON fwd.ua = bwd.ua AND fwd.ub = bwd.ub
+ORDER BY user_a, user_b
+"""
+
+
+def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (cosine over order-basket
+    co-occurrence — the recommender primitive on top of
+    `copurchase_pairs`' raw counts): sim(i,j) = c_ij / √(c_i·c_j),
+    top-3 partners per part with support ≥ 3, output restricted to the
+    deterministic part_id % 200 = 0 probe set.
+
+    Shape: within-basket pair explode is a self-join on the order key
+    (fan-out = items-per-order², bounded by basket size); similarity
+    needs only the two support counts joined back by part key; ranking
+    is a per-part partitioned window."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    support = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("sup"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    sim = (
+        co.join(support.select(F.col("l_partkey").alias("pa"), F.col("sup").alias("sup_a")), "pa")
+        .join(support.select(F.col("l_partkey").alias("pb"), F.col("sup").alias("sup_b")), "pb")
+        .filter((F.col("sup_a") >= 3) & (F.col("sup_b") >= 3))
+        .withColumn("sim", F.col("c_ab") / F.sqrt(F.col("sup_a") * F.col("sup_b")))
+    )
+    w = Window.partitionBy("pa").orderBy(F.desc("sim"), F.asc("pb"))
+    return (
+        sim.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("pa") % 200 == 0))
+        .select(
+            F.col("pa").alias("part_id"),
+            F.col("rk").alias("rank"),
+            F.col("pb").alias("partner_id"),
+            F.col("c_ab").alias("co_count"),
+            F.round("sim", 6).alias("cosine_sim"),
+        )
+        .orderBy("part_id", "rank")
+    )
+
+
+_SQL_ITEM_CF = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+support AS (SELECT l_partkey, count(*)::BIGINT AS sup FROM li GROUP BY 1),
+co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS c_ab
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT co.pa, co.pb, co.c_ab,
+         co.c_ab / sqrt(sa.sup * sb.sup) AS sim
+  FROM co
+  JOIN support sa ON sa.l_partkey = co.pa
+  JOIN support sb ON sb.l_partkey = co.pb
+  WHERE sa.sup >= 3 AND sb.sup >= 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pa ORDER BY sim DESC, pb ASC) AS rk
+  FROM sim
+)
+SELECT pa AS part_id, rk AS rank, pb AS partner_id, c_ab AS co_count,
+       round(sim, 6) AS cosine_sim
+FROM ranked WHERE rk <= 3 AND pa % 200 = 0
+ORDER BY part_id, rank
+"""
+
+
+def q_sampled_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy evaluation: quantiles {p50, p90, p99} of
+    l_extendedprice estimated from a DETERMINISTIC 10% hash sample
+    (md5-prefix of the (orderkey, linenumber) row key — the same
+    partitioning-independent sampling idiom as the curation operators)
+    vs the exact full-data quantiles, with the relative error and an
+    ε=0.02 acceptance band per quantile. The pattern a 100 TB engine
+    uses to answer percentile queries from a sample with a
+    deterministic, replayable sample membership."""
+    li = _t(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sampled = li.withColumn("_h", h).filter(
+        F.col("_h") % 10 == 0
+    )
+    qs = [0.5, 0.9, 0.99]
+    est = sampled.agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {p})").alias(f"_e{i}")
+            for i, p in enumerate(qs)
+        ],
+        F.count(F.lit(1)).alias("n_sample"),
+    )
+    exact = li.agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {p})").alias(f"_x{i}")
+            for i, p in enumerate(qs)
+        ],
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    wide = est.crossJoin(F.broadcast(exact))
+    per_q = wide.select(
+        "n_sample",
+        "n_total",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("q"),
+                        F.col(f"_e{i}").alias("est"),
+                        F.col(f"_x{i}").alias("exact"),
+                    )
+                    for i, p in enumerate(qs)
+                ]
+            )
+        ).alias("_s"),
+    )
+    rel = (F.col("_s.est") - F.col("_s.exact")) / F.col("_s.exact")
+    return per_q.select(
+        F.col("_s.q").alias("quantile"),
+        "n_sample",
+        "n_total",
+        F.round("_s.est", 4).alias("est_value"),
+        F.round("_s.exact", 4).alias("exact_value"),
+        F.round(rel, 6).alias("rel_err"),
+        (F.abs(rel) <= 0.02).cast("int").alias("within_band"),
+    ).orderBy("quantile")
+
+
+_SQL_SAMPLED_QUANTILES = """
+WITH li AS (
+  SELECT l_extendedprice,
+         ('0x' || substr(md5(l_orderkey::VARCHAR || ':' ||
+                             l_linenumber::VARCHAR), 1, 15))::BIGINT AS h
+  FROM lineitem
+),
+est AS (
+  SELECT quantile_cont(l_extendedprice, 0.5) AS e0,
+         quantile_cont(l_extendedprice, 0.9) AS e1,
+         quantile_cont(l_extendedprice, 0.99) AS e2,
+         count(*)::BIGINT AS n_sample
+  FROM li WHERE h % 10 = 0
+),
+exact AS (
+  SELECT quantile_cont(l_extendedprice, 0.5) AS x0,
+         quantile_cont(l_extendedprice, 0.9) AS x1,
+         quantile_cont(l_extendedprice, 0.99) AS x2,
+         count(*)::BIGINT AS n_total
+  FROM lineitem
+),
+rows_q AS (
+  SELECT 0.5::DOUBLE AS quantile, e0 AS est, x0 AS exact, n_sample, n_total FROM est, exact
+  UNION ALL
+  SELECT 0.9::DOUBLE, e1, x1, n_sample, n_total FROM est, exact
+  UNION ALL
+  SELECT 0.99::DOUBLE, e2, x2, n_sample, n_total FROM est, exact
+)
+SELECT quantile, n_sample, n_total,
+       round(est, 4) AS est_value, round(exact, 4) AS exact_value,
+       round((est - exact) / exact, 6) AS rel_err,
+       CASE WHEN abs((est - exact) / exact) <= 0.02 THEN 1 ELSE 0 END AS within_band
+FROM rows_q
+ORDER BY quantile
+"""
+
+
+def q_jw_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution with Jaro-Winkler
+    (`functions/strings.jaro_winkler` — the full matching-window /
+    transposition / prefix-boost similarity as ONE codegen'd column
+    expression; Spark has no built-in): probe parts (p_partkey % 97 =
+    0) are matched against all parts sharing their first name token
+    (the blocking key), best partner per probe by (similarity DESC,
+    partkey ASC). The oracle computes the SAME pairs with DuckDB's
+    independent C++ ``jaro_winkler_similarity`` — a foreign-
+    implementation check, not a SQL replay.
+
+    Shape: blocking is an equi-join on the first token; per-pair cost
+    is O(|name|·window) inside whole-stage codegen; the probe side is
+    a pushed-down scan filter."""
+    from ..functions.strings import jaro_winkler
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    blocked = part.withColumn("blk", F.split("p_name", " ").getItem(0))
+    probe = blocked.filter(F.col("p_partkey") % 97 == 0).select(
+        F.col("p_partkey").alias("probe_key"),
+        F.col("p_name").alias("probe_name"),
+        "blk",
+    )
+    cand = blocked.select(
+        F.col("p_partkey").alias("cand_key"),
+        F.col("p_name").alias("cand_name"),
+        "blk",
+    )
+    pairs = (
+        probe.join(cand, "blk")
+        .filter(F.col("probe_key") != F.col("cand_key"))
+        .withColumn("jw", jaro_winkler("probe_name", "cand_name"))
+    )
+    w = Window.partitionBy("probe_key").orderBy(F.desc("jw"), F.asc("cand_key"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("probe_key", F.col("cand_key").alias("best_match_key"),
+                F.round("jw", 6).alias("best_jw"))
+        .orderBy("probe_key")
+    )
+
+
+_SQL_JW_ER = """
+WITH blocked AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk FROM part
+),
+pairs AS (
+  SELECT p.p_partkey AS probe_key, c.p_partkey AS cand_key,
+         jaro_winkler_similarity(p.p_name, c.p_name) AS jw
+  FROM blocked p JOIN blocked c
+    ON p.blk = c.blk AND p.p_partkey <> c.p_partkey
+  WHERE p.p_partkey % 97 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_key
+              ORDER BY jw DESC, cand_key ASC) AS rk
+  FROM pairs
+)
+SELECT probe_key, cand_key AS best_match_key, round(jw, 6) AS best_jw
+FROM ranked WHERE rk = 1
+ORDER BY probe_key
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -13159,6 +13515,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "label_propagation_mod": (q_label_propagation_mod, _sql_lpa()),
     "hll_distinct_words": (q_hll_distinct_words, _SQL_HLL),
     "mrl_truncation_recall": (q_mrl_truncation_recall, _sql_mrl_recall()),
+    "trajectory_hausdorff": (q_trajectory_hausdorff, _SQL_HAUSDORFF),
+    "item_item_cf": (q_item_item_cf, _SQL_ITEM_CF),
+    "sampled_quantile_bands": (q_sampled_quantile_bands, _SQL_SAMPLED_QUANTILES),
+    "jw_entity_resolution": (q_jw_entity_resolution, _SQL_JW_ER),
     "ripley_k_events": (q_ripley_k_events, _SQL_RIPLEY),
     "emerging_hotspots": (q_emerging_hotspots, _SQL_EMERGING),
 }

@@ -68,6 +68,8 @@ ALLOWLIST_NLJ = {
     "ripley_k_events": "1-row broadcasts: n_pts × all-radii pair counts combined into K(r)",
     "emerging_hotspots": "1-row q75/q25 broadcast threshold over cell totals",
     "mrl_truncation_recall": "exact brute-force baseline (32-query broadcast) at each truncation width + 1-row n_queries broadcast",
+    "trajectory_hausdorff": "6-user pair roster (u < v non-equi self-join over the distinct-user list); cells reached via equi-joins on user id",
+    "sampled_quantile_bands": "1-row sample-quantiles x 1-row exact-quantiles broadcast combine",
 }
 
 
