@@ -196,6 +196,19 @@ HEADLINE = [
     "item_item_cf",
     "sampled_quantile_bands",
     "jw_entity_resolution",
+    "k_anonymity_audit",
+    "kcenter_coreset_embeddings",
+    "polygon_clip_areas",
+    "zonal_polygon_coverage",
+    "kaplan_meier_users",
+    "readability_docs",
+    "bm25_retrieval_docs",
+    "dp_noised_counts",
+    "l_diversity_audit",
+    "scc_mod",
+    "holt_trend_revenue",
+    "bpe_encode_docs",
+    "orc_roundtrip_events",
 ]
 
 

@@ -58,23 +58,32 @@ def jaro_winkler_sql(a: str, b: str) -> str:
         f" ELSE named_struct('used', concat(acc.used, array(({cand}))),"
         f" 'm1', concat(acc.m1, substring({a}, i, 1))) END)"
     )
-    st = f"__jw_st"
+    # let-binding via single-element transform: binds each intermediate
+    # ONCE — without this, the match fold / matched-s2 string /
+    # transposition fold are re-evaluated at every reference site
+    # inside the lambda tree (measured 100x slowdown at 40-char names).
+    def let(var: str, val: str, body: str) -> str:
+        return f"element_at(transform(array({val}), {var} -> ({body})), 1)"
+
+    st = "__jw_st"
     m = f"cast(size({st}.used) as double)"
-    s2m = (
+    s2m_val = (
         f"array_join(transform(array_sort({st}.used),"
         f" j -> substring({b}, j, 1)), '')"
     )
+    s2 = "__jw_s2m"
     # transpositions: mismatched positions div 2 — INTEGER division,
     # matching DuckDB/RapidFuzz (an odd mismatch count floors; the
     # textbook's fractional t/2 differs on e.g. 39-char vs 5-char pairs)
     t = (
         f"cast((aggregate(sequence(1, int({m})), 0, (x, k) -> x +"
-        f" IF(substring({st}.m1, k, 1) = substring({s2m}, k, 1), 0, 1))"
+        f" IF(substring({st}.m1, k, 1) = substring({s2}, k, 1), 0, 1))"
         f" div 2) as double)"
     )
-    jaro = (
-        f"(({m} / length({a}) + {m} / length({b})"
-        f" + ({m} - {t}) / {m}) / 3.0D)"
+    jaro_val = (
+        f"CASE WHEN size({st}.used) = 0 THEN 0.0D ELSE"
+        f" (({m} / length({a}) + {m} / length({b})"
+        f" + ({m} - {t}) / {m}) / 3.0D) END"
     )
     conds: list[str] = []
     for j in range(1, 5):
@@ -84,17 +93,13 @@ def jaro_winkler_sql(a: str, b: str) -> str:
         )
         conds.append(this if not conds else f"({conds[-1]} AND {this})")
     pl = "(" + " + ".join(f"IF({c}, 1, 0)" for c in conds) + ")"
-    # bind the fold once via a lambda-shaped trick: transform over a
-    # 1-element array gives us a let-binding for the fold state.
-    body = (
-        f"CASE WHEN size({st}.used) = 0 THEN 0.0D ELSE"
-        f" CASE WHEN {jaro} > 0.7D"
-        f" THEN {jaro} + {pl} * 0.1D * (1.0D - {jaro})"
-        f" ELSE {jaro} END END"
+    jv = "__jw_j"
+    boost = (
+        f"CASE WHEN {jv} > 0.7D"
+        f" THEN {jv} + {pl} * 0.1D * (1.0D - {jv})"
+        f" ELSE {jv} END"
     )
-    let_bound = (
-        f"element_at(transform(array({fold}), {st} -> ({body})), 1)"
-    )
+    let_bound = let(st, fold, let(s2, s2m_val, let(jv, jaro_val, boost)))
     # empty-before-equal: DuckDB scores '' vs '' as 0.0, not 1.0
     return (
         f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN CAST(NULL AS DOUBLE)"

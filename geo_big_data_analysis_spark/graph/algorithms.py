@@ -586,6 +586,11 @@ def label_propagation(
     adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         und.select(F.col("v").alias("a"), F.col("u").alias("b"))
     ).localCheckpoint()
+    # size dispatch (same rule as connected_components / sssp): small
+    # graphs fold to one partition so each round's join+window is one
+    # task instead of 32-partition scheduling overhead.
+    if adj.count() <= 200_000:
+        adj = adj.coalesce(1).localCheckpoint()
     nodes = adj.select(F.col("a").alias("id")).distinct()
     labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
     for _ in range(rounds):
@@ -605,3 +610,128 @@ def label_propagation(
         if (_ + 1) % checkpoint_every == 0 or _ == rounds - 1:
             labels = labels.localCheckpoint()
     return labels
+
+
+def reachability_closure(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 20
+) -> DataFrame:
+    """Transitive closure (u, v): v reachable from u over directed
+    edges, self-pairs included — by path doubling (R ← R ∪ R∘R), the
+    PRAM-style O(log diameter) join schedule: round k covers all paths
+    of length ≤ 2^k, so 6 rounds close a diameter-64 graph where naive
+    edge-at-a-time relaxation needs 64. Runs to fixpoint (pair count
+    stable), so the result is the exact closure regardless of diameter.
+
+    Scale: the OUTPUT is the closure — Θ(reachable pairs) — so this is
+    for graphs whose closure fits a shuffle (condensation graphs,
+    per-component subgraphs, lineage/dependency DAGs), not raw
+    web-scale edge sets; each round is two hash equi-joins on node
+    keys. Size dispatch folds small pair tables to one partition
+    (connected_components' rule)."""
+    pairs = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .unionByName(
+            edges.select(F.col(src).alias("u"), F.col(src).alias("v"))
+        )
+        .unionByName(
+            edges.select(F.col(dst).alias("u"), F.col(dst).alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_prev = pairs.count()
+    if n_prev <= 200_000:
+        pairs = pairs.coalesce(1).localCheckpoint()
+    for _ in range(max_rounds):
+        hop2 = (
+            pairs.alias("a")
+            .join(pairs.alias("b"), F.col("a.v") == F.col("b.u"))
+            .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+        )
+        pairs = pairs.unionByName(hop2).distinct().localCheckpoint()
+        n_now = pairs.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return pairs
+
+
+def scc_labels(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Strongly connected components via mutual reachability: u, v share
+    an SCC iff u→v and v→u in the closure; the label is the minimum
+    member id. Exact and deterministic — the oracle twin is a recursive-
+    CTE closure. For web-scale graphs the closure bound above applies
+    (use forward-backward pivoting there); for the engine's bounded
+    graph fixtures and condensed DAGs this is the right exactness/cost
+    trade. Returns (id, scc_id)."""
+    reach = reachability_closure(edges, src, dst)
+    mutual = (
+        reach.alias("f")
+        .join(
+            reach.alias("r"),
+            (F.col("f.u") == F.col("r.v")) & (F.col("f.v") == F.col("r.u")),
+        )
+        .select(F.col("f.u").alias("id"), F.col("f.v").alias("m"))
+    )
+    return mutual.groupBy("id").agg(F.min("m").alias("scc_id"))
+
+
+def hop_distances(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 20
+) -> DataFrame:
+    """All-pairs hop distances (u, v, d) for reachable pairs, by
+    min-plus path doubling: D ← min(D, min_m D(u,m)+D(m,v)) — round k
+    is exact for all shortest paths of length ≤ 2^k, so ⌈log₂ diam⌉
+    rounds converge (fixpoint-detected, like reachability_closure).
+    Unreachable pairs are simply absent.
+
+    Scale: output is Θ(reachable pairs) and the squaring join's
+    intermediate is Σ_m in(m)·out(m) — for bounded/condensed graphs
+    (this engine's graph fixtures) that is the right trade against
+    diameter-many edge-relaxation rounds; web-scale all-pairs wants
+    landmark/sketch methods instead (documented boundary)."""
+    dist = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .withColumn("d", F.lit(1))
+        .unionByName(
+            edges.select(F.col(src).alias("u"))
+            .unionByName(edges.select(F.col(dst).alias("u")))
+            .distinct()
+            .select("u", F.col("u").alias("v"), F.lit(0).alias("d"))
+        )
+        .localCheckpoint()
+    )
+    if dist.count() <= 200_000:
+        dist = dist.coalesce(1).localCheckpoint()
+    prev_key: tuple | None = None
+    for _ in range(max_rounds):
+        two = (
+            dist.alias("a")
+            .join(dist.alias("b"), F.col("a.v") == F.col("b.u"))
+            .select(
+                F.col("a.u").alias("u"),
+                F.col("b.v").alias("v"),
+                (F.col("a.d") + F.col("b.d")).alias("d"),
+            )
+        )
+        dist = (
+            dist.unionByName(two)
+            .groupBy("u", "v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+        # fixpoint: (pair count, total distance) both stable — the
+        # count alone can stall while min-distances still improve
+        stat = dist.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("d").alias("s")
+        ).collect()[0]
+        key = (stat["n"], stat["s"])
+        if key == prev_key:
+            break
+        prev_key = key
+    return dist

@@ -59,6 +59,13 @@ def bpe_train(
     words = vocab.withColumn(
         "seq", F.regexp_replace(F.col("word"), "(.)", "$1|")
     ).localCheckpoint()
+    # size dispatch: the merge loop runs ~2 jobs/round over the distinct
+    # vocabulary; when that table is small (fixtures, most corpora after
+    # word-counting), 32-partition scheduling overhead dominates — fold
+    # it to one partition. Web-scale vocabularies (>100k words) keep
+    # the inherited partitioning.
+    if words.count() <= 100_000:
+        words = words.coalesce(1).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         pairs = (

@@ -12396,7 +12396,9 @@ def q_bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges_df(spark, merges).orderBy("merge_rank")
 
 
-def _sql_bpe() -> str:
+def _sql_bpe_train_parts() -> list[str]:
+    """Shared unrolled-BPE-training CTE chain (w0..wN, p/b per round) —
+    used by both the merge-table oracle and the encoder oracle."""
     parts = [
         "w0 AS (SELECT word, count(*)::BIGINT AS cnt,"
         " regexp_replace(word, '(.)', '\\1|', 'g') AS seq"
@@ -12423,6 +12425,11 @@ def _sql_bpe() -> str:
             f" replace(seq, b.l || '|' || b.r || '|', b.l || b.r || '|') AS seq"
             f" FROM w{t - 1}, b{t} b)"
         )
+    return parts
+
+
+def _sql_bpe() -> str:
+    parts = _sql_bpe_train_parts()
     ranks = "\nUNION ALL\n".join(
         f"SELECT {t} AS merge_rank, l AS left_sym, r AS right_sym,"
         f" l || r AS merged, pc AS pair_count FROM b{t}"
@@ -13188,21 +13195,25 @@ def q_jw_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity resolution with Jaro-Winkler
     (`functions/strings.jaro_winkler` — the full matching-window /
     transposition / prefix-boost similarity as ONE codegen'd column
-    expression; Spark has no built-in): probe parts (p_partkey % 97 =
+    expression; Spark has no built-in): probe parts (p_partkey % 997 =
     0) are matched against all parts sharing their first name token
     (the blocking key), best partner per probe by (similarity DESC,
     partkey ASC). The oracle computes the SAME pairs with DuckDB's
     independent C++ ``jaro_winkler_similarity`` — a foreign-
     implementation check, not a SQL replay.
 
-    Shape: blocking is an equi-join on the first token; per-pair cost
-    is O(|name|·window) inside whole-stage codegen; the probe side is
-    a pushed-down scan filter."""
+    Shape: blocking is an equi-join on the first token; the probe side
+    is a pushed-down scan filter. Note: nested higher-order functions
+    are NOT whole-stage-codegen'd — the match fold runs on Spark's
+    interpreted expression path (~ms per 40-char pair), so the probe
+    modulus keeps the pair volume bounded; bulk fuzzy joins beyond that
+    should pair this blocking with the prefix-blocked Levenshtein
+    (`fuzzy_dup_docs`), which IS codegen'd."""
     from ..functions.strings import jaro_winkler
 
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
     blocked = part.withColumn("blk", F.split("p_name", " ").getItem(0))
-    probe = blocked.filter(F.col("p_partkey") % 97 == 0).select(
+    probe = blocked.filter(F.col("p_partkey") % 997 == 0).select(
         F.col("p_partkey").alias("probe_key"),
         F.col("p_name").alias("probe_name"),
         "blk",
@@ -13236,7 +13247,7 @@ pairs AS (
          jaro_winkler_similarity(p.p_name, c.p_name) AS jw
   FROM blocked p JOIN blocked c
     ON p.blk = c.blk AND p.p_partkey <> c.p_partkey
-  WHERE p.p_partkey % 97 = 0
+  WHERE p.p_partkey % 997 = 0
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY probe_key
@@ -13246,6 +13257,1120 @@ ranked AS (
 SELECT probe_key, cand_key AS best_match_key, round(jw, 6) AS best_jw
 FROM ranked WHERE rk = 1
 ORDER BY probe_key
+"""
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy/data-governance audit — k-anonymity of a quasi-
+    identifier tuple (nation, market segment, account-balance sign):
+    equivalence-class size histogram, the minimum k, and the
+    suppression volume needed to reach k=5. The governance twin of the
+    PII scrubber (`pii_scrub_docs`): before a dataset ships to
+    training, this is the re-identification-risk gate.
+
+    Shape: one hash aggregate to class sizes, one to the banded
+    histogram; the 1-row total joins broadcast. Class keys shuffle
+    once; nothing row-level leaves the executors."""
+    cust = _t(spark, sf_dir, "customer")
+    classes = (
+        cust.withColumn(
+            "bal_sign", F.when(F.col("c_acctbal") < 0, F.lit("neg")).otherwise(F.lit("nonneg"))
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_sign")
+        .agg(F.count(F.lit(1)).alias("cls"))
+    )
+    banded = classes.withColumn(
+        "band",
+        F.when(F.col("cls") == 1, F.lit("1"))
+        .when(F.col("cls") <= 4, F.lit("2-4"))
+        .when(F.col("cls") <= 9, F.lit("5-9"))
+        .otherwise(F.lit("10+")),
+    )
+    total = classes.agg(
+        F.sum("cls").alias("_tot"),
+        F.min("cls").alias("_kmin"),
+        F.sum(F.when(F.col("cls") < 5, F.col("cls")).otherwise(0)).alias("_supp"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("cls").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "band",
+            "n_classes",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_tot"), 6).alias("row_share"),
+            F.col("_kmin").alias("k_min"),
+            F.col("_supp").alias("suppress_rows_for_k5"),
+        )
+        .orderBy("band")
+    )
+
+
+_SQL_K_ANON = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS bal_sign,
+         count(*)::BIGINT AS cls
+  FROM customer GROUP BY 1, 2, 3
+),
+banded AS (
+  SELECT cls,
+         CASE WHEN cls = 1 THEN '1' WHEN cls <= 4 THEN '2-4'
+              WHEN cls <= 9 THEN '5-9' ELSE '10+' END AS band
+  FROM classes
+),
+total AS (
+  SELECT sum(cls)::BIGINT AS tot, min(cls)::BIGINT AS kmin,
+         sum(CASE WHEN cls < 5 THEN cls ELSE 0 END)::BIGINT AS supp
+  FROM classes
+)
+SELECT band, count(*)::BIGINT AS n_classes, sum(cls)::BIGINT AS n_rows,
+       round(sum(cls) / tot, 6) AS row_share,
+       kmin AS k_min, supp AS suppress_rows_for_k5
+FROM banded, total
+GROUP BY band, tot, kmin, supp
+ORDER BY band
+"""
+
+
+_KCENTER_ROUNDS = 8
+
+
+def q_kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; the
+    diversity-based data-selection op an embedding-curated training set
+    uses, complementary to SemDeDup's redundancy removal): seed at
+    vec_id 0, then 8 rounds of 'add the point farthest (cosine
+    distance) from the current selection', with the selection radius
+    (max min-distance) recorded per round.
+
+    Shape: the running min-distance column is the only per-point state
+    (one `least` + 64-term dot per round, all codegen); each round's
+    argmax is a 1-row orderBy-limit collect — the fit artifact, like
+    Lloyd/BPE. The oracle unrolls all 8 rounds with scalar subqueries
+    fetching each selected vector."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+
+    def dot_lit(vec):
+        e = F.col("v").getItem(0) * F.lit(vec[0])
+        for i in range(1, len(vec)):
+            e = e + F.col("v").getItem(i) * F.lit(vec[i])
+        return e
+
+    norm_sq = F.col("v").getItem(0) * F.col("v").getItem(0)
+    for i in range(1, 64):
+        norm_sq = norm_sq + F.col("v").getItem(i) * F.col("v").getItem(i)
+    pts = emb.withColumn("nv", F.sqrt(norm_sq))
+
+    seed = pts.filter(F.col("vec_id") == 0).collect()[0]
+    sv, sn = list(seed["v"]), float(seed["nv"])
+    cur = pts.withColumn(
+        "md", F.lit(1.0) - dot_lit(sv) / (F.col("nv") * F.lit(sn))
+    ).localCheckpoint()
+    # size dispatch: the 8-round argmax loop is scheduling-overhead
+    # bound on small point tables — fold to one partition; at real
+    # vector-corpus scale the table keeps its partitioning and each
+    # round is a partial-top-1-then-merge.
+    if cur.count() <= 100_000:
+        cur = cur.coalesce(1).localCheckpoint()
+    out_rows = []
+    for t in range(1, _KCENTER_ROUNDS + 1):
+        best = cur.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()[0]
+        out_rows.append((t, int(best["vec_id"]), float(best["md"])))
+        bv, bn = list(best["v"]), float(best["nv"])
+        cur = cur.withColumn(
+            "md",
+            F.least(
+                F.col("md"), F.lit(1.0) - dot_lit(bv) / (F.col("nv") * F.lit(bn))
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        out_rows, "sel_round int, vec_id bigint, cov_radius double"
+    ).select(
+        "sel_round", "vec_id", F.round("cov_radius", 6).alias("cov_radius")
+    ).orderBy("sel_round")
+
+
+def _sql_kcenter() -> str:
+    parts = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e)",
+        "d0 AS (SELECT a.vec_id, a.v, a.nv,"
+        " 1.0 - list_dot_product(a.v, s.v) / (a.nv * s.nv) AS md"
+        " FROM n a, (SELECT v, nv FROM n WHERE vec_id = 0) s)",
+    ]
+    for t in range(1, _KCENTER_ROUNDS + 1):
+        parts.append(
+            f"m{t} AS (SELECT vec_id, md FROM d{t - 1}"
+            f" ORDER BY md DESC, vec_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"d{t} AS (SELECT a.vec_id, a.v, a.nv,"
+            f" least(a.md, 1.0 - list_dot_product(a.v, s.v) / (a.nv * s.nv)) AS md"
+            f" FROM d{t - 1} a,"
+            f" (SELECT b.v, b.nv FROM n b, m{t} WHERE b.vec_id = m{t}.vec_id) s)"
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {t} AS sel_round, vec_id, round(md, 6) AS cov_radius FROM m{t}"
+        for t in range(1, _KCENTER_ROUNDS + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT * FROM (\n{sel}\n) ORDER BY sel_round"
+    )
+
+
+_CLIP_BBOX = (-74.25, -73.85, 40.54, 40.88)
+
+
+def q_polygon_clip_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-overlay primitive — Sutherland–Hodgman convex-polygon ∩
+    bbox clipping with shoelace areas (`functions/polyclip`), lifting
+    the engine's overlay support from line segments (J6 Liang-Barsky)
+    to areas: 25 deterministic pentagons (one per nation key; center
+    and radius are arithmetic in the key) clipped against a fixed
+    window; per-polygon original area, clipped area, survival share,
+    and clipped vertex count. Oracle builds the identical algorithm
+    from DuckDB list comprehensions — rings match vertex-for-vertex.
+
+    Shape: pure per-row expression work (4 unrolled half-plane passes,
+    ring length ≤ n+4); composes under the covering-cell equi-join for
+    polygon-vs-grid zonal statistics at scale."""
+    from ..functions.polyclip import (
+        clip_polygon_bbox_spark,
+        shoelace_area_spark,
+    )
+
+    xmin, xmax, ymin, ymax = _CLIP_BBOX
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("k")
+    )
+    poly = (
+        "transform(sequence(0, 4), i -> named_struct("
+        "'x', cx + r * cos(radians(90.0D + i * 72.0D)), "
+        "'y', cy + r * sin(radians(90.0D + i * 72.0D))))"
+    )
+    df = (
+        nat.withColumn("cx", F.lit(-74.3) + (F.col("k") % 5) * 0.12 + 0.03)
+        .withColumn("cy", F.lit(40.5) + F.floor(F.col("k") / 5) * 0.1 + 0.02)
+        .withColumn("r", F.lit(0.02) + (F.col("k") % 7) * 0.012)
+        .withColumn("poly", F.expr(poly))
+    )
+    df = df.withColumn(
+        "clipped",
+        F.expr(clip_polygon_bbox_spark("poly", xmin, xmax, ymin, ymax)),
+    )
+    # barrier: the downstream select references `clipped`/`poly` five
+    # times; without it projection collapse re-inlines the (nested-
+    # lambda) clip chain per reference and ANALYSIS time, not runtime,
+    # dominates (measured 15 s build → <1 s with the barrier).
+    df = df.select("k", "poly", "clipped").localCheckpoint()
+    return df.select(
+        F.col("k").alias("poly_id"),
+        F.expr("size(clipped)").alias("n_vert_clip"),
+        F.round(F.expr(shoelace_area_spark("poly")), 9).alias("area_orig"),
+        F.round(F.expr(shoelace_area_spark("clipped")), 9).alias("area_clip"),
+        F.round(
+            F.expr(shoelace_area_spark("clipped"))
+            / F.expr(shoelace_area_spark("poly")),
+            6,
+        ).alias("clip_share"),
+    ).orderBy("poly_id")
+
+
+def _sql_polyclip() -> str:
+    from ..functions.polyclip import clip_passes_duckdb, shoelace_area_duckdb
+
+    xmin, xmax, ymin, ymax = _CLIP_BBOX
+    passes = clip_passes_duckdb(xmin, xmax, ymin, ymax)
+    ctes = []
+    cur = "poly"
+    for n, p_fn in enumerate(passes):
+        src = "rings" if n == 0 else f"c{n - 1}"
+        # MATERIALIZED: DuckDB inlines chained CTEs by default; each
+        # pass references the previous ring ~10x, so inlining grows
+        # the plan ~10^4x and the optimizer never returns. A barrier
+        # per pass keeps the oracle linear (0.1s vs >2 min hang).
+        ctes.append(
+            f"c{n} AS MATERIALIZED (SELECT k, poly, {p_fn(cur)} AS p{n} FROM {src})"
+        )
+        cur = f"p{n}"
+    chain = ",\n".join(ctes)
+    last = f"c{len(passes) - 1}"
+    return f"""
+WITH base AS (
+  SELECT n_nationkey::INT AS k,
+         -74.3 + (n_nationkey % 5) * 0.12 + 0.03 AS cx,
+         40.5 + floor(n_nationkey / 5) * 0.1 + 0.02 AS cy,
+         0.02 + (n_nationkey % 7) * 0.012 AS r
+  FROM nation
+),
+rings AS (
+  SELECT k,
+         [{{'x': cx + r * cos(radians(90.0 + i * 72.0)),
+            'y': cy + r * sin(radians(90.0 + i * 72.0))}}
+          for i in range(0, 5)] AS poly
+  FROM base
+),
+{chain},
+clipped_t AS (SELECT k, poly, {cur} AS clipped FROM {last})
+SELECT k AS poly_id, len(clipped)::BIGINT AS n_vert_clip,
+       round({shoelace_area_duckdb('poly')}, 9) AS area_orig,
+       round({shoelace_area_duckdb('clipped')}, 9) AS area_clip,
+       round({shoelace_area_duckdb('clipped')}
+             / {shoelace_area_duckdb('poly')}, 6) AS clip_share
+FROM clipped_t
+ORDER BY poly_id
+"""
+
+
+def q_zonal_polygon_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal polygon coverage — the overlay JOIN shape on top of the
+    clip primitive: each pentagon explodes to its covering 0.1° cells
+    (bbox-derived integer range, bounded fan-out), is clipped against
+    each cell's bbox (`functions/polyclip`), and cells aggregate
+    covered area and polygon counts. This is the polygon twin of
+    `road_density_grid`'s line overlay: integer cell keys shuffle, the
+    clip is per-row map work, no geometry library. Output: per-cell
+    covered area for cells touched by ≥ 2 polygons (plus global
+    conservation stats in every row — total clipped area must not
+    exceed total polygon area)."""
+    from ..functions.polyclip import clip_polygon_bbox_spark, shoelace_area_spark
+
+    cell = 0.1
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("k")
+    )
+    poly = (
+        "transform(sequence(0, 4), i -> named_struct("
+        "'x', cx + r * cos(radians(90.0D + i * 72.0D)), "
+        "'y', cy + r * sin(radians(90.0D + i * 72.0D))))"
+    )
+    base = (
+        nat.withColumn("cx", F.lit(-74.3) + (F.col("k") % 5) * 0.12 + 0.03)
+        .withColumn("cy", F.lit(40.5) + F.floor(F.col("k") / 5) * 0.1 + 0.02)
+        .withColumn("r", F.lit(0.02) + (F.col("k") % 7) * 0.012)
+        .withColumn("poly", F.expr(poly))
+    )
+    cells = (
+        base.withColumn(
+            "gx0", F.floor((F.col("cx") - F.col("r") - (-74.3)) / cell).cast("int")
+        )
+        .withColumn(
+            "gx1", F.floor((F.col("cx") + F.col("r") - (-74.3)) / cell).cast("int")
+        )
+        .withColumn(
+            "gy0", F.floor((F.col("cy") - F.col("r") - 40.5) / cell).cast("int")
+        )
+        .withColumn(
+            "gy1", F.floor((F.col("cy") + F.col("r") - 40.5) / cell).cast("int")
+        )
+        .select(
+            "k", "poly",
+            F.explode(F.expr("sequence(gx0, gx1)")).alias("gx"),
+            "gy0", "gy1",
+        )
+        .select(
+            "k", "poly", "gx",
+            F.explode(F.expr("sequence(gy0, gy1)")).alias("gy"),
+        )
+    )
+    # clip each polygon against its cell's bbox; bounds are column-
+    # dependent, so inline the cell corners as expressions
+    xmin = "(-74.3 + gx * 0.1)"
+    xmax = "(-74.3 + (gx + 1) * 0.1)"
+    ymin = "(40.5 + gy * 0.1)"
+    ymax = "(40.5 + (gy + 1) * 0.1)"
+    clip = clip_polygon_bbox_spark("poly", xmin, xmax, ymin, ymax)
+    clipped = cells.withColumn("clipped", F.expr(clip)).select(
+        "k", "gx", "gy", "clipped"
+    ).localCheckpoint()
+    per_cell = (
+        clipped.withColumn("a", F.expr(shoelace_area_spark("clipped")))
+        .filter(F.col("a") > 0)
+        .groupBy("gx", "gy")
+        .agg(
+            F.count(F.lit(1)).alias("n_polys"),
+            F.sum("a").alias("covered"),
+        )
+    )
+    totals = per_cell.agg(
+        F.round(F.sum("covered"), 9).alias("_total_covered"),
+        F.count(F.lit(1)).alias("_n_cells"),
+    )
+    return (
+        per_cell.filter(F.col("n_polys") >= 2)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "gx", "gy", "n_polys",
+            F.round("covered", 9).alias("covered_area"),
+            F.col("_total_covered").alias("total_covered_area"),
+            F.col("_n_cells").alias("n_cells_touched"),
+        )
+        .orderBy("gx", "gy")
+    )
+
+
+def _sql_zonal() -> str:
+    from ..functions.polyclip import clip_passes_duckdb, shoelace_area_duckdb
+
+    xmin = "(-74.3 + gx * 0.1)"
+    xmax = "(-74.3 + (gx + 1) * 0.1)"
+    ymin = "(40.5 + gy * 0.1)"
+    ymax = "(40.5 + (gy + 1) * 0.1)"
+    passes = clip_passes_duckdb(xmin, xmax, ymin, ymax)
+    ctes, cur = [], "poly"
+    for n, p_fn in enumerate(passes):
+        src = "cells" if n == 0 else f"z{n - 1}"
+        # MATERIALIZED: see _sql_polyclip — prevents exponential CTE
+        # inlining across the four chained clip passes.
+        ctes.append(
+            f"z{n} AS MATERIALIZED (SELECT k, gx, gy, {p_fn(cur)} AS p{n} FROM {src})"
+        )
+        cur = f"p{n}"
+    chain = ",\n".join(ctes)
+    last = f"z{len(passes) - 1}"
+    return f"""
+WITH base AS (
+  SELECT n_nationkey::INT AS k,
+         -74.3 + (n_nationkey % 5) * 0.12 + 0.03 AS cx,
+         40.5 + floor(n_nationkey / 5) * 0.1 + 0.02 AS cy,
+         0.02 + (n_nationkey % 7) * 0.012 AS r
+  FROM nation
+),
+rings AS (
+  SELECT k, cx, cy, r,
+         [{{'x': cx + r * cos(radians(90.0 + i * 72.0)),
+            'y': cy + r * sin(radians(90.0 + i * 72.0))}}
+          for i in range(0, 5)] AS poly
+  FROM base
+),
+cells AS (
+  SELECT k, poly, gx.unnest AS gx, gy.unnest AS gy
+  FROM rings,
+       unnest(range(floor((cx - r - (-74.3)) / 0.1)::INT,
+                    floor((cx + r - (-74.3)) / 0.1)::INT + 1)) AS gx(unnest),
+       unnest(range(floor((cy - r - 40.5) / 0.1)::INT,
+                    floor((cy + r - 40.5) / 0.1)::INT + 1)) AS gy(unnest)
+),
+{chain},
+areas AS (
+  SELECT gx, gy, {shoelace_area_duckdb(cur)} AS a FROM {last}
+),
+per_cell AS (
+  SELECT gx, gy, count(*)::BIGINT AS n_polys, sum(a) AS covered
+  FROM areas WHERE a > 0 GROUP BY 1, 2
+),
+totals AS (
+  SELECT round(sum(covered), 9) AS total_covered, count(*)::BIGINT AS n_cells
+  FROM per_cell
+)
+SELECT gx, gy, n_polys, round(covered, 9) AS covered_area,
+       total_covered AS total_covered_area, n_cells AS n_cells_touched
+FROM per_cell, totals
+WHERE n_polys >= 2
+ORDER BY gx, gy
+"""
+
+
+def q_kaplan_meier_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator over user
+    lifetimes (first event → last event, right-censored at the corpus
+    end — the proper-statistics companion to `user_survival_curve`'s
+    fixed-horizon table): S(t) = Π_{t_i ≤ t} (1 - d_i / n_i) over
+    distinct death days, computed as exp(Σ log(...)) under a running
+    window — one aggregate to per-user lifetimes, one to day groups,
+    one cumulative window over ≤ observation-span rows."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(F.max("ts").alias("_end"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(span))
+        .withColumn(
+            "dur_days",
+            F.floor(
+                (F.unix_timestamp("last_ts") - F.unix_timestamp("first_ts"))
+                / 86400
+            ).cast("int"),
+        )
+        # death = last event > 2 days before corpus end; else censored
+        .withColumn(
+            "died",
+            (
+                F.unix_timestamp("_end") - F.unix_timestamp("last_ts")
+                > 2 * 86400
+            ).cast("int"),
+        )
+    )
+    n_total = users.agg(F.count(F.lit(1)).alias("_n")).collect()[0]["_n"]
+    days = users.groupBy("dur_days").agg(
+        F.count(F.lit(1)).alias("n_ending"),
+        F.sum("died").alias("d_i"),
+    )
+    w = Window.orderBy("dur_days").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("dur_days").rowsBetween(Window.unboundedPreceding, 0)
+    km = (
+        days.withColumn(
+            "n_at_risk", F.lit(n_total) - F.coalesce(F.sum("n_ending").over(w), F.lit(0))
+        )
+        .withColumn(
+            "_lt",
+            F.when(
+                F.col("d_i") > 0,
+                F.log(1.0 - F.col("d_i") / F.col("n_at_risk")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("survival", F.exp(F.sum("_lt").over(wc)))
+    )
+    return km.select(
+        "dur_days",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("d_i").cast("long").alias("deaths"),
+        (F.col("n_ending") - F.col("d_i")).cast("long").alias("censored"),
+        F.round("survival", 6).alias("survival"),
+    ).orderBy("dur_days")
+
+
+_SQL_KM = """
+WITH span AS (SELECT max(ts) AS e FROM events),
+users AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts FROM events GROUP BY 1
+),
+lab AS (
+  SELECT user_id,
+         floor(epoch(last_ts - first_ts) / 86400)::INT AS dur_days,
+         CASE WHEN epoch(e) - epoch(last_ts) > 2 * 86400 THEN 1 ELSE 0 END AS died
+  FROM users, span
+),
+n AS (SELECT count(*)::BIGINT AS n_total FROM lab),
+days AS (
+  SELECT dur_days, count(*)::BIGINT AS n_ending, sum(died)::BIGINT AS d_i
+  FROM lab GROUP BY 1
+),
+km AS (
+  SELECT dur_days, n_ending, d_i,
+         n_total - coalesce(sum(n_ending) OVER (ORDER BY dur_days
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM days, n
+),
+s AS (
+  SELECT *, exp(sum(CASE WHEN d_i > 0 THEN ln(1.0 - d_i::DOUBLE / n_at_risk)
+                         ELSE 0.0 END)
+                OVER (ORDER BY dur_days
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            AS survival
+  FROM km
+)
+SELECT dur_days, n_at_risk::BIGINT AS n_at_risk, d_i AS deaths,
+       (n_ending - d_i)::BIGINT AS censored, round(survival, 6) AS survival
+FROM s
+ORDER BY dur_days
+"""
+
+
+def q_readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / Flesch-Kincaid grade per source — the
+    readability member of the text-quality family (beside
+    `quality_score_docs` and `gopher_quality_docs`): syllables
+    estimated as vowel-group counts (the standard heuristic), sentences
+    as terminal-punctuation runs (min 1), everything as regexp/column
+    math on the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+    # vowel groups can't be adjacent after collapse, so #-count =
+    # syllable estimate; same length-difference formula both engines
+    syllables = F.expr(
+        "length(regexp_replace(text, '[aeiouy]+', '#'))"
+        " - length(replace(regexp_replace(text, '[aeiouy]+', '#'), '#', ''))"
+    )
+    sentences = F.greatest(
+        F.lit(1),
+        F.size(F.expr("filter(split(text, '[.!?]+'), x -> trim(x) <> '')")),
+    )
+    d = docs.select(
+        "source",
+        words.alias("w"),
+        syllables.alias("sy"),
+        sentences.alias("se"),
+    ).filter(F.col("w") > 0)
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("w") / F.col("se"))
+        - 84.6 * (F.col("sy") / F.col("w"))
+    )
+    fk = (
+        F.lit(0.39) * (F.col("w") / F.col("se"))
+        + 11.8 * (F.col("sy") / F.col("w"))
+        - 15.59
+    )
+    return (
+        d.withColumn("flesch", flesch)
+        .withColumn("fk", fk)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("flesch"), 6).alias("avg_flesch"),
+            F.round(F.avg("fk"), 6).alias("avg_fk_grade"),
+            F.round(F.avg(F.col("sy") / F.col("w")), 6).alias("avg_syll_per_word"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_READABILITY = """
+WITH d AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+         length(regexp_replace(text, '[aeiouy]+', '#', 'g'))
+           - length(replace(regexp_replace(text, '[aeiouy]+', '#', 'g'),
+                            '#', '')) AS sy_raw,
+         greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+                                     x -> trim(x) <> ''))) AS se
+  FROM documents
+),
+d2 AS (
+  SELECT source, w, sy_raw AS sy, se FROM d WHERE w > 0
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(avg(206.835 - 1.015 * (w / se) - 84.6 * (sy / w)), 6) AS avg_flesch,
+       round(avg(0.39 * (w / se) + 11.8 * (sy / w) - 15.59), 6) AS avg_fk_grade,
+       round(avg(sy / w), 6) AS avg_syll_per_word
+FROM d2
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_bm25_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Spärck Jones; k1=1.2, b=0.75)
+    over the corpus for a fixed 3-term query — the lexical-retrieval
+    stage of a RAG / hard-negative-mining pipeline, beside the dense
+    path (`srp_topk_embeddings`). idf uses the standard
+    ln((N - df + 0.5)/(df + 0.5) + 1) form; doc length normalizes
+    against the corpus mean.
+
+    Shape: one explode→groupBy for per-doc tf, one for df, doc lengths
+    from a groupBy; the 3-row query-term dim and the 1-row (N, avgdl)
+    agg both broadcast into the tf fact — the only shuffle is on the
+    term key, which at web scale is the inverted-index build shuffle."""
+    terms = ["spark", "window", "merge"]
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    ).filter(F.length("tok") > 3)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_tbl = (
+        toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    )
+    qterms = spark.createDataFrame([(t,) for t in terms], ["tok"])
+    tf_tbl = (
+        toks.join(F.broadcast(qterms), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    k1, b = 1.2, 0.75
+    scored = (
+        tf_tbl.join(F.broadcast(df_tbl.join(F.broadcast(qterms), "tok")), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_corpus") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("w"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+_SQL_BM25 = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+toks4 AS (SELECT * FROM toks WHERE length(tok) > 3),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks4 GROUP BY doc_id),
+stats AS (SELECT count(*)::BIGINT AS n_corpus, avg(dl) AS avgdl FROM dl),
+df_tbl AS (
+  SELECT tok, count(*)::BIGINT AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM toks4) GROUP BY tok
+),
+qterms AS (SELECT unnest(['spark', 'window', 'merge']) AS tok),
+tf_tbl AS (
+  SELECT t.doc_id, t.tok, count(*)::BIGINT AS tf
+  FROM toks4 t JOIN qterms q ON t.tok = q.tok
+  GROUP BY t.doc_id, t.tok
+),
+scored AS (
+  SELECT t.doc_id,
+         ln((s.n_corpus - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) AS w
+  FROM tf_tbl t
+  JOIN df_tbl d ON t.tok = d.tok
+  JOIN dl l ON t.doc_id = l.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(w), 6) AS bm25, count(*)::BIGINT AS n_terms_hit
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+def q_dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of a count histogram (Laplace
+    mechanism, ε=1, sensitivity 1 ⇒ b=1) over order priorities — the
+    release gate beside `k_anonymity_audit` for aggregate stats that
+    leave the governed boundary. Noise is DETERMINISTIC (seeded by the
+    group key through the md5-prefix uniform, the engine's standard
+    reproducible-randomness device): u ∈ (-½,½) from 13 hex digits,
+    noise = -b·sign(u)·ln(1-2|u|) — the exact inverse-CDF Laplace
+    draw, bit-replayable in the oracle.
+
+    Shape: one hash aggregate + per-row scalar math; nothing leaves
+    the executors. At 100 TB this is the same plan as a value_counts."""
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp#"), F.col("o_orderpriority"))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**13))
+        - 0.5
+    )
+    noised = counts.withColumn("u", u).withColumn(
+        "noise",
+        -F.signum(F.col("u")) * F.log(1.0 - 2.0 * F.abs(F.col("u"))),
+    )
+    return noised.select(
+        "o_orderpriority",
+        "true_n",
+        F.round("noise", 6).alias("laplace_noise"),
+        F.round(F.col("true_n") + F.col("noise"), 6).alias("released_n"),
+    ).orderBy("o_orderpriority")
+
+
+_SQL_DP_NOISE = """
+WITH counts AS (
+  SELECT o_orderpriority, count(*)::BIGINT AS true_n
+  FROM orders GROUP BY o_orderpriority
+),
+seeded AS (
+  SELECT *,
+         ('0x' || substr(md5('dp#' || o_orderpriority), 1, 13))::BIGINT
+           / 4503599627370496.0 - 0.5 AS u
+  FROM counts
+),
+noised AS (
+  SELECT o_orderpriority, true_n, u,
+         -sign(u) * ln(1.0 - 2.0 * abs(u)) AS noise
+  FROM seeded
+)
+SELECT o_orderpriority, true_n,
+       round(noise, 6) AS laplace_noise,
+       round(true_n + noise, 6) AS released_n
+FROM noised ORDER BY o_orderpriority
+"""
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure companion to
+    `k_anonymity_audit`: within each quasi-identifier equivalence
+    class (nation × balance sign), how many DISTINCT sensitive values
+    (market segment) appear, and what the majority share is. A class
+    can be k-anonymous yet leak the sensitive attribute if every
+    member shares one segment; this reports the l histogram, the
+    minimum l, and rows in classes failing l ≥ 3.
+
+    Shape: two chained hash aggregates (class×segment, then class) +
+    a banded rollup with a broadcast 1-row total — value_counts cost."""
+    cust = _t(spark, sf_dir, "customer")
+    seg = (
+        cust.withColumn(
+            "bal_sign",
+            F.when(F.col("c_acctbal") < 0, F.lit("neg")).otherwise(F.lit("nonneg")),
+        )
+        .groupBy("c_nationkey", "bal_sign", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("seg_n"))
+    )
+    classes = seg.groupBy("c_nationkey", "bal_sign").agg(
+        F.count(F.lit(1)).alias("l"),
+        F.sum("seg_n").alias("cls"),
+        F.max("seg_n").alias("max_seg"),
+    )
+    total = classes.agg(
+        F.min("l").alias("_lmin"),
+        F.sum(F.when(F.col("l") < 3, F.col("cls")).otherwise(0)).alias("_fail"),
+        F.sum("cls").alias("_tot"),
+    )
+    return (
+        classes.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("cls").alias("n_rows"),
+            F.round(F.avg(F.col("max_seg") / F.col("cls")), 6).alias(
+                "avg_majority_share"
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l",
+            "n_classes",
+            "n_rows",
+            "avg_majority_share",
+            F.col("_lmin").alias("l_min"),
+            F.col("_fail").alias("rows_failing_l3"),
+            F.round(F.col("_fail") / F.col("_tot"), 6).alias("fail_share"),
+        )
+        .orderBy("l")
+    )
+
+
+_SQL_L_DIVERSITY = """
+WITH seg AS (
+  SELECT c_nationkey,
+         CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS bal_sign,
+         c_mktsegment, count(*)::BIGINT AS seg_n
+  FROM customer GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT c_nationkey, bal_sign,
+         count(*)::BIGINT AS l, sum(seg_n)::BIGINT AS cls,
+         max(seg_n)::BIGINT AS max_seg
+  FROM seg GROUP BY 1, 2
+),
+total AS (
+  SELECT min(l)::BIGINT AS lmin,
+         sum(CASE WHEN l < 3 THEN cls ELSE 0 END)::BIGINT AS fail,
+         sum(cls)::BIGINT AS tot
+  FROM classes
+)
+SELECT l, count(*)::BIGINT AS n_classes, sum(cls)::BIGINT AS n_rows,
+       round(avg(max_seg / cls), 6) AS avg_majority_share,
+       lmin AS l_min, fail AS rows_failing_l3,
+       round(fail / tot, 6) AS fail_share
+FROM classes, total
+GROUP BY l, lmin, fail, tot
+ORDER BY l
+"""
+
+
+def q_scc_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed modular graph
+    (`graph/algorithms.scc_labels`): transitive closure by path
+    doubling (R ← R ∪ R∘R, O(log diameter) join rounds, run to
+    fixpoint), SCC = mutual-reachability classes labeled by min member.
+    Completes the component family: undirected CC (near-dup clusters)
+    and label propagation see only symmetric edges; SCC is the directed
+    notion (dependency cycles, link graphs). Output: per-SCC sizes for
+    the non-singleton components + the singleton census.
+
+    Oracle: DuckDB recursive-CTE closure + identical mutual-min
+    aggregation — full value replay, not shape-only. Scale: closure
+    output is Θ(reachable pairs) — the operator targets condensation
+    graphs / bounded subgraphs (algorithms.py docstring); each round is
+    two hash equi-joins."""
+    from ..graph.algorithms import scc_labels
+
+    labels = scc_labels(_mod_graph_edges(spark))
+    sizes = labels.groupBy("scc_id").agg(F.count(F.lit(1)).alias("n_nodes"))
+    singles = sizes.agg(
+        F.sum(F.when(F.col("n_nodes") == 1, 1).otherwise(0)).alias("_n_single"),
+        F.count(F.lit(1)).alias("_n_sccs"),
+    )
+    return (
+        sizes.filter(F.col("n_nodes") > 1)
+        .crossJoin(F.broadcast(singles))
+        .select(
+            "scc_id",
+            "n_nodes",
+            F.col("_n_single").alias("n_singleton_sccs"),
+            F.col("_n_sccs").alias("n_sccs_total"),
+        )
+        .orderBy(F.desc("n_nodes"), "scc_id")
+    )
+
+
+def _sql_scc() -> str:
+    return f"""
+WITH RECURSIVE ids AS (SELECT unnest(range(0, {_MOD_N})) AS i),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (2 * i + 1) % {_MOD_N} AS dst FROM ids
+    UNION ALL SELECT i, (3 * i + 7) % {_MOD_N} FROM ids
+    UNION ALL SELECT i, (i * i + 3) % {_MOD_N} FROM ids
+  ) WHERE src <> dst
+),
+reach(u, v) AS (
+  SELECT i, i FROM ids
+  UNION
+  SELECT r.u, e.dst FROM reach r JOIN edges e ON r.v = e.src
+),
+mutual AS (
+  SELECT f.u AS id, f.v AS m
+  FROM reach f JOIN reach r ON f.u = r.v AND f.v = r.u
+),
+labels AS (SELECT id, min(m) AS scc_id FROM mutual GROUP BY id),
+sizes AS (SELECT scc_id, count(*)::BIGINT AS n_nodes FROM labels GROUP BY scc_id),
+singles AS (
+  SELECT sum(CASE WHEN n_nodes = 1 THEN 1 ELSE 0 END)::BIGINT AS n_single,
+         count(*)::BIGINT AS n_sccs
+  FROM sizes
+)
+SELECT scc_id, n_nodes, n_single AS n_singleton_sccs, n_sccs AS n_sccs_total
+FROM sizes, singles
+WHERE n_nodes > 1
+ORDER BY n_nodes DESC, scc_id
+"""
+
+
+_HOLT_ALPHA, _HOLT_BETA = 0.3, 0.1
+
+
+def q_holt_trend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend,
+    α=0.3 β=0.1) over monthly revenue — the trend-aware upgrade of
+    `ewma_daily_revenue`'s flat EWMA. The recurrence l_t, b_t is a
+    sequential scan no window function expresses; here the monthly
+    series (bounded: one row per month, exact integer cent sums)
+    collapses to ONE sorted array and the scan runs as an `aggregate`
+    fold appending per-step states — identical op order to the
+    oracle's recursive CTE, so levels/trends/one-step fits replay
+    bit-for-bit. Init l₁=y₁, b₁=0 (part of the operator contract).
+
+    Scale: the corpus-sized work is the monthly groupBy (map-side
+    partial sums); the fold touches only #months rows. Per-key series
+    (forecasting millions of SKUs) would partition the same fold by
+    key — the state is O(1) per step either way."""
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    monthly = orders.groupBy(
+        F.date_trunc("MONTH", F.col("o_orderdate")).alias("mon")
+    ).agg((F.sum(cents) / 100.0).alias("y"))
+    arr = monthly.agg(
+        F.sort_array(F.collect_list(F.struct("mon", "y"))).alias("s"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    st = (
+        "named_struct('mon', e.mon, 'y', e.y, "
+        f"'l', {a}D * e.y + {1 - a}D * (p.l + p.b), "
+        f"'b', {b}D * (({a}D * e.y + {1 - a}D * (p.l + p.b)) - p.l)"
+        f" + {1 - b}D * p.b, "
+        "'fit', p.l + p.b)"
+    )
+    fold = (
+        "aggregate(s, "
+        "array(named_struct('mon', element_at(s, 1).mon, "
+        "'y', element_at(s, 1).y, 'l', element_at(s, 1).y, "
+        "'b', cast(0.0 as double), 'fit', cast(null as double))), "
+        "(acc, e) -> CASE WHEN e.mon = element_at(s, 1).mon THEN acc "
+        "ELSE concat(acc, array(element_at(transform("
+        f"array(element_at(acc, size(acc))), p -> {st}), 1))) END)"
+    )
+    states = arr.select(
+        F.col("n_months"), F.explode(F.expr(fold)).alias("h")
+    )
+    sse = states.agg(
+        F.sum(F.pow(F.col("h.y") - F.col("h.fit"), 2)).alias("_sse")
+    )
+    return (
+        states.crossJoin(F.broadcast(sse))
+        .select(
+            F.col("h.mon").alias("mon"),
+            F.round("h.y", 2).alias("revenue"),
+            F.round("h.l", 4).alias("level"),
+            F.round("h.b", 4).alias("trend"),
+            F.round("h.fit", 4).alias("fitted"),
+            F.round(F.col("_sse") / F.col("n_months"), 2).alias("mse_all"),
+        )
+        .orderBy(F.desc("mon"))
+        .limit(6)
+    )
+
+
+def _sql_holt() -> str:
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    return f"""
+WITH RECURSIVE monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS mon,
+         sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS y
+  FROM orders GROUP BY 1
+),
+m AS (SELECT row_number() OVER (ORDER BY mon) AS rn, mon, y FROM monthly),
+h(rn, mon, y, l, b, fit) AS (
+  SELECT rn, mon, y, y, CAST(0.0 AS DOUBLE), CAST(NULL AS DOUBLE) FROM m WHERE rn = 1
+  UNION ALL
+  SELECT m.rn, m.mon, m.y,
+         {a} * m.y + {1 - a} * (h.l + h.b),
+         {b} * (({a} * m.y + {1 - a} * (h.l + h.b)) - h.l) + {1 - b} * h.b,
+         h.l + h.b
+  FROM h JOIN m ON m.rn = h.rn + 1
+),
+sse AS (SELECT sum(pow(y - fit, 2)) AS s, count(*)::BIGINT AS n FROM h)
+SELECT mon, round(y, 2) AS revenue, round(l, 4) AS level,
+       round(b, 4) AS trend, round(fit, 4) AS fitted,
+       round(sse.s / sse.n, 2) AS mse_all
+FROM h, sse
+ORDER BY mon DESC
+LIMIT 6
+"""
+
+
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — applying the trained merge table
+    (`bpe_merges_docs`' fit artifact) back to the corpus: each doc's
+    text is suffix-delimited per char, then every merge rewrites it in
+    rank order via `replace` (left-to-right non-overlapping = greedy
+    BPE, the training rewrite's own device; merges never contain a
+    space, so word boundaries are inert). Per-source token totals,
+    tokens/doc, chars/token compression — the tokenizer-throughput
+    numbers an LLM-data pipeline reports.
+
+    Scale: train touches only the distinct-word vocabulary; encode is
+    ONE codegen'd expression chain (8 replaces) over the corpus — no
+    joins, no Python. Oracle: replays training (shared unrolled CTE
+    chain) AND the 8-replace encode per doc."""
+    from ..operators.bpe import bpe_train, word_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(word_vocab(docs), _BPE_N_MERGES)
+    seq = "regexp_replace(text, '(.)', '$1|')"
+    for _rank, left, right, merged, _pc in merges:
+        lq = left.replace("'", "''")
+        rq = right.replace("'", "''")
+        mq = merged.replace("'", "''")
+        seq = f"replace({seq}, '{lq}|{rq}|', '{mq}|')"
+    enc = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"length({seq}) - length(replace({seq}, '|', ''))").alias(
+            "n_sym"
+        ),
+        F.expr("length(text) - length(replace(text, ' ', ''))").alias(
+            "n_space"
+        ),
+        F.expr("length(replace(text, ' ', ''))").alias("n_chars"),
+    ).withColumn("n_tokens", F.col("n_sym") - F.col("n_space"))
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens_per_doc"),
+            F.round(F.sum("n_chars") / F.sum("n_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_bpe_encode() -> str:
+    parts = _sql_bpe_train_parts()
+    # apply the 8 trained merges to each document in rank order; each
+    # d{t} references the previous seq once (linear growth) and pulls
+    # its merge pattern from b{t} as scalar subqueries
+    parts.append(
+        "d0 AS (SELECT doc_id, source,"
+        " length(replace(text, ' ', '')) AS n_chars,"
+        " length(text) - length(replace(text, ' ', '')) AS n_space,"
+        " regexp_replace(text, '(.)', '\\1|', 'g') AS seq"
+        " FROM documents)"
+    )
+    for t in range(1, _BPE_N_MERGES + 1):
+        parts.append(
+            f"d{t} AS (SELECT doc_id, source, n_chars, n_space,"
+            f" replace(seq, (SELECT l || '|' || r || '|' FROM b{t}),"
+            f" (SELECT l || r || '|' FROM b{t})) AS seq FROM d{t - 1})"
+        )
+    last = f"d{_BPE_N_MERGES}"
+    ctes = ",\n".join(parts)
+    return f"""WITH {ctes},
+enc AS (
+  SELECT doc_id, source, n_chars,
+         (length(seq) - length(replace(seq, '|', ''))) - n_space AS n_tokens
+  FROM {last}
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       round(avg(n_tokens), 6) AS avg_tokens_per_doc,
+       round(sum(n_chars) / sum(n_tokens), 6) AS chars_per_token
+FROM enc GROUP BY source ORDER BY source"""
+
+
+def q_orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (columnar-format surface beyond parquet/CSV/
+    NDJSON/GeoJSON: Spark's built-in ORC source keeps predicate
+    pushdown and column pruning): events write to ORC, re-read with a
+    type-range filter, aggregate hourly. The oracle reads the original
+    parquet — a match proves the ORC writer/reader round-trips types
+    (timestamps, doubles, strings) losslessly."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="orc_scan_")
+    path = f"{tmp}/events.orc"
+    ev.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).orc(path)
+    back = spark.read.orc(path).filter(F.col("event_type") != "scroll")
+    return (
+        back.groupBy(
+            F.date_trunc("HOUR", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+        .limit(50)
+    )
+
+
+_SQL_ORC_SCAN = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM events
+WHERE event_type <> 'scroll'
+GROUP BY 1, 2
+ORDER BY hour, event_type
+LIMIT 50
 """
 
 
@@ -13519,6 +14644,19 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "item_item_cf": (q_item_item_cf, _SQL_ITEM_CF),
     "sampled_quantile_bands": (q_sampled_quantile_bands, _SQL_SAMPLED_QUANTILES),
     "jw_entity_resolution": (q_jw_entity_resolution, _SQL_JW_ER),
+    "k_anonymity_audit": (q_k_anonymity_audit, _SQL_K_ANON),
+    "kcenter_coreset_embeddings": (q_kcenter_coreset_embeddings, _sql_kcenter()),
+    "polygon_clip_areas": (q_polygon_clip_areas, _sql_polyclip()),
+    "zonal_polygon_coverage": (q_zonal_polygon_coverage, _sql_zonal()),
+    "kaplan_meier_users": (q_kaplan_meier_users, _SQL_KM),
+    "readability_docs": (q_readability_docs, _SQL_READABILITY),
+    "bm25_retrieval_docs": (q_bm25_retrieval_docs, _SQL_BM25),
+    "dp_noised_counts": (q_dp_noised_counts, _SQL_DP_NOISE),
+    "l_diversity_audit": (q_l_diversity_audit, _SQL_L_DIVERSITY),
+    "scc_mod": (q_scc_mod, _sql_scc()),
+    "holt_trend_revenue": (q_holt_trend_revenue, _sql_holt()),
+    "bpe_encode_docs": (q_bpe_encode_docs, _sql_bpe_encode()),
+    "orc_roundtrip_events": (q_orc_roundtrip_events, _SQL_ORC_SCAN),
     "ripley_k_events": (q_ripley_k_events, _SQL_RIPLEY),
     "emerging_hotspots": (q_emerging_hotspots, _SQL_EMERGING),
 }

@@ -70,6 +70,11 @@ ALLOWLIST_NLJ = {
     "mrl_truncation_recall": "exact brute-force baseline (32-query broadcast) at each truncation width + 1-row n_queries broadcast",
     "trajectory_hausdorff": "6-user pair roster (u < v non-equi self-join over the distinct-user list); cells reached via equi-joins on user id",
     "sampled_quantile_bands": "1-row sample-quantiles x 1-row exact-quantiles broadcast combine",
+    "k_anonymity_audit": "1-row (total, k_min, suppression) broadcast over the 4-row band histogram",
+    "l_diversity_audit": "1-row (l_min, fail, total) broadcast over the 5-row l histogram",
+    "scc_mod": "1-row singleton-census broadcast over the 4-row non-singleton SCC table",
+    "holt_trend_revenue": "1-row SSE broadcast over the ~80-row state table + 1-row sorted-series agg",
+    "bm25_retrieval_docs": "1-row (N, avgdl) corpus-stats broadcast into the 3-term tf fact",
 }
 
 
