@@ -63,8 +63,20 @@ def bpe_train(
     # vocabulary; when that table is small (fixtures, most corpora after
     # word-counting), 32-partition scheduling overhead dominates — fold
     # it to one partition. Web-scale vocabularies (>100k words) keep
-    # the inherited partitioning.
-    if words.count() <= 100_000:
+    # the inherited partitioning. The same pass guards the suffix
+    # delimiter: a word containing '|' would silently corrupt the
+    # delimited encoding in BOTH engines (the oracle replays the same
+    # representation, so a cross-engine check can't catch it) — refuse.
+    stats = words.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("word").contains("|").cast("long")).alias("n_bad"),
+    ).collect()[0]
+    if (stats["n_bad"] or 0) > 0:
+        raise ValueError(
+            f"{stats['n_bad']} vocabulary words contain the '|' suffix "
+            "delimiter; strip or remap them before BPE training"
+        )
+    if stats["n"] <= 100_000:
         words = words.coalesce(1).localCheckpoint()
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
@@ -81,8 +93,12 @@ def bpe_train(
             break
         l, r, pc = best[0]["l"], best[0]["r"], int(best[0]["pc"])
         merges.append((rank, l, r, l + r, pc))
+        # F.replace with literal COLUMNS, not an interpolated SQL string:
+        # learned symbols routinely contain quotes/backslashes (apostrophes
+        # in real text), which would break or corrupt an f-string F.expr.
         words = words.withColumn(
-            "seq", F.expr(f"replace(seq, '{l}|{r}|', '{l}{r}|')")
+            "seq",
+            F.replace(F.col("seq"), F.lit(f"{l}|{r}|"), F.lit(f"{l}{r}|")),
         ).localCheckpoint()
     return merges, words
 

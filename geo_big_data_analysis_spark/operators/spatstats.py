@@ -145,6 +145,26 @@ def ripley_k(
     """
     from ..functions.geo import grid_cell, haversine_km
 
+    # Covering-cell completeness obligation: the 3x3 neighborhood only
+    # covers every pair within rmax if one cell spans >= rmax on BOTH
+    # axes. Lat: 1 deg ~ 110.574 km everywhere. Lon: 1 deg shrinks by
+    # cos(lat) — checked at |origin_lat| + 2 deg as a study-area margin
+    # (the grid origin anchors the bbox corner, so data sits within a
+    # few degrees of it for any sane cell size).
+    import math as _math
+
+    rmax_check = max(radii_km)
+    lat_km = cover_cell_deg * 110.574
+    lon_km = cover_cell_deg * 111.32 * _math.cos(
+        _math.radians(min(abs(origin_lat) + 2.0, 89.0))
+    )
+    if min(lat_km, lon_km) < rmax_check:
+        raise ValueError(
+            f"cover_cell_deg={cover_cell_deg} spans only "
+            f"{min(lat_km, lon_km):.3f} km on the narrower axis < max "
+            f"radius {rmax_check} km: the 3x3 covering cell would miss pairs"
+        )
+
     p = pts.select(F.col(lat).alias("_lat"), F.col(lon).alias("_lon"))
     gx, gy = grid_cell("_lat", "_lon", origin_lat, origin_lon, cover_cell_deg)
     b = p.withColumn("bgx", gx).withColumn("bgy", gy).select(

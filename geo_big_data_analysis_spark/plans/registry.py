@@ -12245,7 +12245,8 @@ pairs AS (
          )) AS dist_km
   FROM pts a CROSS JOIN pts b
 ),
-inrange AS (SELECT dist_km FROM pairs WHERE dist_km > 0 AND dist_km <= 3.0),
+inrange AS (SELECT dist_km FROM pairs
+            WHERE dist_km > 0 AND dist_km <= {max(_RIPLEY_RADII)!r}),
 r AS (SELECT unnest([{', '.join(repr(float(r)) for r in _RIPLEY_RADII)}]) AS r_km),
 c AS (
   SELECT r.r_km,
@@ -12446,8 +12447,10 @@ def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style duplicate-span scrub (Raffel 2020 §2.2 dedups exact
     three-sentence spans corpus-wide, keeping one occurrence): docs →
     non-overlapping 8-token spans → global span census → every
-    occurrence except the first (min (doc_id, span_idx), as a scalar
-    composite key) is removed; per-source scrub manifest.
+    occurrence except the first (lexicographic min of the
+    (doc_id, span_idx) struct — NOT a scalar composite, which would
+    collide for documents with ≥ multiplier spans) is removed;
+    per-source scrub manifest.
 
     Scale shape: span explode is a map (bounded fan-out: tokens/8 per
     doc); the census + keeper-argmin is ONE hash aggregate keyed on the
@@ -12479,7 +12482,9 @@ def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_s.span_idx").alias("span_idx"),
         F.xxhash64("_s.span_text").alias("span_h"),
         F.length("_s.span_text").alias("span_chars"),
-        (F.col("doc_id") * 1024 + F.col("_s.span_idx")).alias("_occ_key"),
+        F.struct(F.col("doc_id"), F.col("_s.span_idx").alias("span_idx")).alias(
+            "_occ_key"
+        ),
     )
     census = spans.groupBy("span_h").agg(
         F.count(F.lit(1)).alias("n_occ"), F.min("_occ_key").alias("_keep_key")
@@ -12511,7 +12516,7 @@ WITH sp AS (
   SELECT doc_id, source, u['span_idx']::BIGINT AS span_idx,
          hash(u['span_text']) AS span_h,
          length(u['span_text'])::BIGINT AS span_chars,
-         doc_id * 1024 + u['span_idx'] AS occ_key
+         ROW(doc_id, u['span_idx']::BIGINT) AS occ_key
   FROM (
     SELECT doc_id, source,
            unnest([{{'span_idx': i - 1,
@@ -13022,10 +13027,16 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: within-basket pair explode is a self-join on the order key
     (fan-out = items-per-order², bounded by basket size); similarity
     needs only the two support counts joined back by part key; ranking
-    is a per-part partitioned window."""
+    is a per-part partitioned window. The probe restriction
+    (pa % 200 = 0) is applied to the LEFT side BEFORE the basket
+    self-join — c_ab and both supports are unchanged by it, and at
+    scale it turns an all-items similarity build into a probe lookup
+    (~200× less pair shuffle)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     support = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("sup"))
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa")).filter(
+        F.col("pa") % 200 == 0
+    )
     b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
     co = (
         a.join(b, "l_orderkey")
@@ -13042,7 +13053,7 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("pa").orderBy(F.desc("sim"), F.asc("pb"))
     return (
         sim.withColumn("rk", F.row_number().over(w))
-        .filter((F.col("rk") <= 3) & (F.col("pa") % 200 == 0))
+        .filter(F.col("rk") <= 3)
         .select(
             F.col("pa").alias("part_id"),
             F.col("rk").alias("rank"),
@@ -13228,7 +13239,13 @@ def q_jw_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("probe_key") != F.col("cand_key"))
         .withColumn("jw", jaro_winkler("probe_name", "cand_name"))
     )
-    w = Window.partitionBy("probe_key").orderBy(F.desc("jw"), F.asc("cand_key"))
+    # rank on jw ROUNDED to the compared precision (6dp): the Spark
+    # expression and DuckDB's C++ jaro_winkler_similarity agree only to
+    # ~1e-9, so raw-float ordering could pick a different best match per
+    # engine for near-tied candidates — a data-dependent flaky mismatch.
+    w = Window.partitionBy("probe_key").orderBy(
+        F.desc(F.round("jw", 6)), F.asc("cand_key")
+    )
     return (
         pairs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
@@ -13251,7 +13268,7 @@ pairs AS (
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY probe_key
-              ORDER BY jw DESC, cand_key ASC) AS rk
+              ORDER BY round(jw, 6) DESC, cand_key ASC) AS rk
   FROM pairs
 )
 SELECT probe_key, cand_key AS best_match_key, round(jw, 6) AS best_jw
@@ -14270,22 +14287,26 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     merges, _ = bpe_train(word_vocab(docs), _BPE_N_MERGES)
-    seq = "regexp_replace(text, '(.)', '$1|')"
+    # merge patterns as literal COLUMNS (F.replace/F.lit), never
+    # interpolated into an expr string: learned symbols can contain
+    # quotes AND backslashes, and Spark's SQL parser treats backslash
+    # as an escape — '' doubling alone is not enough.
+    seq = F.regexp_replace(F.col("text"), "(.)", "$1|")
     for _rank, left, right, merged, _pc in merges:
-        lq = left.replace("'", "''")
-        rq = right.replace("'", "''")
-        mq = merged.replace("'", "''")
-        seq = f"replace({seq}, '{lq}|{rq}|', '{mq}|')"
+        seq = F.replace(seq, F.lit(f"{left}|{right}|"), F.lit(f"{merged}|"))
     enc = docs.select(
         "doc_id",
         "source",
-        F.expr(f"length({seq}) - length(replace({seq}, '|', ''))").alias(
+        (F.length(seq) - F.length(F.replace(seq, F.lit("|"), F.lit("")))).alias(
             "n_sym"
         ),
-        F.expr("length(text) - length(replace(text, ' ', ''))").alias(
-            "n_space"
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        ).alias("n_space"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias(
+            "n_chars"
         ),
-        F.expr("length(replace(text, ' ', ''))").alias("n_chars"),
     ).withColumn("n_tokens", F.col("n_sym") - F.col("n_space"))
     return (
         enc.groupBy("source")

@@ -50,6 +50,32 @@ def test_word_vocab_counts(spark):
     assert v == {"a": 2, "b": 2, "c": 1}
 
 
+def test_bpe_quote_backslash_symbols(spark):
+    # Apostrophes and backslashes are ordinary characters in real text;
+    # the merge rewrite must treat learned symbols as LITERALS (column
+    # F.replace), never interpolate them into a SQL expr string.
+    vocab = _vocab(spark, {"don't": 5, "won't": 3, r"a\'b": 2})
+    merges, words = bpe_train(vocab, 2)
+    # Round-1 pair counts: (o,n)=8, (n,')=8, (',t)=8, (d,o)=5, (w,o)=3,
+    # (a,\)=2, (\,')=2, (',b)=2 — three-way tie at 8, lexicographic
+    # tie-break picks ("'", "t") ("'" < "n" < "o"). Round 2: (n,'t)=8
+    # ties (o,n)=8, "n" < "o" → ("n", "'t").
+    assert (merges[0][1], merges[0][2], merges[0][4]) == ("'", "t", 8)
+    assert (merges[1][1], merges[1][2], merges[1][4]) == ("n", "'t", 8)
+    seqs = {r["word"]: r["seq"] for r in words.collect()}
+    assert seqs["don't"] == "d|o|n't|"
+    assert seqs["won't"] == "w|o|n't|"
+    assert seqs[r"a\'b"] == "a|\\|'|b|"  # untouched by merges
+
+
+def test_bpe_rejects_pipe_in_vocab(spark):
+    import pytest
+
+    vocab = _vocab(spark, {"ok": 3, "ba|d": 1})
+    with pytest.raises(ValueError, match="delimiter"):
+        bpe_train(vocab, 1)
+
+
 def test_bpe_stops_when_no_pairs(spark):
     vocab = _vocab(spark, {"a": 4, "b": 2})  # single-char words: no pairs
     merges, words = bpe_train(vocab, 5)

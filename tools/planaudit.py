@@ -75,6 +75,8 @@ ALLOWLIST_NLJ = {
     "scc_mod": "1-row singleton-census broadcast over the 4-row non-singleton SCC table",
     "holt_trend_revenue": "1-row SSE broadcast over the ~80-row state table + 1-row sorted-series agg",
     "bm25_retrieval_docs": "1-row (N, avgdl) corpus-stats broadcast into the 3-term tf fact",
+    "zonal_polygon_coverage": "1-row grand-totals broadcast (crossJoin(F.broadcast(totals))) for coverage shares",
+    "kaplan_meier_users": "1-row observation-span broadcast clamping censoring at the corpus end",
 }
 
 
@@ -98,6 +100,7 @@ ALLOWLIST_GLOBAL_WINDOW = {
     "ewma_daily_revenue": "21-lag weighted window over the daily pre-aggregate (time-span-bounded)",
     "autocorrelation_daily": "7 lag columns over the daily pre-aggregate (time-span-bounded)",
     "seasonal_naive_eval": "lag-7 window over the daily pre-aggregate (time-span-bounded)",
+    "kaplan_meier_users": "KM product-limit runs over day-grouped event rows bounded by the observation span (~2.4k rows/7y); at larger horizons bucket by year and stitch",
 }
 
 
