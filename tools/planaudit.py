@@ -45,7 +45,6 @@ ALLOWLIST_NLJ = {
     "tfidf_top_terms": "1-row corpus-size broadcast for the idf denominator",
     "streaming_click_nopurchase": "1-row watermark-horizon broadcast over the drained batch",
     "important_part_value": "Q11 scalar subquery: 1-row global-sum broadcast threshold",
-    "logreg_return_metrics": "1-row AUC/confusion-count broadcast join in binary_metrics",
     "heavy_hitter_brands": "1-row total-count broadcast for the support threshold (frequent_items)",
     "ks_statistic_values": "1-row group-totals broadcast for CDF normalization",
     "rfm_segments": "two 1-row broadcasts: corpus max date + the 9 quartile thresholds",
@@ -89,7 +88,6 @@ ALLOWLIST_GLOBAL_WINDOW = {
     "trailing_7day_revenue": "RANGE frame over the daily pre-aggregate (time-span-bounded, ~2.4k rows/7y)",
     "auc_rank_metric": "cumulative counts over distinct-score groups (~550 rows, domain-bounded)",
     "gap_fill_daily_revenue": "forward-fill over the daily pre-aggregate (time-span-bounded, ~2.4k rows/7y)",
-    "logreg_return_metrics": "AUC rank window over 6dp-rounded score groups (bounded <=1e6 rows)",
     "rolling_anomaly_days": "trailing-7-day frame over the daily pre-aggregate (time-span-bounded)",
     "ks_statistic_values": "cumulative counts over 2dp value groups (domain-bounded <=1e5 rows, the AUC pattern)",
     "rolling_correlation_days": "trailing-14-day moment sums over the daily pre-aggregate (time-span-bounded)",
