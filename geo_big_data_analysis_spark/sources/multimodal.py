@@ -3,11 +3,14 @@
 A 100 TB training-data pipeline carries images/audio/video as opaque
 ``binary`` columns with typed metadata, decoding only inside Arrow
 batches. This module implements that plumbing for real — schema
-convention, mapInPandas batch shape, deterministic feature extraction —
-while the codec-dependent decode itself is stubbed (no image/audio
-libraries in this environment): ``decode_media`` raises
-NotImplementedError, and ``FAKE_DECODE`` substitutes a deterministic
-byte-level "decode" so every downstream stage is testable.
+convention, mapInPandas batch shape, deterministic feature extraction.
+The IMAGE path is fully real for PNG: ``decode_media`` decodes PNG
+payloads through the pure-Python reader in `sources/png.py` and
+``resize_image`` does a true decode→resample→re-encode round-trip.
+Audio/video codecs (and non-PNG image formats) remain environment
+stubs (no libav/pillow here): ``decode_media`` raises
+NotImplementedError for them, and ``FAKE_DECODE`` substitutes a
+deterministic byte-level "decode" so those stages stay testable.
 
 Schema convention:
     payload  binary                    -- the encoded media bytes
@@ -60,12 +63,23 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, media_type: str):  # pragma: no cover - stub
-    """Codec decode stub — pillow/libav are not available here. At
-    deploy time this returns a numpy array (HxWxC image, PCM samples,
-    or stacked frames)."""
+def decode_media(payload: bytes, media_type: str) -> np.ndarray:
+    """Codec decode. Images are REAL: PNG payloads decode through the
+    pure-Python reader (`sources/png.py` — zlib + unfilter, no pillow),
+    returning the (H, W[, C]) uint8 pixel array. Audio/video codecs
+    (and non-PNG image formats) remain environment stubs — libav/pillow
+    are not available here; the error names the swap-in point."""
+    if media_type == "image":
+        from .png import is_png, read_png
+
+        if is_png(payload):
+            return read_png(payload)
+        raise NotImplementedError(
+            "non-PNG image payload: install pillow for JPEG/WebP/... "
+            "(PNG decodes natively via sources/png.py)"
+        )
     raise NotImplementedError(
-        f"no codec for {media_type}: install pillow/av, or use FAKE_DECODE"
+        f"no codec for {media_type}: install av, or use FAKE_DECODE"
     )
 
 
@@ -119,33 +133,49 @@ def extract_features(df: DataFrame, decode=FAKE_DECODE) -> DataFrame:
 
 
 def resize_image(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
-    """Image-resize plumbing: nearest-neighbor resample of the fake
-    byte-"pixel" grid to (out_w, out_h), with media.width/height
-    metadata rewritten to match — the metadata-consistency contract a
-    real resizer must keep. Non-image rows pass through unchanged.
+    """Image resize to (out_w, out_h) with media.width/height metadata
+    rewritten to match — the metadata-consistency contract a real
+    resizer must keep. Non-image rows pass through unchanged.
 
-    The payload is treated as a row-major width×height grid (trimmed to
-    the largest full grid, padded when short — deterministic either
-    way); a real deploy swaps the byte indexing for a pillow/cv2 resize
-    inside the same Arrow batch loop. Schema is preserved.
+    PNG payloads are resized FOR REAL: decoded through the pure-Python
+    reader (`sources/png.py`), nearest-neighbor-resampled on the true
+    pixel grid (all channels), and re-encoded as PNG — a full
+    decode→transform→encode round-trip with no image library. Other
+    payloads fall back to the deterministic byte-grid resample
+    (row-major width×height view, trimmed/padded to a full grid) so the
+    plumbing stays testable without codecs. Schema is preserved.
     """
     schema = df.schema
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import is_png, read_png, write_png
+
         for pdf in batches:
             payloads, medias = [], []
             for p, m in zip(pdf["payload"], pdf["media"]):
                 m = dict(m)
-                if m["media_type"] != "image" or not m["width"] or not m["height"]:
-                    payloads.append(bytes(p))
+                p = bytes(p)
+                if m["media_type"] != "image":
+                    payloads.append(p)
                     medias.append(m)
                     continue
-                w, h = int(m["width"]), int(m["height"])
-                raw = np.frombuffer(bytes(p), dtype=np.uint8)
-                grid = np.resize(raw, (h, w))  # pad-by-repeat when short
-                ys = (np.arange(out_h) * h // out_h).astype(int)
-                xs = (np.arange(out_w) * w // out_w).astype(int)
-                payloads.append(grid[np.ix_(ys, xs)].tobytes())
+                if is_png(p):
+                    px = read_png(p)
+                    h, w = px.shape[0], px.shape[1]
+                    ys = (np.arange(out_h) * h // out_h).astype(int)
+                    xs = (np.arange(out_w) * w // out_w).astype(int)
+                    payloads.append(write_png(px[np.ix_(ys, xs)]))
+                elif m["width"] and m["height"]:
+                    w, h = int(m["width"]), int(m["height"])
+                    raw = np.frombuffer(p, dtype=np.uint8)
+                    grid = np.resize(raw, (h, w))  # pad-by-repeat when short
+                    ys = (np.arange(out_h) * h // out_h).astype(int)
+                    xs = (np.arange(out_w) * w // out_w).astype(int)
+                    payloads.append(grid[np.ix_(ys, xs)].tobytes())
+                else:
+                    payloads.append(p)
+                    medias.append(m)
+                    continue
                 m["width"], m["height"] = out_w, out_h
                 medias.append(m)
             pdf = pdf.copy()
