@@ -117,19 +117,150 @@ def lexicon_sql_values(idx: int = 0, alias: str = "lex") -> str:
 # assessments, 0.0 with none. The fold below implements exactly those
 # rules as one JVM-side `aggregate` over the token array — no UDF.
 
-#: pattern-en lexicon subset with (polarity, subjectivity, intensity) —
-#: values for the pinned-parity words match the pattern-en sense
-#: averages TextBlob reports (good 0.7/0.6, great 0.8/0.75,
-#: bad −0.7/0.6667, terrible −1/1, very 0.2/0.3/×1.3).
+#: (polarity, subjectivity, intensity) lexicon for the Pattern-style
+#: scorer. TWO documented tiers:
+#:   1. PINNED-PARITY tier — values matching the pattern-en sense
+#:      averages TextBlob reports (good 0.7/0.6, great 0.8/0.75,
+#:      bad −0.7/0.6667, terrible −1/1, very 0.2/0.3/×1.3); the
+#:      TextBlob-pinned pytest runs over THESE words only.
+#:   2. EXTENDED tier (`_EXTENDED_VALENCES` below) — the engine's own
+#:      curated valence list following the same AFINN/pattern-style
+#:      conventions as `LEXICON` above (magnitudes rescaled to ±1,
+#:      subjectivity = opinion-ladenness 0..1, intensity ≠ 1 only for
+#:      modifiers). Verbatim pattern-en parity for this tier would
+#:      require shipping the (BSD-licensed) en-sentiment.xml — not
+#:      available in this offline environment; the lab-4 golden-band
+#:      query (`lab4_sentiment_golden`) pins the BASELINE.md
+#:      distribution mechanics against a reference-shaped fixture
+#:      instead, fully oracle-replayed.
+#: Ambiguous high-frequency words that pattern-en scores but that are
+#: usually non-evaluative in context ("like", "right", "well", "mean")
+#: are deliberately excluded — on review-like corpora they add more
+#: false assessments than signal.
+_EXTENDED_VALENCES: dict[str, tuple[float, float]] = {
+    # --- positive adjectives/adverbs -------------------------------
+    "able": (0.5, 0.625), "abundant": (0.4, 0.6), "accessible": (0.3, 0.5),
+    "accurate": (0.6, 0.7), "adorable": (0.8, 0.9), "affordable": (0.4, 0.5),
+    "agreeable": (0.5, 0.7), "ambitious": (0.4, 0.7), "ample": (0.4, 0.5),
+    "appealing": (0.6, 0.8), "appetizing": (0.7, 0.8), "attentive": (0.5, 0.6),
+    "attractive": (0.6, 0.8), "authentic": (0.5, 0.6), "beautiful": (0.85, 1.0),
+    "beloved": (0.7, 0.8), "better": (0.5, 0.5), "blissful": (0.9, 1.0),
+    "brave": (0.6, 0.8), "bright": (0.5, 0.6), "brilliant": (0.9, 0.9),
+    "calm": (0.3, 0.6), "capable": (0.4, 0.5), "charming": (0.7, 0.9),
+    "cheap": (0.2, 0.4), "cheerful": (0.7, 0.9), "classic": (0.3, 0.4),
+    "comfortable": (0.5, 0.7), "competent": (0.4, 0.5), "complete": (0.3, 0.4),
+    "convenient": (0.4, 0.5), "cool": (0.35, 0.65), "courteous": (0.5, 0.6),
+    "cozy": (0.6, 0.8), "creative": (0.5, 0.7), "crisp": (0.4, 0.6),
+    "cute": (0.5, 0.8), "decent": (0.3, 0.5), "delightful": (0.9, 1.0),
+    "dependable": (0.5, 0.6), "divine": (0.8, 0.9), "easy": (0.43, 0.78),
+    "effective": (0.5, 0.6), "efficient": (0.5, 0.6), "elegant": (0.6, 0.8),
+    "enjoyable": (0.7, 0.8), "exceptional": (0.8, 0.9), "exciting": (0.7, 0.9),
+    "exquisite": (0.9, 1.0), "fabulous": (0.9, 1.0), "fair": (0.35, 0.6),
+    "faithful": (0.5, 0.6), "famous": (0.4, 0.5), "favorite": (0.6, 0.8),
+    "fine": (0.42, 0.55), "flavorful": (0.7, 0.8), "fortunate": (0.6, 0.8),
+    "fun": (0.3, 0.2), "generous": (0.6, 0.7), "gentle": (0.45, 0.6),
+    "genuine": (0.5, 0.6), "glad": (0.5, 1.0), "glorious": (0.8, 0.9),
+    "gorgeous": (0.85, 1.0), "graceful": (0.6, 0.8), "gracious": (0.6, 0.7),
+    "grateful": (0.6, 0.8), "handy": (0.4, 0.5), "healthy": (0.5, 0.6),
+    "hearty": (0.5, 0.6), "helpful": (0.5, 0.6), "honest": (0.5, 0.6),
+    "hygienic": (0.4, 0.5), "ideal": (0.7, 0.8), "impressive": (0.7, 0.9),
+    "incredible": (0.9, 0.9), "innovative": (0.5, 0.7), "inviting": (0.6, 0.8),
+    "joyful": (0.8, 1.0), "juicy": (0.5, 0.7), "kind": (0.6, 0.9),
+    "lovely": (0.7, 0.9), "loyal": (0.5, 0.6), "lucky": (0.6, 0.8),
+    "luxurious": (0.7, 0.9), "magnificent": (0.9, 1.0), "marvelous": (0.9, 1.0),
+    "memorable": (0.5, 0.7), "modern": (0.3, 0.4), "neat": (0.4, 0.6),
+    "outstanding": (0.9, 1.0), "peaceful": (0.5, 0.7), "phenomenal": (0.9, 1.0),
+    "pleasant": (0.6, 0.8), "pleased": (0.6, 0.8), "plentiful": (0.4, 0.5),
+    "polite": (0.5, 0.6), "popular": (0.4, 0.6), "positive": (0.5, 0.6),
+    "premium": (0.4, 0.5), "professional": (0.4, 0.5), "prompt": (0.4, 0.5),
+    "pure": (0.4, 0.6), "quaint": (0.4, 0.7), "quick": (0.33, 0.54),
+    "refreshing": (0.6, 0.8), "reliable": (0.5, 0.6), "remarkable": (0.75, 0.9),
+    "respectful": (0.5, 0.6), "rich": (0.5, 0.6), "safe": (0.5, 0.5),
+    "satisfied": (0.6, 0.8), "satisfying": (0.6, 0.8), "savory": (0.6, 0.7),
+    "scenic": (0.5, 0.7), "scrumptious": (0.9, 1.0), "secure": (0.4, 0.5),
+    "sleek": (0.5, 0.7), "smart": (0.6, 0.8), "smooth": (0.4, 0.6),
+    "solid": (0.4, 0.5), "spacious": (0.5, 0.6), "special": (0.35, 0.6),
+    "spectacular": (0.9, 1.0), "speedy": (0.4, 0.5), "splendid": (0.9, 1.0),
+    "stellar": (0.8, 0.9), "strong": (0.4, 0.5), "stunning": (0.85, 1.0),
+    "stylish": (0.5, 0.7), "sublime": (0.8, 0.9), "succulent": (0.7, 0.8),
+    "sufficient": (0.2, 0.3), "superb": (0.9, 1.0), "superior": (0.6, 0.7),
+    "supportive": (0.5, 0.6), "sweet": (0.35, 0.65), "talented": (0.6, 0.8),
+    "tender": (0.4, 0.6), "terrific": (0.9, 1.0), "thankful": (0.6, 0.8),
+    "thorough": (0.4, 0.5), "thoughtful": (0.5, 0.7), "thrilled": (0.8, 0.9),
+    "tidy": (0.4, 0.6), "timely": (0.4, 0.5), "top": (0.5, 0.5),
+    "tremendous": (0.8, 0.9), "trustworthy": (0.6, 0.7), "unique": (0.4, 0.75),
+    "upbeat": (0.6, 0.8), "valuable": (0.5, 0.6), "vibrant": (0.6, 0.8),
+    "warm": (0.5, 0.6), "welcoming": (0.6, 0.7), "worthy": (0.5, 0.6),
+    "yummy": (0.8, 0.9),
+    # --- positive verbs/nouns --------------------------------------
+    "admire": (0.6, 0.8), "adore": (0.8, 0.9), "appreciate": (0.5, 0.6),
+    "delight": (0.8, 0.9), "enjoy": (0.5, 0.6), "enjoyed": (0.55, 0.65),
+    "gem": (0.6, 0.8), "impress": (0.6, 0.8), "impressed": (0.7, 0.9),
+    "masterpiece": (0.8, 0.9), "paradise": (0.7, 0.9), "pleasure": (0.6, 0.8),
+    "praise": (0.5, 0.6), "succeed": (0.5, 0.6), "success": (0.5, 0.6),
+    "win": (0.5, 0.6), "winner": (0.6, 0.7), "wow": (0.6, 0.9),
+    # --- negative adjectives/adverbs -------------------------------
+    "abysmal": (-0.9, 1.0), "angry": (-0.6, 0.9), "annoying": (-0.6, 0.8),
+    "appalling": (-0.9, 1.0), "atrocious": (-0.9, 1.0), "average": (-0.15, 0.4),
+    "boring": (-0.5, 0.7), "burnt": (-0.4, 0.6), "careless": (-0.5, 0.6),
+    "chewy": (-0.3, 0.5), "clumsy": (-0.4, 0.6),
+    "cramped": (-0.4, 0.6), "crowded": (-0.3, 0.5), "damaged": (-0.4, 0.5),
+    "dangerous": (-0.6, 0.7), "dark": (-0.15, 0.4), "defective": (-0.6, 0.7),
+    "deficient": (-0.5, 0.6), "depressing": (-0.7, 0.9), "dreadful": (-0.9, 1.0),
+    "dry": (-0.25, 0.45), "dull": (-0.4, 0.6), "faulty": (-0.5, 0.6),
+    "filthy": (-0.8, 0.9), "flavorless": (-0.5, 0.7), "foul": (-0.7, 0.8),
+    "fraudulent": (-0.8, 0.9), "frustrating": (-0.6, 0.8), "greasy": (-0.4, 0.6),
+    "gross": (-0.6, 0.9), "harsh": (-0.4, 0.6), "hopeless": (-0.7, 0.9),
+    "icky": (-0.6, 0.8), "inadequate": (-0.5, 0.6), "inattentive": (-0.5, 0.6),
+    "incompetent": (-0.7, 0.8), "inconsistent": (-0.4, 0.5),
+    "inconvenient": (-0.4, 0.5), "inedible": (-0.8, 0.9), "inferior": (-0.5, 0.6),
+    "insulting": (-0.7, 0.8), "lame": (-0.5, 0.7), "lousy": (-0.6, 0.8),
+    "messy": (-0.4, 0.6), "miserable": (-0.8, 1.0), "moldy": (-0.7, 0.8),
+    "nasty": (-0.7, 0.9), "negative": (-0.4, 0.5), "noisy": (-0.4, 0.6),
+    "obnoxious": (-0.7, 0.9), "offensive": (-0.6, 0.8), "outdated": (-0.3, 0.5),
+    "overcooked": (-0.5, 0.7), "overpriced": (-0.5, 0.7), "overrated": (-0.4, 0.7),
+    "pathetic": (-0.8, 0.9), "pricey": (-0.3, 0.5), "questionable": (-0.3, 0.6),
+    "rancid": (-0.8, 0.9), "repulsive": (-0.8, 1.0), "ridiculous": (-0.5, 0.8),
+    "rotten": (-0.7, 0.8), "rough": (-0.3, 0.5), "sad": (-0.5, 1.0),
+    "shabby": (-0.5, 0.7), "shady": (-0.4, 0.6), "shameful": (-0.6, 0.8),
+    "sketchy": (-0.4, 0.6), "sloppy": (-0.5, 0.7), "soggy": (-0.4, 0.6),
+    "sour": (-0.3, 0.5), "subpar": (-0.5, 0.6), "tasteless": (-0.5, 0.7),
+    "tough": (-0.3, 0.5), "ugly": (-0.7, 0.9), "unacceptable": (-0.7, 0.8),
+    "unbearable": (-0.8, 0.9), "uncomfortable": (-0.5, 0.7),
+    "underwhelming": (-0.4, 0.7), "unfair": (-0.5, 0.7),
+    "unfriendly": (-0.5, 0.7), "unhappy": (-0.6, 0.8), "unhelpful": (-0.5, 0.6),
+    "unhygienic": (-0.6, 0.7), "unpleasant": (-0.6, 0.8),
+    "unprofessional": (-0.6, 0.7), "unreliable": (-0.5, 0.6),
+    "unsafe": (-0.5, 0.6), "unsanitary": (-0.7, 0.8), "untrustworthy": (-0.6, 0.7),
+    "useless": (-0.6, 0.8), "vile": (-0.8, 1.0), "weak": (-0.4, 0.5),
+    "wrong": (-0.5, 0.7),
+    # --- negative verbs/nouns --------------------------------------
+    "complain": (-0.4, 0.6), "complaint": (-0.4, 0.6), "disappoint": (-0.6, 0.7),
+    "disaster": (-0.8, 0.9), "disgust": (-0.8, 0.9), "disgusting": (-0.9, 1.0),
+    "dislike": (-0.4, 0.6), "failure": (-0.6, 0.7), "garbage": (-0.7, 0.8),
+    "insult": (-0.6, 0.8), "mistake": (-0.4, 0.5), "nightmare": (-0.8, 0.9),
+    "problem": (-0.3, 0.4), "regret": (-0.5, 0.7), "ripoff": (-0.7, 0.8),
+    "scam": (-0.8, 0.9), "trash": (-0.6, 0.8), "waste": (-0.5, 0.6),
+}
+
 PATTERN_LEXICON: dict[str, tuple[float, float, float]] = {
+    **{w: (p, s, 1.0) for w, (p, s) in _EXTENDED_VALENCES.items()},
+    # pinned-parity tier LAST so it always wins on overlap
     **{w: (p, s, 1.0) for w, (p, s) in LEXICON.items() if w != "never"},
     "bad": (-0.6999999999999998, 0.6666666666666666, 1.0),
+    # modifiers (intensity ≠ 1): pinned values for very/really/
+    # extremely/absolutely/incredibly; highly/quite/somewhat/slightly
+    # follow the same pattern-style convention (extended tier)
     "very": (0.2, 0.3, 1.3),
     "really": (0.2, 0.2, 1.4),
     "extremely": (0.25, 0.25, 1.5),
     "totally": (0.0, 0.25, 1.2),
     "absolutely": (0.2, 0.3, 1.3),
     "incredibly": (0.9, 0.9, 1.3),
+    "highly": (0.3, 0.4, 1.3),
+    "quite": (0.0, 0.25, 1.1),
+    "somewhat": (0.0, 0.25, 0.8),
+    "slightly": (0.0, 0.25, 0.7),
 }
 
 NEGATIONS = frozenset({"not", "no", "never", "n't", "cannot", "dont", "didnt", "isnt", "wasnt", "wont"})

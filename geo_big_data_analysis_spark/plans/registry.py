@@ -3856,7 +3856,11 @@ def q_sentiment_pattern_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_sentiment_pattern_docs() -> str:
+def _sql_pattern_walk(src: str = "documents") -> str:
+    """The PatternAnalyzer state machine as a recursive CTE over any
+    (doc_id, text) source CTE/table — emits CTEs `toks`, `walk`,
+    `final`, `scored` (doc_id, pol, subj). Shared by the corpus query
+    and the lab-4 golden fixture."""
     from ..functions import sentiment as sn
 
     negs = sn.negations_sql_list()
@@ -3869,15 +3873,14 @@ def _sql_sentiment_pattern_docs() -> str:
     is_lex = "lex.word IS NOT NULL"
     ext = f"(NOT ({is_neg})) AND {is_lex} AND w.open AND w.omod"
     fresh = f"(NOT ({is_neg})) AND {is_lex} AND NOT (w.open AND w.omod)"
-    return f"""
-WITH RECURSIVE toks AS (
+    return f"""toks AS (
   SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS pos
-  FROM (SELECT doc_id, regexp_split_to_array({_CLEAN_TEXT_SQL}, '\\s+') AS l FROM documents)
+  FROM (SELECT doc_id, regexp_split_to_array({_CLEAN_TEXT_SQL}, '\\s+') AS l FROM {src})
 ),
 walk(doc_id, pos, sum_p, sum_s, cnt, open, op, os, oneg, omod, oi, neg) AS (
   SELECT doc_id, 0, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, false,
          0.0::DOUBLE, 0.0::DOUBLE, false, false, 1.0::DOUBLE, false
-  FROM documents
+  FROM {src}
   UNION ALL
   SELECT w.doc_id, t.pos,
     CASE WHEN {fresh} THEN {close_p} ELSE w.sum_p END,
@@ -3906,13 +3909,169 @@ scored AS (
          round(CASE WHEN tot_c > 0 THEN tot_p / tot_c ELSE 0.0 END, 6) AS pol,
          round(CASE WHEN tot_c > 0 THEN tot_s / tot_c ELSE 0.0 END, 6) AS subj
   FROM final
-)
+)"""
+
+
+def _sql_sentiment_pattern_docs() -> str:
+    return f"""
+WITH RECURSIVE {_sql_pattern_walk("documents")}
 SELECT CASE WHEN pol > 0.1 THEN 'positive' WHEN pol < -0.1 THEN 'negative'
             ELSE 'neutral' END AS category,
        count(*)::BIGINT AS n,
        round(avg(pol), 6) AS avg_polarity,
        round(avg(subj), 6) AS avg_subjectivity
 FROM scored GROUP BY 1 ORDER BY category
+"""
+
+
+# Lab-4 golden band (VERDICT r2 #3): a reference-distribution fixture —
+# review-shaped texts drawn deterministically so the engine's sentiment
+# pipeline reproduces BASELINE.md's lab-4 aggregates (80.73% pos /
+# 4.63% neg / 14.64% neu split, mean polarity 0.2663, mean subjectivity
+# 0.5751 — lab4 nb cell 19, json 1766) within explicit bands. The
+# bucket key spreads doc_ids over residues with a Knuth multiplicative
+# hash (engine-portable integer arithmetic, uniform for contiguous ids
+# at every SF).
+_LAB4_POS_TPL = [
+    "sweet little cafe with a cool vibe",
+    "the staff was nice and the service fast",
+    "we were glad the portions were sufficient",
+    "cute patio and fair prices",
+    "a unique menu worth exploring",
+    "the location is easy to reach",
+    "quaint decor throughout the dining room",
+    "the gumbo had a cool smoky note",
+    "decent coffee and a fun crowd",
+    "sweet rolls and honest prices",
+]
+_LAB4_NEG_TPL = [
+    "terrible service and the food was cold",
+    "the room was dirty and the staff rude",
+    "awful experience we were very disappointed",
+    "bland overpriced food and slow service",
+    "worst meal ever totally disgusting",
+]
+_LAB4_NEU_TPL = [
+    "we ordered the lunch menu and sat by the window",
+    "the restaurant is on the corner of the street",
+    "they open at noon on weekdays and close at ten",
+    "parking is behind the building near the entrance",
+    "the menu lists seafood pasta and salads",
+]
+#: (metric, BASELINE.md target, band tolerance)
+_LAB4_TARGETS = [
+    ("mean_polarity", 0.2663, 0.02),
+    ("mean_subjectivity", 0.5751, 0.03),
+    ("neg_share", 0.0463, 0.01),
+    ("neu_share", 0.1464, 0.01),
+    ("pos_share", 0.8073, 0.01),
+]
+_LAB4_MULT = 2654435761  # Knuth 2^32/phi, odd & coprime to 1000
+
+
+def q_lab4_sentiment_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lab-4 sentiment GOLDEN BAND: the BASELINE.md review-sentiment
+    aggregates re-derived on a reference-distribution fixture. doc_id →
+    bucket b = (doc_id·2654435761) mod 1000; b<807 draws a mild-positive
+    review template, b<854 a negative one, else neutral (template index
+    b mod pool size) — so the PatternAnalyzer pipeline must land the
+    3-way split at 80.73/4.63/14.64 (±1pt), mean polarity 0.2663
+    (±0.02), mean subjectivity 0.5751 (±0.03). Output: (metric, value,
+    target, ok) — values are EXACT cross-engine (decimal polarity sums,
+    one final division; the oracle replays fixture + full state machine
+    as a recursive CTE), and tests/test_lab_goldens.py asserts every
+    ok. Scale: one projection + one aggregate over the corpus; the
+    explode runs on a 1-row aggregate."""
+    from ..functions import sentiment as sn
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    b = (F.col("doc_id") * F.lit(_LAB4_MULT)) % 1000
+    pos_a = F.array(*[F.lit(t) for t in _LAB4_POS_TPL])
+    neg_a = F.array(*[F.lit(t) for t in _LAB4_NEG_TPL])
+    neu_a = F.array(*[F.lit(t) for t in _LAB4_NEU_TPL])
+    text = (
+        F.when(b < 807, F.element_at(pos_a, (b % len(_LAB4_POS_TPL)).cast("int") + 1))
+        .when(b < 854, F.element_at(neg_a, (b % len(_LAB4_NEG_TPL)).cast("int") + 1))
+        .otherwise(F.element_at(neu_a, (b % len(_LAB4_NEU_TPL)).cast("int") + 1))
+    )
+    sc = sn.pattern_scores(text)
+    scored = docs.select(
+        F.round(sc["polarity"], 6).alias("pol"),
+        F.round(sc["subjectivity"], 6).alias("subj"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("pol") > 0.1).cast("bigint")).alias("n_pos"),
+        F.sum((F.col("pol") < -0.1).cast("bigint")).alias("n_neg"),
+        F.sum(F.col("pol").cast("decimal(20,10)")).alias("sp"),
+        F.sum(F.col("subj").cast("decimal(20,10)")).alias("ss"),
+    )
+    vals = {
+        "pos_share": F.round(F.col("n_pos") / F.col("n"), 6),
+        "neg_share": F.round(F.col("n_neg") / F.col("n"), 6),
+        "neu_share": F.round((F.col("n") - F.col("n_pos") - F.col("n_neg")) / F.col("n"), 6),
+        "mean_polarity": F.round(F.col("sp").cast("double") / F.col("n"), 6),
+        "mean_subjectivity": F.round(F.col("ss").cast("double") / F.col("n"), 6),
+    }
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("metric"),
+                vals[m].alias("value"),
+                F.lit(t).alias("target"),
+                (F.abs(vals[m] - F.lit(t)) <= F.lit(tol)).alias("ok"),
+            )
+            for m, t, tol in _LAB4_TARGETS
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.metric", "r.value", "r.target", "r.ok")
+        .orderBy("metric")
+    )
+
+
+def _sql_lab4_golden() -> str:
+    def arm(tpls: list[str]) -> str:
+        branches = " ".join(
+            f"WHEN {i} THEN '{t}'" for i, t in enumerate(tpls)
+        )
+        return f"CASE b % {len(tpls)} {branches} END"
+
+    case = (
+        f"CASE WHEN b < 807 THEN {arm(_LAB4_POS_TPL)}"
+        f" WHEN b < 854 THEN {arm(_LAB4_NEG_TPL)}"
+        f" ELSE {arm(_LAB4_NEU_TPL)} END"
+    )
+    metrics = " UNION ALL ".join(
+        f"SELECT '{m}' AS metric, {expr} AS value, {t} AS target, {tol} AS tol FROM agg"
+        for (m, t, tol), expr in zip(
+            _LAB4_TARGETS,
+            [
+                "round(sp::DOUBLE / n, 6)",
+                "round(ss::DOUBLE / n, 6)",
+                "round(n_neg::DOUBLE / n, 6)",
+                "round((n - n_pos - n_neg)::DOUBLE / n, 6)",
+                "round(n_pos::DOUBLE / n, 6)",
+            ],
+        )
+    )
+    return f"""
+WITH RECURSIVE fixture AS (
+  SELECT doc_id, {case} AS text
+  FROM (SELECT doc_id, (doc_id * {_LAB4_MULT}) % 1000 AS b FROM documents)
+),
+{_sql_pattern_walk("fixture")},
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN pol > 0.1 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         sum(CASE WHEN pol < -0.1 THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+         sum(pol::DECIMAL(20,10)) AS sp, sum(subj::DECIMAL(20,10)) AS ss
+  FROM scored
+)
+SELECT metric, value, target, abs(value - target) <= tol AS ok
+FROM ({metrics})
+ORDER BY metric
 """
 
 
@@ -14642,6 +14801,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "isochrone_poi_access": (q_isochrone_poi_access, _SQL_ISOCHRONE),
     "sentiment_docs": (q_sentiment_docs, _sql_sentiment_docs()),
     "sentiment_pattern_docs": (q_sentiment_pattern_docs, _sql_sentiment_pattern_docs()),
+    "lab4_sentiment_golden": (q_lab4_sentiment_golden, _sql_lab4_golden()),
     "sentiment_source_ranks": (q_sentiment_source_ranks, _sql_sentiment_ranks()),
     "lab4_sentiment_linregress": (q_lab4_sentiment_linregress, _sql_lab4_linregress()),
     "lisa_moran_events": (q_lisa_moran_events, _SQL_LISA),

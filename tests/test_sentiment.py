@@ -119,3 +119,100 @@ def test_pattern_scores_match_textblob_pinned_phrases(spark):
         gp, gs = out[i]
         assert abs(gp - ep) < 1e-6, (text, gp, ep)
         assert abs(gs - es) < 1e-6, (text, gs, es)
+
+
+def _py_pattern_score(tokens_list):
+    """Independent test-side reimplementation of the PatternAnalyzer
+    assessment chain (pattern-en sentiment(), the rules documented in
+    functions/sentiment.py) — used to cross-check the JVM aggregate
+    fold over a combinatorial phrase set."""
+    from geo_big_data_analysis_spark.functions.sentiment import (
+        NEGATIONS,
+        PATTERN_LEXICON,
+    )
+
+    def clamp(v):
+        return max(-1.0, min(1.0, v))
+
+    sum_p = sum_s = cnt = 0.0
+    open_ = False
+    op = os_ = 0.0
+    oneg = omod = False
+    oi = 1.0
+    neg = False
+
+    def close():
+        nonlocal sum_p, sum_s, cnt
+        if open_:
+            sum_p += op * (-0.5 if oneg else 1.0)
+            sum_s += os_
+            cnt += 1.0
+
+    for w in tokens_list:
+        if w in NEGATIONS:
+            neg = True
+            continue
+        e = PATTERN_LEXICON.get(w)
+        if e is None:
+            omod = False
+            neg = False
+            continue
+        p, s, i = e
+        if open_ and omod:
+            op, os_ = clamp(p * oi), clamp(s * oi)
+            omod = i != 1.0
+            oi = i
+            neg = False
+        else:
+            close()
+            open_ = True
+            op, os_ = p, s
+            oneg = neg
+            omod = i != 1.0
+            oi = (1.0 / i) if neg else i
+            neg = False
+    close()
+    if cnt == 0:
+        return 0.0, 0.0
+    return sum_p / cnt, sum_s / cnt
+
+
+def test_pattern_fold_vs_independent_reimplementation(spark):
+    """~120 combinatorial phrases (negation x intensifier x valence
+    words x chain breaks) — the JVM aggregate fold must agree with an
+    independent Python walk of the same published rules to 1e-9."""
+    import itertools
+
+    from geo_big_data_analysis_spark.functions.sentiment import pattern_scores
+
+    words = [
+        "good", "bad", "terrible", "delicious", "slow", "charming",
+        "cozy", "rude", "bland", "nice", "dirty", "sweet",
+    ]
+    mods = ["", "very", "really", "extremely", "slightly"]
+    negs = ["", "not"]
+    phrases = []
+    for n, m, w in itertools.product(negs, mods, words):
+        phrases.append(" ".join(x for x in (n, m, w) if x))
+    # two-assessment chains with and without an unknown-word break
+    for w1, w2 in itertools.product(["good", "awful"], ["tasty", "rude"]):
+        phrases.append(f"{w1} food {w2} staff")
+        phrases.append(f"very {w1} and not {w2}")
+    phrases.append("not not good")   # double negation
+    phrases.append("very very good") # stacked intensifiers
+    assert len(phrases) >= 100
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(phrases)], "id bigint, text string"
+    )
+    from geo_big_data_analysis_spark.functions.sentiment import pattern_scores
+
+    got = {
+        r["id"]: (r["sc"]["polarity"], r["sc"]["subjectivity"])
+        for r in df.select("id", pattern_scores("text").alias("sc")).collect()
+    }
+    for i, text in enumerate(phrases):
+        ep, es = _py_pattern_score(text.split())
+        gp, gs = got[i]
+        assert abs(gp - ep) < 1e-9, (text, gp, ep)
+        assert abs(gs - es) < 1e-9, (text, gs, es)
