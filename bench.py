@@ -209,6 +209,8 @@ HEADLINE = [
     "holt_trend_revenue",
     "bpe_encode_docs",
     "orc_roundtrip_events",
+    "png_roundtrip_stats",
+    "lab4_sentiment_golden",
 ]
 
 

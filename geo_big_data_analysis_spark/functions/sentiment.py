@@ -274,15 +274,56 @@ def _pattern_lex_map() -> Column:
     return F.expr(f"map({entries})")
 
 
+#: bucket count for the crc32-chained lexicon index. GetMapValue on a
+#: literal map is a LINEAR scan per access — at 336 entries that made
+#: the fold ~3.5× slower (round-3 bench). Bucketing by crc32(word) mod
+#: 256 (zlib.crc32 == Spark's crc32, so the Python-built table and the
+#: JVM probe agree) turns each token lookup into one O(1) array index
+#: plus a filter over a ≤4-entry chain. The whole nested literal
+#: constant-folds once per plan.
+_LEX_BUCKETS = 256
+_LEX_STRUCT_T = "ARRAY<STRUCT<w: STRING, p: DOUBLE, s: DOUBLE, i: DOUBLE>>"
+
+
+def _pattern_lex_buckets() -> Column:
+    import zlib
+
+    chains: list[list[str]] = [[] for _ in range(_LEX_BUCKETS)]
+    for w, (p, s, i) in PATTERN_LEXICON.items():
+        b = zlib.crc32(w.encode()) % _LEX_BUCKETS
+        chains[b].append(
+            f"named_struct('w', '{w}', 'p', {p!r}D, 's', {s!r}D, 'i', {i!r}D)"
+        )
+    arms = [
+        (f"array({', '.join(c)})" if c else f"CAST(array() AS {_LEX_STRUCT_T})")
+        for c in chains
+    ]
+    return F.expr(f"array({', '.join(arms)})")
+
+
+def _lex_lookup(buckets: Column, w: Column) -> Column:
+    """O(1) lexicon probe: crc32 bucket, then match inside the chain.
+    Returns the (w, p, s, i) struct or NULL (F.get is null-safe under
+    ANSI, unlike element_at)."""
+    idx = (F.crc32(F.encode(w, "UTF-8")) % _LEX_BUCKETS).cast("int")
+    chain = F.get(buckets, idx)
+    return F.get(F.filter(chain, lambda x: x["w"] == w), 0)
+
+
 def _clamp1(v: Column) -> Column:
     return F.greatest(F.lit(-1.0), F.least(F.lit(1.0), v))
 
 
 def pattern_scores(col) -> Column:
     """TextBlob/PatternAnalyzer sentiment as struct(polarity,
-    subjectivity) — the stateful assessment chain as a single
-    whole-stage-codegen ``aggregate`` fold over tokens."""
-    lex = _pattern_lex_map()
+    subjectivity) — the stateful assessment chain as a single JVM
+    ``aggregate`` fold. A ``transform`` prepass BINDS each token's
+    lexicon entry + negation flag exactly once (SCALE.md's let-binding
+    rule: the fold's branches reference the entry ~6×, and each textual
+    reference re-evaluates its subtree — with a 336-entry lexicon that
+    re-evaluation was a measured 3.5× slowdown); the fold then touches
+    only cheap struct fields."""
+    lex = _pattern_lex_buckets()
     neg_arr = F.array(*[F.lit(w) for w in sorted(NEGATIONS)])
 
     init = F.struct(
@@ -307,9 +348,9 @@ def pattern_scores(col) -> Column:
             acc["cnt"] + F.when(acc["open"], F.lit(1.0)).otherwise(F.lit(0.0)),
         )
 
-    def step(acc, w):
-        e = lex[w]
-        is_neg = F.array_contains(neg_arr, w)
+    def step(acc, t):
+        e = t["e"]
+        is_neg = t["isneg"]
         # chain-extend: previous open assessment was an intensifier
         ext = F.struct(
             acc["sum_p"].alias("sum_p"),
@@ -362,7 +403,14 @@ def pattern_scores(col) -> Column:
             F.when(c > 0, s / c).otherwise(F.lit(0.0)).alias("subjectivity"),
         )
 
-    return F.aggregate(tokens(clean_text(col)), init, step, finish)
+    bound = F.transform(
+        tokens(clean_text(col)),
+        lambda w: F.struct(
+            _lex_lookup(lex, w).alias("e"),
+            F.array_contains(neg_arr, w).alias("isneg"),
+        ),
+    )
+    return F.aggregate(bound, init, step, finish)
 
 
 def polarity_pattern(col) -> Column:

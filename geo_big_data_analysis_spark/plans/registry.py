@@ -13677,7 +13677,16 @@ def q_kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one `least` + 64-term dot per round, all codegen); each round's
     argmax is a 1-row orderBy-limit collect — the fit artifact, like
     Lloyd/BPE. The oracle unrolls all 8 rounds with scalar subqueries
-    fetching each selected vector."""
+    fetching each selected vector.
+
+    Size dispatch (VERDICT r2 #7): small tables (≤100k) fold to one
+    partition AND keep the min-distance state as a growing `least`
+    expression chain over ONE checkpointed base — zero per-round
+    materializations; round t re-evaluates t chained dot products,
+    which on a single in-memory partition is far cheaper than 8
+    localCheckpoint round-trips. At real corpus scale the table keeps
+    its partitioning and each round checkpoints (linear lineage,
+    partial-top-1-then-merge argmax)."""
     emb = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -13696,26 +13705,35 @@ def q_kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seed = pts.filter(F.col("vec_id") == 0).collect()[0]
     sv, sn = list(seed["v"]), float(seed["nv"])
-    cur = pts.withColumn(
-        "md", F.lit(1.0) - dot_lit(sv) / (F.col("nv") * F.lit(sn))
-    ).localCheckpoint()
-    # size dispatch: the 8-round argmax loop is scheduling-overhead
-    # bound on small point tables — fold to one partition; at real
-    # vector-corpus scale the table keeps its partitioning and each
-    # round is a partial-top-1-then-merge.
-    if cur.count() <= 100_000:
-        cur = cur.coalesce(1).localCheckpoint()
+    seed_md = F.lit(1.0) - dot_lit(sv) / (F.col("nv") * F.lit(sn))
+    base = pts.localCheckpoint()
+    small = base.count() <= 100_000
     out_rows = []
-    for t in range(1, _KCENTER_ROUNDS + 1):
-        best = cur.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()[0]
-        out_rows.append((t, int(best["vec_id"]), float(best["md"])))
-        bv, bn = list(best["v"]), float(best["nv"])
-        cur = cur.withColumn(
-            "md",
-            F.least(
-                F.col("md"), F.lit(1.0) - dot_lit(bv) / (F.col("nv") * F.lit(bn))
-            ),
-        ).localCheckpoint()
+    if small:
+        base = base.coalesce(1).localCheckpoint()
+        md = seed_md
+        for t in range(1, _KCENTER_ROUNDS + 1):
+            best = (
+                base.select("vec_id", "v", "nv", md.alias("md"))
+                .orderBy(F.desc("md"), F.asc("vec_id"))
+                .limit(1)
+                .collect()[0]
+            )
+            out_rows.append((t, int(best["vec_id"]), float(best["md"])))
+            bv, bn = list(best["v"]), float(best["nv"])
+            md = F.least(md, F.lit(1.0) - dot_lit(bv) / (F.col("nv") * F.lit(bn)))
+    else:
+        cur = base.withColumn("md", seed_md).localCheckpoint()
+        for t in range(1, _KCENTER_ROUNDS + 1):
+            best = cur.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()[0]
+            out_rows.append((t, int(best["vec_id"]), float(best["md"])))
+            bv, bn = list(best["v"]), float(best["nv"])
+            cur = cur.withColumn(
+                "md",
+                F.least(
+                    F.col("md"), F.lit(1.0) - dot_lit(bv) / (F.col("nv") * F.lit(bn))
+                ),
+            ).localCheckpoint()
     return spark.createDataFrame(
         out_rows, "sel_round int, vec_id bigint, cov_radius double"
     ).select(
