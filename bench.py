@@ -211,6 +211,11 @@ HEADLINE = [
     "orc_roundtrip_events",
     "png_roundtrip_stats",
     "lab4_sentiment_golden",
+    "hard_negative_mining",
+    "rrf_hybrid_retrieval",
+    "ppl_bucket_census",
+    "quality_funnel_docs",
+    "domain_mix_budget",
 ]
 
 

@@ -14732,6 +14732,454 @@ LIMIT 50
 """
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding/metric-learning training
+    (the contrastive-data op beside `knn_embeddings`): for each probe
+    vector, the top-3 MOST similar vectors with a DIFFERENT label —
+    "near-misses" that make the strongest negatives (in-batch random
+    negatives are too easy; nearest wrong-class items carry gradient).
+
+    Shape: the probe set (vec_id % 211 = 0, pushed-down scan filter)
+    broadcasts against the partitioned base; cosine is the unrolled
+    codegen'd 64-dim expression; per-probe top-3 via a partitioned
+    window over candidates. Ranks on round(cosine, 6) (the JW lesson:
+    rank at the compared precision, never on raw floats)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") % 211 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("_qv"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("_bv"),
+    )
+    from ..operators.similarity import _cosine_sql
+
+    pairs = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("probe_label"))
+        .withColumn("cosine", F.round(F.expr(_cosine_sql("_qv", "_bv", 64)), 6))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "probe_id", "probe_label", F.col("rk").alias("rank"),
+            "negative_id", F.col("neg_label").alias("negative_label"), "cosine",
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+_SQL_HARD_NEG = """
+WITH q AS (
+  SELECT vec_id AS probe_id, label AS probe_label, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 211 = 0
+),
+pairs AS (
+  SELECT q.probe_id, q.probe_label, b.vec_id AS negative_id,
+         b.label AS neg_label,
+         round(list_dot_product(q.qv, b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+  FROM q, embeddings b WHERE b.label <> q.probe_label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY cosine DESC, negative_id ASC) AS rk
+  FROM pairs
+)
+SELECT probe_id, probe_label, rk AS rank, negative_id,
+       neg_label AS negative_label, cosine
+FROM ranked WHERE rk <= 3
+ORDER BY probe_id, rank
+"""
+
+
+def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval with Reciprocal Rank Fusion
+    (Cormack 2009, k=60) — the standard RAG first stage: for each of 4
+    probe documents, (a) a LEXICAL ranking of all docs sharing ≥1
+    >3-char token (distinct-overlap count; inverted-index equi-join on
+    the token key, never all-pairs) and (b) a DENSE ranking by 64-dim
+    cosine (probe broadcast); fuse rrf = Σ 1/(60+rank) over both lists
+    (full outer — a doc ranked by only one list gets that one term),
+    top-5 per probe.
+
+    Shape: the token join shuffles on the term key (the inverted-index
+    build); the dense side is a 4-probe broadcast; both rank windows
+    partition by probe. Ranks use integers (overlap counts) or
+    round(cosine, 6) — cross-engine stable."""
+    from ..operators.similarity import _cosine_sql
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probe_ids = [0, 1, 2, 3]
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    ).filter(F.length("tok") > 3).distinct()
+    ptoks = toks.filter(F.col("doc_id").isin(probe_ids)).select(
+        F.col("doc_id").alias("probe_id"), "tok"
+    )
+    lex = (
+        toks.join(F.broadcast(ptoks), "tok")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    wl = Window.partitionBy("probe_id").orderBy(F.desc("overlap"), F.asc("doc_id"))
+    lex_r = lex.withColumn("r_lex", F.row_number().over(wl)).select(
+        "probe_id", "doc_id", "r_lex"
+    )
+    qv = emb.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_qv")
+    )
+    dense = (
+        emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("_bv"))
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .withColumn("cos6", F.round(F.expr(_cosine_sql("_qv", "_bv", 64)), 6))
+    )
+    wd = Window.partitionBy("probe_id").orderBy(F.desc("cos6"), F.asc("doc_id"))
+    dense_r = dense.withColumn("r_dense", F.row_number().over(wd)).select(
+        "probe_id", "doc_id", "r_dense"
+    )
+    fused = (
+        lex_r.join(dense_r, ["probe_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_dense")), F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "probe_id",
+            F.col("rk").alias("rank"),
+            "doc_id",
+            "rrf",
+            F.coalesce("r_lex", F.lit(-1)).alias("lex_rank"),
+            F.coalesce("r_dense", F.lit(-1)).alias("dense_rank"),
+        )
+        .orderBy("probe_id", "rank")
+    )
+
+
+_SQL_RRF = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE length(tok) > 3
+),
+ptoks AS (SELECT doc_id AS probe_id, tok FROM toks WHERE doc_id IN (0, 1, 2, 3)),
+lex AS (
+  SELECT p.probe_id, t.doc_id, count(*)::BIGINT AS overlap
+  FROM toks t JOIN ptoks p USING (tok)
+  WHERE t.doc_id <> p.probe_id
+  GROUP BY 1, 2
+),
+lex_r AS (
+  SELECT probe_id, doc_id, row_number() OVER (PARTITION BY probe_id
+           ORDER BY overlap DESC, doc_id ASC) AS r_lex
+  FROM lex
+),
+qv AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS v
+       FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+dense AS (
+  SELECT q.probe_id, b.vec_id AS doc_id,
+         round(list_dot_product(q.v, b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos6
+  FROM qv q, embeddings b WHERE b.vec_id <> q.probe_id
+),
+dense_r AS (
+  SELECT probe_id, doc_id, row_number() OVER (PARTITION BY probe_id
+           ORDER BY cos6 DESC, doc_id ASC) AS r_dense
+  FROM dense
+),
+fused AS (
+  SELECT coalesce(l.probe_id, d.probe_id) AS probe_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         l.r_lex, d.r_dense,
+         round(coalesce(1.0 / (60 + l.r_lex), 0.0)
+               + coalesce(1.0 / (60 + d.r_dense), 0.0), 6) AS rrf
+  FROM lex_r l FULL OUTER JOIN dense_r d
+    ON l.probe_id = d.probe_id AND l.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+              ORDER BY rrf DESC, doc_id ASC) AS rk
+  FROM fused
+)
+SELECT probe_id, rk AS rank, doc_id, rrf,
+       coalesce(r_lex, -1) AS lex_rank, coalesce(r_dense, -1) AS dense_rank
+FROM ranked WHERE rk <= 5
+ORDER BY probe_id, rank
+"""
+
+
+def q_ppl_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek 2020 splits Common
+    Crawl into head/middle/tail by LM perplexity tercile; the bucket
+    decides keep/down-sample/drop): per-doc perplexity under the
+    corpus-fit add-1 unigram LM (exp of negative mean token logprob,
+    the `unigram_logprob_docs` scorer), global tercile thresholds over
+    round(ppl, 6), then a source × bucket census with mean perplexity.
+
+    Shape: vocab build + broadcast-join scoring (two token-key
+    shuffles), a 1-row threshold broadcast (allowlisted NLJ family),
+    one final census aggregate. Thresholds and comparisons both use
+    6dp-rounded values so bucket edges are cross-engine exact."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(tx.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    totals = vocab.agg(
+        F.sum("tf").alias("n_tokens"), F.count(F.lit(1)).alias("v_size")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.avg(
+                F.log(
+                    (F.col("tf") + 1.0)
+                    / (F.col("n_tokens") + F.col("v_size")).cast("double")
+                )
+            ).alias("mean_lp")
+        )
+        .withColumn("ppl", F.round(F.exp(-F.col("mean_lp")), 6))
+    )
+    th = scored.agg(
+        F.expr("percentile(ppl, 0.3333333333333333)").alias("t1"),
+        F.expr("percentile(ppl, 0.6666666666666666)").alias("t2"),
+    )
+    banded = scored.crossJoin(F.broadcast(th)).withColumn(
+        "bucket",
+        F.when(F.col("ppl") <= F.col("t1"), "head")
+        .when(F.col("ppl") <= F.col("t2"), "middle")
+        .otherwise("tail"),
+    )
+    return (
+        banded.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # ppl is 6dp-rounded, so decimal sums are exact and
+            # order-free — the one final division replays cross-engine
+            F.round(
+                F.sum(F.col("ppl").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_ppl"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+_SQL_PPL_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id, source, tok FROM (
+    SELECT doc_id, source,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+vocab AS (SELECT tok, count(*)::BIGINT AS tf FROM toks GROUP BY tok),
+totals AS (SELECT sum(tf)::BIGINT AS n_tokens, count(*)::BIGINT AS v_size FROM vocab),
+scored AS (
+  SELECT t.doc_id, t.source,
+         round(exp(-avg(ln((v.tf + 1.0) / (tt.n_tokens + tt.v_size)))), 6) AS ppl
+  FROM toks t JOIN vocab v USING (tok), totals tt
+  GROUP BY t.doc_id, t.source
+),
+th AS (SELECT quantile_cont(ppl, 0.3333333333333333) AS t1,
+              quantile_cont(ppl, 0.6666666666666666) AS t2 FROM scored)
+SELECT source,
+       CASE WHEN ppl <= t1 THEN 'head'
+            WHEN ppl <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*)::BIGINT AS n_docs,
+       round(sum(ppl::DECIMAL(24,6))::DOUBLE / count(*), 6) AS avg_ppl
+FROM scored, th
+GROUP BY 1, 2
+ORDER BY source, bucket
+"""
+
+
+def q_quality_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter FUNNEL ATTRIBUTION (the FineWeb/RefinedWeb
+    operational report): the Gopher rule chain applied in a fixed
+    order, each document attributed to its FIRST failing rule — per
+    source, how many docs and characters die at each stage and what
+    share survives. `gopher_quality_docs` reports marginal per-rule
+    pass counts; this is the ordered-pipeline view an iteration on
+    filter thresholds actually needs (which stage do I loosen?).
+
+    Shape: one projection computing the rule struct, one CASE for the
+    first-fail stage, one census aggregate — single corpus pass, no
+    joins."""
+    from ..functions.text import gopher_rules
+
+    rules = [
+        "word_count_ok", "mean_word_len_ok", "alpha_share_ok",
+        "symbol_ratio_ok", "common_words_ok",
+    ]
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_rules("text")
+    stage = F.when(~g["word_count_ok"], "1_word_count")
+    for i, r in enumerate(rules[1:], start=2):
+        stage = stage.when(~g[r], f"{i}_{r[:-3]}")
+    stage = stage.otherwise("kept")
+    scored = docs.select(
+        "source", F.length("text").alias("n_chars_t"), stage.alias("stage")
+    )
+    return (
+        scored.groupBy("source", "stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars_t").alias("n_chars"),
+        )
+        .orderBy("source", "stage")
+    )
+
+
+def _sql_quality_funnel() -> str:
+    from ..functions.text import gopher_rules_sql
+
+    r = gopher_rules_sql("text")
+    rules = [
+        "word_count_ok", "mean_word_len_ok", "alpha_share_ok",
+        "symbol_ratio_ok", "common_words_ok",
+    ]
+    arms = " ".join(
+        f"WHEN NOT {r[name]} THEN '{i}_{name[:-3]}'"
+        for i, name in enumerate(rules, start=1)
+    )
+    return f"""
+WITH scored AS (
+  SELECT source, length(text)::BIGINT AS n_chars_t,
+         CASE {arms} ELSE 'kept' END AS stage
+  FROM documents
+)
+SELECT source, stage, count(*)::BIGINT AS n_docs,
+       sum(n_chars_t)::BIGINT AS n_chars
+FROM scored GROUP BY 1, 2 ORDER BY source, stage
+"""
+
+
+def q_domain_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix token budgeting (the DoReMi/The-Pile static
+    mixture-weight planning step): given per-source target weights
+    (deterministic: w = 1 + source_index mod 3, normalized) and a
+    budget of half the corpus tokens, compute each source's sampling
+    rate = min(1, budget·w / tokens), then ONE water-filling
+    redistribution round: budget unused by saturated sources (rate
+    capped at 1) is re-split across unsaturated ones in proportion to
+    their weights. Output: per-source tokens, weight, final rate,
+    allocated tokens — the sampling plan a corpus-mixing job executes.
+
+    Shape: one token-count aggregate per source, then 1-row broadcasts
+    for the totals and the redistribution terms (allowlisted NLJ
+    family) — the plan is corpus-size-independent after the first
+    aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(tx.tokens(F.col("text")))).alias("tokens")
+    )
+    widx = F.regexp_replace("source", "[^0-9]", "").cast("int") % 3
+    weighted = per_src.withColumn("w_raw", (1 + widx).cast("double"))
+    tot = weighted.agg(
+        F.sum("tokens").alias("tok_total"), F.sum("w_raw").alias("w_total")
+    )
+    a = (
+        weighted.crossJoin(F.broadcast(tot))
+        .withColumn("weight", F.col("w_raw") / F.col("w_total"))
+        .withColumn("budget", F.col("tok_total") / 2.0)
+        .withColumn(
+            "rate0",
+            F.least(F.lit(1.0), F.col("budget") * F.col("weight") / F.col("tokens")),
+        )
+    )
+    redis = a.agg(
+        F.sum(F.when(F.col("rate0") >= 1.0, F.col("budget") * F.col("weight") - F.col("tokens")).otherwise(F.lit(0.0))).alias("leftover"),
+        F.sum(F.when(F.col("rate0") < 1.0, F.col("w_raw")).otherwise(F.lit(0.0))).alias("w_unsat"),
+    )
+    out = (
+        a.crossJoin(F.broadcast(redis))
+        .withColumn(
+            "rate",
+            F.when(F.col("rate0") >= 1.0, F.lit(1.0)).otherwise(
+                F.least(
+                    F.lit(1.0),
+                    F.col("rate0")
+                    + F.col("leftover")
+                    * (F.col("w_raw") / F.col("w_unsat"))
+                    / F.col("tokens"),
+                )
+            ),
+        )
+        .withColumn("alloc_tokens", F.floor(F.col("rate") * F.col("tokens")).cast("bigint"))
+    )
+    return out.select(
+        "source",
+        "tokens",
+        F.round("weight", 6).alias("weight"),
+        F.round("rate", 6).alias("rate"),
+        "alloc_tokens",
+    ).orderBy("source")
+
+
+_SQL_DOMAIN_MIX = """
+WITH per_src AS (
+  SELECT source,
+         sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS tokens
+  FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, tokens,
+         (1 + CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 3)::DOUBLE AS w_raw
+  FROM per_src
+),
+tot AS (SELECT sum(tokens)::BIGINT AS tok_total, sum(w_raw) AS w_total FROM weighted),
+a AS (
+  SELECT w.*, w.w_raw / t.w_total AS weight, t.tok_total / 2.0 AS budget,
+         least(1.0, (t.tok_total / 2.0) * (w.w_raw / t.w_total) / w.tokens) AS rate0
+  FROM weighted w, tot t
+),
+redis AS (
+  SELECT sum(CASE WHEN rate0 >= 1.0 THEN budget * weight - tokens ELSE 0.0 END) AS leftover,
+         sum(CASE WHEN rate0 < 1.0 THEN w_raw ELSE 0.0 END) AS w_unsat
+  FROM a
+)
+SELECT source, tokens, round(weight, 6) AS weight,
+       round(CASE WHEN rate0 >= 1.0 THEN 1.0
+                  ELSE least(1.0, rate0 + r.leftover * (w_raw / r.w_unsat) / tokens)
+             END, 6) AS rate,
+       CAST(floor(CASE WHEN rate0 >= 1.0 THEN 1.0
+                       ELSE least(1.0, rate0 + r.leftover * (w_raw / r.w_unsat) / tokens)
+                  END * tokens) AS BIGINT) AS alloc_tokens
+FROM a, redis r
+ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -14823,6 +15271,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "png_roundtrip_stats": (q_png_roundtrip_stats, _SQL_PNG_ROUNDTRIP),
+    "hard_negative_mining": (q_hard_negative_mining, _SQL_HARD_NEG),
+    "rrf_hybrid_retrieval": (q_rrf_hybrid_retrieval, _SQL_RRF),
+    "ppl_bucket_census": (q_ppl_bucket_census, _SQL_PPL_BUCKETS),
+    "quality_funnel_docs": (q_quality_funnel_docs, _sql_quality_funnel()),
+    "domain_mix_budget": (q_domain_mix_budget, _SQL_DOMAIN_MIX),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),
     "raster_tiled_stats": (q_raster_tiled_stats, _sql_raster_stats()),
     "road_density_grid": (q_road_density_grid, _SQL_ROAD_DENSITY),

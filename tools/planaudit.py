@@ -76,6 +76,10 @@ ALLOWLIST_NLJ = {
     "bm25_retrieval_docs": "1-row (N, avgdl) corpus-stats broadcast into the 3-term tf fact",
     "zonal_polygon_coverage": "1-row grand-totals broadcast (crossJoin(F.broadcast(totals))) for coverage shares",
     "kaplan_meier_users": "1-row observation-span broadcast clamping censoring at the corpus end",
+    "ppl_bucket_census": "1-row tercile-threshold broadcast over per-doc perplexities",
+    "hard_negative_mining": "bounded probe broadcast (vec_id % 211) against the partitioned base — the knn_embeddings brute-force shape",
+    "rrf_hybrid_retrieval": "4-probe broadcast on the dense side; lexical side is an inverted-index equi-join",
+    "domain_mix_budget": "two 1-row broadcasts: corpus totals + water-filling redistribution terms",
 }
 
 
