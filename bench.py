@@ -216,6 +216,8 @@ HEADLINE = [
     "ppl_bucket_census",
     "quality_funnel_docs",
     "domain_mix_budget",
+    "wav_roundtrip_stats",
+    "gif_roundtrip_stats",
 ]
 
 

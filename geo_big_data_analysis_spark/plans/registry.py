@@ -3759,6 +3759,208 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+def q_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec round-trip (the un-stubbed multimodal audio
+    path, the WAV twin of `png_roundtrip_stats`): a deterministic
+    256-frame STEREO PCM waveform per probe doc —
+    ch1[i] = (doc_id·37 + i²) mod 4001 − 2000,
+    ch2[i] = (doc_id·53 + i·7) mod 4001 − 2000 —
+    is ENCODED to canonical 16-bit RIFF/WAVE and DECODED back through
+    `sources/wav.py` inside one Arrow-batched mapInPandas; decoded
+    samples feed integer sums/extrema, RMS energy, and per-channel
+    zero-crossing counts, aggregated per source.
+
+    The oracle never sees a WAV: it recomputes the statistics from the
+    waveform's closed-form arithmetic (zero crossings via a lag window
+    over the generated series) — a hash match proves the PCM
+    encode/decode round-trip lossless. Probe set doc_id % 31 = 0."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 31 == 0).select(
+        "doc_id", "source"
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from ..sources.wav import read_wav, write_wav
+
+        for pdf in batches:
+            out = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                i = np.arange(256, dtype=np.int64)
+                ch1 = (int(doc_id) * 37 + i * i) % 4001 - 2000
+                ch2 = (int(doc_id) * 53 + i * 7) % 4001 - 2000
+                frames = np.stack([ch1, ch2], axis=1)
+                decoded, rate = read_wav(write_wav(frames, rate=16_000))
+                if rate != 16_000 or not np.array_equal(decoded, frames):
+                    raise ValueError(f"WAV round-trip corrupted doc {doc_id}")
+                zc = int(
+                    ((decoded[1:] >= 0) != (decoded[:-1] >= 0)).sum()
+                )
+                out.append(
+                    (
+                        int(doc_id),
+                        source,
+                        int(decoded.sum()),
+                        int((decoded.astype(np.int64) ** 2).sum()),
+                        int(decoded.min()),
+                        int(decoded.max()),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "source", "s_sum", "sq_sum", "s_min", "s_max", "zc",
+                ],
+            )
+
+    per_doc = docs.mapInPandas(
+        gen,
+        "doc_id bigint, source string, s_sum bigint, sq_sum bigint,"
+        " s_min int, s_max int, zc bigint",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("s_sum").alias("sample_sum"),
+            F.round(
+                F.sqrt(F.sum("sq_sum") / (F.count(F.lit(1)) * 512)), 6
+            ).alias("rms"),
+            F.min("s_min").alias("min_sample"),
+            F.max("s_max").alias("max_sample"),
+            F.sum("zc").alias("zero_crossings"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_WAV_ROUNDTRIP = """
+WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 31 = 0),
+s AS (
+  SELECT d.doc_id, d.source, i.range AS i,
+         (d.doc_id * 37 + i.range * i.range) % 4001 - 2000 AS c1,
+         (d.doc_id * 53 + i.range * 7) % 4001 - 2000 AS c2
+  FROM d, range(256) i
+),
+lagged AS (
+  SELECT *, lag(c1) OVER (PARTITION BY doc_id ORDER BY i) AS p1,
+            lag(c2) OVER (PARTITION BY doc_id ORDER BY i) AS p2
+  FROM s
+),
+per_doc AS (
+  SELECT doc_id, source,
+         sum(c1 + c2)::BIGINT AS s_sum,
+         sum(c1 * c1 + c2 * c2)::BIGINT AS sq_sum,
+         least(min(c1), min(c2))::INT AS s_min,
+         greatest(max(c1), max(c2))::INT AS s_max,
+         (sum(CASE WHEN p1 IS NOT NULL AND (c1 >= 0) <> (p1 >= 0) THEN 1 ELSE 0 END)
+          + sum(CASE WHEN p2 IS NOT NULL AND (c2 >= 0) <> (p2 >= 0) THEN 1 ELSE 0 END))::BIGINT AS zc
+  FROM lagged GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS n_clips,
+       sum(s_sum)::BIGINT AS sample_sum,
+       round(sqrt(sum(sq_sum)::DOUBLE / (count(*) * 512)), 6) AS rms,
+       min(s_min)::INT AS min_sample, max(s_max)::INT AS max_sample,
+       sum(zc)::BIGINT AS zero_crossings
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+def q_gif_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-codec round-trip (the un-stubbed multimodal video
+    path — animated GIF with genuine LZW, `sources/gif.py`): per probe
+    doc, four 16×16 frames with palette index
+    (doc_id·11 + f·97 + y·16 + x) mod 8 are ENCODED as an animated
+    GIF89a (variable-width LZW, sub-block framing) and DECODED back
+    inside one Arrow-batched mapInPandas; decoded index sums/extrema
+    and the frame count aggregate per source.
+
+    The oracle never sees a GIF: it recomputes the statistics from the
+    frame arithmetic — a hash match proves LZW encode/decode lossless
+    for every frame. Probe set doc_id % 37 = 0 (the modulus-bounded
+    per-item-Python discipline of the PNG/WAV/JW probes)."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 37 == 0).select(
+        "doc_id", "source"
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from ..sources.gif import read_gif, write_gif
+
+        pal = np.array([[i * 32, i * 32, i * 32] for i in range(8)], np.uint8)
+        for pdf in batches:
+            out = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                y, x = np.mgrid[0:16, 0:16]
+                frames = [
+                    ((int(doc_id) * 11 + f * 97 + y * 16 + x) % 8).astype(np.uint8)
+                    for f in range(4)
+                ]
+                _p, got = read_gif(write_gif(frames, pal))
+                if len(got) != 4 or any(
+                    not np.array_equal(a, b) for a, b in zip(got, frames)
+                ):
+                    raise ValueError(f"GIF round-trip corrupted doc {doc_id}")
+                stacked = np.stack(got).astype(np.int64)
+                out.append(
+                    (
+                        int(doc_id),
+                        source,
+                        len(got),
+                        int(stacked.sum()),
+                        int(stacked.min()),
+                        int(stacked.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "source", "n_frames", "idx_sum", "idx_min", "idx_max"],
+            )
+
+    per_doc = docs.mapInPandas(
+        gen,
+        "doc_id bigint, source string, n_frames int, idx_sum bigint,"
+        " idx_min int, idx_max int",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.sum("n_frames").alias("total_frames"),
+            F.sum("idx_sum").alias("index_sum"),
+            F.min("idx_min").alias("min_index"),
+            F.max("idx_max").alias("max_index"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_GIF_ROUNDTRIP = """
+WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 37 = 0),
+px AS (
+  SELECT d.doc_id, d.source,
+         (d.doc_id * 11 + f.range * 97 + p.range) % 8 AS idx
+  FROM d, range(4) f, range(256) p
+),
+per_doc AS (
+  SELECT doc_id, source, 4 AS n_frames, sum(idx)::BIGINT AS idx_sum,
+         min(idx)::INT AS idx_min, max(idx)::INT AS idx_max
+  FROM px GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS n_videos,
+       sum(n_frames)::BIGINT AS total_frames,
+       sum(idx_sum)::BIGINT AS index_sum,
+       min(idx_min)::INT AS min_index, max(idx_max)::INT AS max_index
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Sentiment (SURVEY §2.9 M11 + A5/W3)
 # --------------------------------------------------------------------------
@@ -15271,6 +15473,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "png_roundtrip_stats": (q_png_roundtrip_stats, _SQL_PNG_ROUNDTRIP),
+    "wav_roundtrip_stats": (q_wav_roundtrip_stats, _SQL_WAV_ROUNDTRIP),
+    "gif_roundtrip_stats": (q_gif_roundtrip_stats, _SQL_GIF_ROUNDTRIP),
     "hard_negative_mining": (q_hard_negative_mining, _SQL_HARD_NEG),
     "rrf_hybrid_retrieval": (q_rrf_hybrid_retrieval, _SQL_RRF),
     "ppl_bucket_census": (q_ppl_bucket_census, _SQL_PPL_BUCKETS),

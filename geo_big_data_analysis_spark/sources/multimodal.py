@@ -64,11 +64,13 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
-    """Codec decode. Images are REAL: PNG payloads decode through the
-    pure-Python reader (`sources/png.py` — zlib + unfilter, no pillow),
-    returning the (H, W[, C]) uint8 pixel array. Audio/video codecs
-    (and non-PNG image formats) remain environment stubs — libav/pillow
-    are not available here; the error names the swap-in point."""
+    """Codec decode. Images and audio are REAL: PNG payloads decode
+    through the pure-Python reader (`sources/png.py` — zlib + unfilter)
+    to the (H, W[, C]) uint8 pixel array; RIFF/WAVE payloads decode
+    through `sources/wav.py` to (n_frames, n_channels) int32 PCM.
+    Video codecs (and other image/audio formats) remain environment
+    stubs — libav/pillow are not available here; the error names the
+    swap-in point."""
     if media_type == "image":
         from .png import is_png, read_png
 
@@ -77,6 +79,25 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
         raise NotImplementedError(
             "non-PNG image payload: install pillow for JPEG/WebP/... "
             "(PNG decodes natively via sources/png.py)"
+        )
+    if media_type == "audio":
+        from .wav import is_wav, read_wav
+
+        if is_wav(payload):
+            return read_wav(payload)[0]
+        raise NotImplementedError(
+            "non-WAV audio payload: install av/soundfile for "
+            "MP3/FLAC/... (PCM WAV decodes natively via sources/wav.py)"
+        )
+    if media_type == "video":
+        from .gif import is_gif, read_gif
+
+        if is_gif(payload):
+            _pal, frames = read_gif(payload)
+            return np.stack(frames)  # (n_frames, H, W) palette indices
+        raise NotImplementedError(
+            "non-GIF video payload: install av for MP4/WebM/... "
+            "(animated GIF decodes natively via sources/gif.py)"
         )
     raise NotImplementedError(
         f"no codec for {media_type}: install av, or use FAKE_DECODE"
@@ -187,21 +208,32 @@ def resize_image(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
 
 
 def frame_sample(df: DataFrame, every_k: int = 4) -> DataFrame:
-    """Video frame-sampling plumbing: keep every k-th byte-"frame" of
-    the payload (deterministic stand-in for a real frame extractor —
-    the Arrow batch shape and binary-preserving round-trip are the
-    parts that matter at scale). Non-video rows pass through unchanged.
-    Schema is preserved."""
+    """Video frame sampling. Animated-GIF payloads are sampled FOR
+    REAL: decoded through `sources/gif.py`, every k-th frame kept
+    (from frame 0), re-encoded as GIF — a full decode→sample→encode
+    round-trip with no video library. Other video payloads keep the
+    deterministic byte-stride stand-in so codec-less plumbing stays
+    testable. Non-video rows pass through unchanged; schema is
+    preserved."""
     schema = df.schema
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import is_gif, read_gif, write_gif
+
         for pdf in batches:
             mt = pdf["media"].map(lambda m: m["media_type"])
+            out = []
+            for p, t in zip(pdf["payload"], mt):
+                p = bytes(p)
+                if t != "video":
+                    out.append(p)
+                elif is_gif(p):
+                    pal, frames = read_gif(p)
+                    out.append(write_gif(frames[::every_k], pal))
+                else:
+                    out.append(p[::every_k])
             pdf = pdf.copy()
-            pdf["payload"] = [
-                bytes(p)[::every_k] if t == "video" else bytes(p)
-                for p, t in zip(pdf["payload"], mt)
-            ]
+            pdf["payload"] = out
             yield pdf
 
     return df.mapInPandas(gen, schema)

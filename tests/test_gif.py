@@ -1,0 +1,132 @@
+"""Animated-GIF codec tests (sources/gif.py) — the LZW decoder is
+checked against a HAND-ASSEMBLED GIF byte stream (header, color table,
+image descriptor and hand-packed LZW codes built in the test), plus
+encoder/decoder round-trips across dictionary-reset boundaries."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from geo_big_data_analysis_spark.sources.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    is_gif,
+    read_gif,
+    write_gif,
+)
+from geo_big_data_analysis_spark.sources.multimodal import (
+    decode_media,
+    frame_sample,
+)
+
+
+def _pack_codes(codes: list[tuple[int, int]]) -> bytes:
+    """LSB-first bit packing of (code, width) pairs — an independent
+    re-implementation of the GIF bit order for the handmade stream."""
+    buf = 0
+    nbits = 0
+    out = bytearray()
+    for code, width in codes:
+        buf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_handmade_codes():
+    # min_code_size=2: clear=4, eoi=5, first dynamic code=6.
+    # Stream CLEAR, 1, 2, 6, EOI: after (1, 2) the table holds
+    # 6="12", so code 6 is a plain lookup -> pixels 1 2 1 2.
+    data = _pack_codes([(4, 3), (1, 3), (2, 3), (6, 3), (5, 3)])
+    assert list(_lzw_decode(2, data, 4)) == [1, 2, 1, 2]
+    # KwKwK special case: CLEAR, 1, 6 with code 6 NOT yet in the table
+    # -> entry = prev + prev[0] = "11" -> pixels 1 1 1
+    data2 = _pack_codes([(4, 3), (1, 3), (6, 3), (5, 3)])
+    assert list(_lzw_decode(2, data2, 3)) == [1, 1, 1]
+
+
+def test_lzw_roundtrip_long_and_reset():
+    rng = np.random.default_rng(3)
+    # enough 8-color pixels to overflow the 4096-entry dictionary and
+    # force a mid-stream CLEAR + rebuild
+    px = rng.integers(0, 8, size=60_000, dtype=np.uint8).tobytes()
+    enc = _lzw_encode(3, px)
+    assert _lzw_decode(3, enc, len(px)) == px
+
+
+def test_handmade_single_frame_gif():
+    # 2x2, 4-color global table, pixels [[0,1],[2,3]]
+    gct = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    lzw = _lzw_encode(2, bytes([0, 1, 2, 3]))
+    data = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x80 | 1, 0, 0)
+        + gct
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        + bytes([2, len(lzw)]) + lzw + b"\x00"
+        + b"\x3b"
+    )
+    pal, frames = read_gif(data)
+    assert len(frames) == 1
+    assert frames[0].tolist() == [[0, 1], [2, 3]]
+    assert pal[3].tolist() == [9, 9, 9]
+
+
+def test_animated_roundtrip_and_partial_frames():
+    pal = np.array([[i * 32, 255 - i * 32, i * 10] for i in range(8)], np.uint8)
+    f0 = np.arange(64, dtype=np.uint8).reshape(8, 8) % 8
+    f1 = (f0 + 3) % 8
+    f2 = (f0.T * 5) % 8
+    data = write_gif([f0, f1, f2], pal)
+    assert is_gif(data)
+    got_pal, got = read_gif(data)
+    assert len(got) == 3
+    for want, g in zip([f0, f1, f2], got):
+        assert np.array_equal(g, want)
+    assert np.array_equal(got_pal[:8], pal)
+
+
+def test_interlaced_raises():
+    data = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 1, 1, 0, 0, 0)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0x40)
+    )
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        read_gif(data)
+    assert not is_gif(b"RIFF....WEBP")
+
+
+def test_decode_media_and_frame_sample_gif(spark):
+    pal = np.array([[i, i, i] for i in range(16)], np.uint8)
+    frames = [
+        (np.full((4, 4), k, dtype=np.uint8) + np.eye(4, dtype=np.uint8)) % 16
+        for k in range(6)
+    ]
+    gif = write_gif(frames, pal)
+    stacked = decode_media(gif, "video")
+    assert stacked.shape == (6, 4, 4)
+    assert all(np.array_equal(stacked[k], frames[k]) for k in range(6))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(gif))], "item_id bigint, payload binary"
+    ).selectExpr(
+        "item_id",
+        "payload",
+        "named_struct('media_type', 'video', 'width', 4, 'height', 4,"
+        " 'sample_rate', CAST(NULL AS INT), 'n_frames', 6) AS media",
+    )
+    out = frame_sample(df, every_k=2).collect()[0]
+    _, kept = __import__(
+        "geo_big_data_analysis_spark.sources.gif", fromlist=["read_gif"]
+    ).read_gif(bytes(out["payload"]))
+    assert len(kept) == 3
+    assert all(np.array_equal(kept[j], frames[2 * j]) for j in range(3))
