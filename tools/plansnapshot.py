@@ -35,22 +35,49 @@ BASELINE_PATH = os.path.join(os.path.dirname(__file__), "PLAN_BASELINE.json")
 SF_DIR = "/root/testdata/sf0.01"
 
 
+#: plan-shape-relevant session configs, PINNED during fingerprinting so
+#: the gate is immune to session-state leakage from earlier tests in a
+#: shared pytest session (a leaked broadcast threshold or partition
+#: count would otherwise read as phantom plan drift). Values match
+#: `session.get_spark`'s fresh-session defaults — what the CLI writer
+#: runs under.
+_PINNED_CONFS = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.autoBroadcastJoinThreshold": "10485760",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
 def fingerprints(sf_dir: str = SF_DIR) -> dict[str, dict]:
     spark = get_spark("plansnapshot")
-    out: dict[str, dict] = {}
-    for name, (fn, oracle) in REGISTRY.items():
-        if name.startswith("streaming_"):
-            continue
+    saved = {}
+    for k, v in _PINNED_CONFS.items():
         try:
-            df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            out[name] = {
-                "exchanges": plan.count("Exchange "),
-                "nlj": "BroadcastNestedLoopJoin" in plan,
-                "global_windows": _unpartitioned_windows(df),
-            }
-        except Exception as e:  # noqa: BLE001
-            out[name] = {"error": f"{type(e).__name__}"}
+            saved[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf
+            saved[k] = None
+        spark.conf.set(k, v)
+    out: dict[str, dict] = {}
+    try:
+        for name, (fn, oracle) in REGISTRY.items():
+            if name.startswith("streaming_"):
+                continue
+            try:
+                df = fn(spark, sf_dir)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                out[name] = {
+                    "exchanges": plan.count("Exchange "),
+                    "nlj": "BroadcastNestedLoopJoin" in plan,
+                    "global_windows": _unpartitioned_windows(df),
+                }
+            except Exception as e:  # noqa: BLE001
+                out[name] = {"error": f"{type(e).__name__}"}
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
     return out
 
 
