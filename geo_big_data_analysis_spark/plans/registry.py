@@ -15253,14 +15253,20 @@ def q_quality_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol_ratio_ok", "common_words_ok",
     ]
     docs = _t(spark, sf_dir, "documents")
+    # materialize the rule struct behind an exchange barrier before the
+    # first-fail CASE: each CASE arm's field access would otherwise be
+    # re-inlined to the full rule expression (tokenize + HOF folds) by
+    # SimplifyExtractValueOps — the hex_density lesson (4.6 s → ~1 s)
     g = gopher_rules("text")
-    stage = F.when(~g["word_count_ok"], "1_word_count")
+    bound = docs.select(
+        "source", F.length("text").alias("n_chars_t"), g.alias("g")
+    ).repartition(32)
+    gc = F.col("g")
+    stage = F.when(~gc["word_count_ok"], "1_word_count")
     for i, r in enumerate(rules[1:], start=2):
-        stage = stage.when(~g[r], f"{i}_{r[:-3]}")
+        stage = stage.when(~gc[r], f"{i}_{r[:-3]}")
     stage = stage.otherwise("kept")
-    scored = docs.select(
-        "source", F.length("text").alias("n_chars_t"), stage.alias("stage")
-    )
+    scored = bound.select("source", "n_chars_t", stage.alias("stage"))
     return (
         scored.groupBy("source", "stage")
         .agg(
