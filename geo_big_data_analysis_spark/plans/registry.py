@@ -12043,21 +12043,26 @@ def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast self-join over 10 rows — the heavy work never exceeds
     the centroid agg. Output: top-5 most-confusable label pairs."""
     emb = _t(spark, sf_dir, "embeddings")
-    x = F.col("embedding").cast("array<double>")
-    first = emb.select(F.size(x).alias("d")).first()
-    dim = first["d"]
-    cents = emb.select("label", *[x[i].alias(f"c{i}") for i in range(dim)]).groupBy(
-        "label"
-    ).agg(*[F.avg(f"c{i}").alias(f"c{i}") for i in range(dim)])
-    a = cents.select(
-        F.col("label").alias("la"), *[F.col(f"c{i}").alias(f"a{i}") for i in range(dim)]
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    # wide expressions built as PARSED SQL strings, not per-element
+    # Column arithmetic: the Column-API form costs ~400 py4j
+    # round-trips (~1 s of pure driver time) for the 3×64-term
+    # dot/norm chains — the operators/similarity expression-strategy
+    # note, applied. Identical trees, same left-to-right fp order.
+    cents = (
+        emb.selectExpr(
+            "label",
+            *[f"CAST(embedding[{i}] AS DOUBLE) AS c{i}" for i in range(dim)],
+        )
+        .groupBy("label")
+        .agg(*[F.expr(f"avg(c{i})").alias(f"c{i}") for i in range(dim)])
+        .localCheckpoint()  # consumed twice (both sides of the self-join)
     )
-    b = cents.select(
-        F.col("label").alias("lb"), *[F.col(f"c{i}").alias(f"b{i}") for i in range(dim)]
-    )
-    dot = sum(F.col(f"a{i}") * F.col(f"b{i}") for i in range(dim))
-    na = F.sqrt(sum(F.col(f"a{i}") * F.col(f"a{i}") for i in range(dim)))
-    nb = F.sqrt(sum(F.col(f"b{i}") * F.col(f"b{i}") for i in range(dim)))
+    a = cents.selectExpr("label AS la", *[f"c{i} AS a{i}" for i in range(dim)])
+    b = cents.selectExpr("label AS lb", *[f"c{i} AS b{i}" for i in range(dim)])
+    dot = F.expr(" + ".join(f"a{i} * b{i}" for i in range(dim)))
+    na = F.expr(f"sqrt({' + '.join(f'a{i} * a{i}' for i in range(dim))})")
+    nb = F.expr(f"sqrt({' + '.join(f'b{i} * b{i}' for i in range(dim))})")
     return (
         a.join(F.broadcast(b), F.col("la") < F.col("lb"))
         .select(
