@@ -50,6 +50,27 @@ _PINNED_CONFS = {
 }
 
 
+#: Queries whose returned DataFrame is a driver-built LocalRelation
+#: (band/fit queries that train a model or run a fit loop during PLAN
+#: BUILD and emit collected booleans/rows). Their "plan" is a constant
+#: local scan — zero regression signal — while fingerprinting them
+#: executes full training runs inside a long-lived shared JVM, which is
+#: both slow and the one observed flake source (a Py4J error in the
+#: logreg fit after ~250 suites read as phantom drift). Their
+#: correctness stays gated by the oracle suite (selfcheck/driver).
+_LOCAL_RELATION_QUERIES = {
+    "logreg_return_metrics",
+    "gbt_value_metrics",
+    "gbt_band_lab2",
+    "param_search_band",
+    "importances_band",
+    "kmeans_event_clusters",
+    "lisa_perm_band",
+    "bpe_merges_docs",
+    "kcenter_coreset_embeddings",
+}
+
+
 def fingerprints(sf_dir: str = SF_DIR) -> dict[str, dict]:
     spark = get_spark("plansnapshot")
     saved = {}
@@ -62,7 +83,7 @@ def fingerprints(sf_dir: str = SF_DIR) -> dict[str, dict]:
     out: dict[str, dict] = {}
     try:
         for name, (fn, oracle) in REGISTRY.items():
-            if name.startswith("streaming_"):
+            if name.startswith("streaming_") or name in _LOCAL_RELATION_QUERIES:
                 continue
             try:
                 df = fn(spark, sf_dir)
