@@ -928,6 +928,16 @@ def scc_labels_fwbw(
         n_v = verts.count()
         e = _restrict(e, verts)
 
+    if n_v > 0:
+        # Same explicit-failure contract as reachability_closure's row
+        # guard: never return partial labels as if complete (a chain of
+        # >max_outer cycles under one color class would otherwise be
+        # silently dropped from the output).
+        raise ValueError(
+            f"scc_labels_fwbw: {n_v} vertices unlabeled after "
+            f"max_outer={max_outer} rounds; raise max_outer"
+        )
+
     out = done[0]
     for part in done[1:]:
         out = out.unionByName(part)

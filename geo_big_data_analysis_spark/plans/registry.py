@@ -7533,8 +7533,9 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     The md5-prefix hash is bit-identical in DuckDB so the oracle
     replays the sketch EXACTLY — estimate, not just the exact count.
     Exact countDistinct runs alongside to report the observed error.
-    At scale the window-per-type top-k is a partial agg (top-k heap),
-    not a global sort; event_type cardinality is tiny."""
+    The k-min set is built the way the sketch is DEFINED — per-bucket
+    partial k-min arrays merged per type (two bounded aggregates), not
+    a sort-all-hashes window."""
     ev = _t(spark, sf_dir, "events")
     two60 = F.lit(float(1 << 60))
     hashed = (
@@ -7546,14 +7547,30 @@ def q_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    w = Window.partitionBy("event_type").orderBy("h")
-    kmin = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 64)
+    # two-level mergeable k-min — the point of KMV being a sketch:
+    # level 1 keeps the 64 smallest hashes per (event_type, hash
+    # bucket) — each agg buffer sees 1/64 of the type's distinct
+    # hashes (bucket count scales with data at 100 TB); level 2 merges
+    # #buckets sorted 64-arrays per type into the final k-min set.
+    # Replaces the per-type sort-everything window (VERDICT r3 #2):
+    # identical h_k / m because the hashes are distinct per type.
+    part = hashed.groupBy(
+        "event_type", F.pmod(F.col("h"), F.lit(64)).alias("b")
+    ).agg(F.slice(F.array_sort(F.collect_list("h")), 1, 64).alias("mins"))
+    sk = part.groupBy("event_type").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("mins"))), 1, 64).alias(
+            "mins"
+        )
+    )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return (
-        kmin.groupBy("event_type")
-        .agg(F.max("h").alias("h_k"), F.count(F.lit(1)).alias("m"))
+        sk.select(
+            "event_type",
+            F.element_at("mins", -1).alias("h_k"),
+            F.size("mins").cast("bigint").alias("m"),
+        )
         .select(
             "event_type",
             F.when(F.col("m") < 64, F.col("m").cast("double"))
@@ -10592,16 +10609,26 @@ def q_dsir_select_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(totals))
         .groupBy("doc_id", "source")
         .agg(F.avg(lr).alias("w"))
+        # consumed by BOTH the top-k job and the census — checkpoint so
+        # the token-scoring aggregate is computed once, not per branch
+        .localCheckpoint(eager=False)
     )
-    ranked = per_doc.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.orderBy(F.col("w").desc(), F.col("doc_id").asc())
-        ),
+    # top-100 selection via orderBy().limit() — compiles to
+    # TakeOrderedAndProject (per-partition heap + driver merge of 100
+    # rows), NOT the single-partition global WindowExec the row_number
+    # formulation costs at 100 TB (VERDICT r3 #1). The (w desc, doc_id)
+    # order is total, so the selected set is identical; the 100-row
+    # flag side broadcasts back onto the per-doc weights.
+    top = (
+        per_doc.orderBy(F.col("w").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select("doc_id", F.lit(True).alias("selected"))
+    )
+    flagged = per_doc.join(F.broadcast(top), "doc_id", "left").withColumn(
+        "selected", F.coalesce(F.col("selected"), F.lit(False))
     )
     return (
-        ranked.withColumn("selected", F.col("rk") <= 100)
-        .groupBy("source")
+        flagged.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("selected").cast("bigint")).alias("n_selected"),
@@ -10959,10 +10986,11 @@ def q_kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint").alias("h")
             )
         )
-        w = Window.orderBy("h")
-        return hashed.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") <= k
-        ).select("h")
+        # k-min via orderBy().limit(k) = TakeOrderedAndProject: every
+        # partition keeps a k-heap, the driver merges #partitions × k
+        # rows — the mergeable-sketch shape, not the single-partition
+        # global window (VERDICT r3 #2)
+        return hashed.orderBy("h").limit(k)
 
     def estimate(sk: DataFrame, name: str) -> DataFrame:
         return sk.agg(
@@ -10972,14 +11000,9 @@ def q_kmv_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a, b = sketch("click"), sketch("purchase")
-    w = Window.orderBy("h")
-    union_sk = (
-        a.unionByName(b)
-        .distinct()
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("h")
-    )
+    # union sketch = k smallest of the two sketches' union (KMV closure
+    # property) — 2k rows in, TakeOrdered out, no global window
+    union_sk = a.unionByName(b).distinct().orderBy("h").limit(k)
     exact = (
         ev.filter(F.col("event_type") == "click")
         .select("user_id")
@@ -15185,8 +15208,11 @@ def q_ppl_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ppl", F.round(F.exp(-F.col("mean_lp")), 6))
     )
     th = scored.agg(
-        F.expr("percentile(ppl, 0.3333333333333333)").alias("t1"),
-        F.expr("percentile(ppl, 0.6666666666666666)").alias("t2"),
+        # thresholds rounded to 6dp like ppl itself — an unrounded
+        # interpolated percentile can differ in the last bit between
+        # Spark and DuckDB and flip a doc sitting ON a bucket edge
+        F.round(F.expr("percentile(ppl, 0.3333333333333333)"), 6).alias("t1"),
+        F.round(F.expr("percentile(ppl, 0.6666666666666666)"), 6).alias("t2"),
     )
     banded = scored.crossJoin(F.broadcast(th)).withColumn(
         "bucket",
@@ -15226,8 +15252,8 @@ scored AS (
   FROM toks t JOIN vocab v USING (tok), totals tt
   GROUP BY t.doc_id, t.source
 ),
-th AS (SELECT quantile_cont(ppl, 0.3333333333333333) AS t1,
-              quantile_cont(ppl, 0.6666666666666666) AS t2 FROM scored)
+th AS (SELECT round(quantile_cont(ppl, 0.3333333333333333), 6) AS t1,
+              round(quantile_cont(ppl, 0.6666666666666666), 6) AS t2 FROM scored)
 SELECT source,
        CASE WHEN ppl <= t1 THEN 'head'
             WHEN ppl <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
@@ -15357,7 +15383,15 @@ def q_domain_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        .withColumn("alloc_tokens", F.floor(F.col("rate") * F.col("tokens")).cast("bigint"))
+        # floor() over the 6dp-rounded rate: leftover is an
+        # order-dependent double sum, and an unrounded rate*tokens
+        # straddling an integer would flip alloc_tokens by 1
+        # cross-engine; rounding first makes both engines see the
+        # identical double (ppl_bucket_census's edge rule)
+        .withColumn(
+            "alloc_tokens",
+            F.floor(F.round(F.col("rate"), 6) * F.col("tokens")).cast("bigint"),
+        )
     )
     return out.select(
         "source",
@@ -15394,9 +15428,9 @@ SELECT source, tokens, round(weight, 6) AS weight,
        round(CASE WHEN rate0 >= 1.0 THEN 1.0
                   ELSE least(1.0, rate0 + r.leftover * (w_raw / r.w_unsat) / tokens)
              END, 6) AS rate,
-       CAST(floor(CASE WHEN rate0 >= 1.0 THEN 1.0
-                       ELSE least(1.0, rate0 + r.leftover * (w_raw / r.w_unsat) / tokens)
-                  END * tokens) AS BIGINT) AS alloc_tokens
+       CAST(floor(round(CASE WHEN rate0 >= 1.0 THEN 1.0
+                             ELSE least(1.0, rate0 + r.leftover * (w_raw / r.w_unsat) / tokens)
+                        END, 6) * tokens) AS BIGINT) AS alloc_tokens
 FROM a, redis r
 ORDER BY source
 """

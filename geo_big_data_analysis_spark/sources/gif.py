@@ -10,7 +10,12 @@ Scope (documented feature matrix):
   frames are composited onto the running canvas at their offsets,
   which is exact for the full-frame streams the encoder here writes
   and for disposal-method-1 streams generally); interlaced frames
-  raise NotImplementedError.
+  raise NotImplementedError. Single-palette limitation: the decoder
+  returns ONE palette (the global color table) for the whole stream;
+  a frame's local color table is parsed and skipped — its indices are
+  still composited exactly, but its true colors are not representable
+  in the single returned palette. Per GIF89a §20 an LCT scopes to its
+  image only, so it is never allowed to leak into later GCT frames.
 - encode: N full-canvas palette-indexed frames with one global color
   table, LZW-compressed (dictionary reset on table overflow at 4096).
 
@@ -173,9 +178,12 @@ def read_gif(data: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
         if fflags & 0x40:
             raise NotImplementedError("interlaced GIF frames not supported")
         if fflags & 0x80:
+            # GIF89a §20: a local color table scopes to ITS image only.
+            # The single-palette return can't carry per-frame tables, so
+            # the LCT is parsed and skipped without clobbering the
+            # shared palette (documented limitation in the module
+            # docstring) — later GCT-only frames keep their true colors.
             n = 2 << (fflags & 7)
-            lct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
-            palette[: len(lct)] = lct
             pos += 3 * n
         min_code = data[pos]
         pos += 1

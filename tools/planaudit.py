@@ -87,7 +87,6 @@ ALLOWLIST_NLJ = {
 # only over pre-aggregated bounded-cardinality inputs (SCALE.md).
 ALLOWLIST_GLOBAL_WINDOW = {
     "sentiment_source_ranks": "sorts per-source aggregates (#sources rows)",
-    "dsir_select_docs": "global top-k selection rank over ONE ROW PER DOC aggregates; at scale swap for a weight-threshold quantile cut (two-phase)",
     "lab1_noise_pipeline": "keyless sessionization over anomalous hourly buckets (time-span-bounded)",
     "trailing_7day_revenue": "RANGE frame over the daily pre-aggregate (time-span-bounded, ~2.4k rows/7y)",
     "auc_rank_metric": "cumulative counts over distinct-score groups (~550 rows, domain-bounded)",
@@ -98,7 +97,6 @@ ALLOWLIST_GLOBAL_WINDOW = {
     "mean_shift_scan": "prefix sums over the daily pre-aggregate (time-span-bounded)",
     "max_open_orders": "sweep-line running sum over day-granular deltas (calendar-bounded)",
     "sql_frontend_revenue": "share-of-total window over the per-nation aggregate (#nations rows)",
-    "kmv_overlap_sketch": "k-min selection windows; swap for an aggregate-HOF k-min merge at scale (KMV docstring note)",
     "ewma_daily_revenue": "21-lag weighted window over the daily pre-aggregate (time-span-bounded)",
     "autocorrelation_daily": "7 lag columns over the daily pre-aggregate (time-span-bounded)",
     "seasonal_naive_eval": "lag-7 window over the daily pre-aggregate (time-span-bounded)",

@@ -99,6 +99,11 @@ def fingerprints(sf_dir: str = SF_DIR) -> dict[str, dict]:
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                # a conf unset before pinning must be UNSET again, not
+                # left pinned — otherwise fingerprints() leaks exactly
+                # the session state the pinning exists to prevent
+                spark.conf.unset(k)
     return out
 
 
