@@ -1,0 +1,65 @@
+"""Gate on the committed full-suite selfcheck record and the generated
+surface counts.
+
+The driver's per-round correctness gate samples ~50 queries; the
+committed ``SELFCHECK_r{N}.txt`` is the only artifact proving the other
+~220 (VERDICT r3 "Next" #8). These tests make that artifact load-bearing:
+a silently-skipped registry query can't claim coverage, and the
+README/COVERAGE counts can't drift from ``len(REGISTRY)`` again
+(VERDICT r3 "What's wrong" #3).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+from geo_big_data_analysis_spark.plans.registry import REGISTRY
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _latest_record() -> str:
+    records = sorted(glob.glob(os.path.join(ROOT, "SELFCHECK_r*.txt")))
+    assert records, "no SELFCHECK_r{N}.txt committed"
+    return records[-1]
+
+
+def test_selfcheck_record_names_every_registry_query():
+    path = _latest_record()
+    with open(path) as f:
+        text = f.read()
+    passed = set(re.findall(r"^PASS (\w+):", text, re.MULTILINE))
+    rows_only = set(re.findall(r"^ok\?  (\w+):", text, re.MULTILINE))
+    covered = passed | rows_only
+    missing = sorted(set(REGISTRY) - covered)
+    assert not missing, (
+        f"{os.path.basename(path)} does not cover {len(missing)} registry "
+        f"queries (stale record — rerun tools/selfcheck.py and commit): "
+        f"{missing[:10]}"
+    )
+
+
+def test_selfcheck_record_all_green():
+    path = _latest_record()
+    with open(path) as f:
+        text = f.read()
+    fails = re.findall(r"^FAIL .*$", text, re.MULTILINE)
+    assert not fails, f"{os.path.basename(path)} records failures: {fails[:5]}"
+    assert "ALL GREEN" in text
+
+
+def test_doc_counts_match_registry():
+    total = len(REGISTRY)
+    oracle = sum(1 for _, sql in REGISTRY.values() if sql is not None)
+    with open(os.path.join(ROOT, "README.md")) as f:
+        readme = f.read()
+    with open(os.path.join(ROOT, "COVERAGE.md")) as f:
+        coverage = f.read()
+    assert f"{total} registry queries ({oracle} DuckDB-oracle-checked" in readme, (
+        "README.md surface counts drifted — run `python tools/counts.py write`"
+    )
+    assert f"{total} registry queries, {oracle} oracle-checked" in coverage, (
+        "COVERAGE.md surface counts drifted — run `python tools/counts.py write`"
+    )
