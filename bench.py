@@ -3,13 +3,18 @@
 
 Per-query wall time includes plan + execution + a count() materialization
 (no driver-side data transfer beyond the count), mirroring how a
-reporting layer would consume the results.
+reporting layer would consume the results. Each query is timed
+$SPARK_GRAFT_BENCH_ITERS times (default 3) and reported as the per-query
+MEDIAN; BENCH_DETAIL.json carries IQR, raw runs, and bracketing load
+averages so environment noise is distinguishable from plan regressions.
+Compare two rounds with `python tools/benchcompare.py <old> <new>`.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -242,12 +247,34 @@ def main() -> None:
             except Exception:
                 pass  # warmup is best-effort; the timed run surfaces real errors
 
+    # >=3 timed iterations per query, report the MEDIAN (VERDICT r3
+    # "What's wrong" #4: one single-shot run per round measured the
+    # machine, not the code — r3's driver run was a uniform 1.3x above
+    # the builder's run of identical code). IQR + the raw runs land in
+    # the detail sidecar so a noisy environment reads as dispersion,
+    # not regression; load averages bracket the run as the machine-load
+    # marker.
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    load_before = os.getloadavg()
     times: dict[str, float] = {}
+    iqrs: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
+        runs: list[float] = []
+        for _ in range(iters):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            runs.append(round(time.time() - t0, 3))
+        runs.sort()
+        raw[name] = runs
+        times[name] = round(statistics.median(runs), 3)
+        iqrs[name] = (
+            round(statistics.quantiles(runs, n=4)[2] - statistics.quantiles(runs, n=4)[0], 3)
+            if len(runs) >= 2
+            else 0.0
+        )
+    load_after = os.getloadavg()
     total = round(sum(times.values()), 3)
     # Per-query detail goes to a sidecar file; stdout gets ONE compact
     # line (<1 KB) so the driver's bounded tail-capture can parse it
@@ -262,6 +289,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "iqr": iqrs,
+                "runs": raw,
+                "iters": iters,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in load_after],
                 "sf": sf,
                 "n_queries": len(times),
             },
@@ -276,6 +308,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(times),
+                "iters": iters,
                 "median_sec": round(sorted(times.values())[len(times) // 2], 3),
                 "slowest": {k: v for k, v in slowest},
                 "detail": "BENCH_DETAIL.json",

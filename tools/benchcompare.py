@@ -1,0 +1,81 @@
+"""Round-over-round bench comparison (VERDICT r3 "Next" #5).
+
+Takes two bench JSON artifacts (BENCH_DETAIL.json or a driver
+BENCH_r{N}.json — anything with a ``queries`` name→seconds map),
+intersects their query sets, and reports the common-set total ratio
+plus the largest per-query regressions/improvements. When both files
+carry IQRs (multi-iteration detail files), a per-query delta within
+the combined IQR is marked noise, not regression.
+
+Usage: python tools/benchcompare.py OLD.json NEW.json [top_n]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _unwrap(doc: dict) -> dict:
+    # driver BENCH_r{N}.json wraps the bench stdout under "parsed"
+    return doc.get("parsed") or doc
+
+
+def _queries(doc: dict) -> dict[str, float]:
+    qs = doc.get("queries") or {}
+    return {k: float(v) for k, v in qs.items() if not k.startswith("_")}
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    with open(sys.argv[1]) as f:
+        old = _unwrap(json.load(f))
+    with open(sys.argv[2]) as f:
+        new = _unwrap(json.load(f))
+    top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    qo, qn = _queries(old), _queries(new)
+    common = sorted(set(qo) & set(qn))
+    if not common:
+        # driver BENCH_r{N}.json carries only {"_total": ...} inline —
+        # per-query comparison needs the BENCH_DETAIL-style files
+        print(
+            f"no common per-query data; totals: "
+            f"old {old.get('value')}s ({old.get('n_queries')} queries) vs "
+            f"new {new.get('value')}s ({new.get('n_queries')} queries)"
+        )
+        return 0
+    only_old, only_new = sorted(set(qo) - set(qn)), sorted(set(qn) - set(qo))
+    to, tn = sum(qo[q] for q in common), sum(qn[q] for q in common)
+    print(
+        f"common queries: {len(common)}  old total {to:.1f}s  "
+        f"new total {tn:.1f}s  ratio {tn / to:.3f}x"
+    )
+    if only_old:
+        print(f"dropped ({len(only_old)}): {', '.join(only_old[:8])}")
+    if only_new:
+        print(f"added ({len(only_new)}): {', '.join(only_new[:8])}")
+
+    iqr_o, iqr_n = old.get("iqr", {}), new.get("iqr", {})
+    deltas = sorted(common, key=lambda q: qo[q] - qn[q])
+    print(f"\ntop {top_n} regressions (new - old, sec):")
+    for q in deltas[:top_n]:
+        d = qn[q] - qo[q]
+        if d <= 0:
+            break
+        noise_band = iqr_o.get(q, 0.0) + iqr_n.get(q, 0.0)
+        tag = " [within IQR noise]" if abs(d) <= noise_band else ""
+        print(f"  {q}: {qo[q]:.2f} -> {qn[q]:.2f} (+{d:.2f}){tag}")
+    print(f"\ntop {top_n} improvements:")
+    for q in deltas[-1 : -top_n - 1 : -1]:
+        d = qn[q] - qo[q]
+        if d >= 0:
+            break
+        print(f"  {q}: {qo[q]:.2f} -> {qn[q]:.2f} ({d:.2f})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
