@@ -676,3 +676,86 @@ def cosine_topk_ivf(
         F.col("query_id") != F.col("neighbor_id")
     )
     return _topk(pairs.withColumn("cosine", _cosine_col("_qv", "_bv", dim)), k)
+
+
+def hard_negatives_ivf(
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    centers: list[tuple[int, list[float]]],
+    nprobe: int = 3,
+    q_id: str = "vec_id",
+    b_id: str = "vec_id",
+    q_vec: str = "embedding",
+    b_vec: str = "embedding",
+    q_label: str = "label",
+    b_label: str = "label",
+) -> DataFrame:
+    """Index-driven hard-negative mining (VERDICT r3 "Next" #4): the
+    IVF candidate pre-stage of :func:`cosine_topk_ivf` — base vectors
+    bucketed by nearest coarse centroid, each probe expanding to its
+    ``nprobe`` nearest cells via an integer-cell equi-join — followed
+    by the different-label filter and an exact cosine re-rank to the
+    top-k strongest negatives. This is the shape a 100 TB contrastive-
+    data job needs: candidates come from the index (≈ nprobe/n_cells
+    of the base per probe), never from an all-pairs probe broadcast;
+    the exact variant (`hard_negative_mining`) stays as the recall
+    anchor.
+
+    Ranks on round(cosine, 6) like the exact anchor (rank at the
+    compared precision, never raw floats). Returns (query_id,
+    probe_label, rank, negative_id, negative_label, cosine)."""
+    dim = len(centers[0][1])
+    bs = (
+        base.select(
+            F.col(b_id).alias("negative_id"),
+            F.col(b_label).alias("negative_label"),
+            F.col(b_vec).alias("_bv"),
+        )
+        .withColumn("_n", F.expr(_norm_sql("_bv")))
+        .withColumn(
+            "cell",
+            F.element_at(
+                F.array_sort(F.expr(_cell_scores_sql("_bv", "_n", centers))), 1
+            )["cell"],
+        )
+        .drop("_n")
+    )
+    qs = (
+        queries.select(
+            F.col(q_id).alias("query_id"),
+            F.col(q_label).alias("probe_label"),
+            F.col(q_vec).alias("_qv"),
+        )
+        .withColumn("_n", F.expr(_norm_sql("_qv")))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(F.expr(_cell_scores_sql("_qv", "_n", centers))),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s["cell"],
+                )
+            ),
+        )
+        .drop("_n")
+    )
+    pairs = (
+        qs.join(bs, "cell", "inner")
+        .filter(F.col("probe_label") != F.col("negative_label"))
+        .withColumn("cosine", F.round(_cosine_col("_qv", "_bv", dim), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "probe_label", "rank",
+            "negative_id", "negative_label", "cosine",
+        )
+    )

@@ -3961,6 +3961,95 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+def q_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-image-codec round-trip (the baseline-JPEG twin of
+    `png_roundtrip_stats`, VERDICT r3 "Next" #6): a deterministic
+    32×32 BLOCK-CONSTANT grayscale image per probe doc — every pixel
+    of 8×8 block (by, bx) is (doc_id·17 + by·8 + bx·3) mod 256 — is
+    ENCODED to baseline sequential JPEG (SOF0, Annex K Huffman, all-8
+    quant) and DECODED back through the pure-Python codec
+    (`sources/jpeg.py`: Huffman → dequant → IDCT), all inside one
+    Arrow-batched mapInPandas; decoded pixel sums/extrema aggregate
+    per source.
+
+    The oracle never sees a JPEG: it recomputes the statistics from
+    the block grid's closed-form arithmetic. A hash match proves the
+    full DCT entropy pipeline LOSSLESS on this content class — a
+    constant block has only the DC coefficient 8·(v−128), which the
+    all-8 quantizer carries exactly, so the lossy codec is exact
+    precisely where the math says it must be. Probe set
+    doc_id % 41 = 0 (codec work is per-image Python, bounded like the
+    PNG/WAV/GIF probes)."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 41 == 0).select(
+        "doc_id", "source"
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from ..sources.jpeg import read_jpeg, write_jpeg
+
+        for pdf in batches:
+            out = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                y, x = np.mgrid[0:32, 0:32]
+                img = (
+                    (int(doc_id) * 17 + (y // 8) * 8 + (x // 8) * 3) % 256
+                ).astype(np.uint8)
+                px = read_jpeg(write_jpeg(img))
+                if not np.array_equal(px, img):  # exact on this class
+                    raise ValueError(f"JPEG round-trip corrupted doc {doc_id}")
+                out.append(
+                    (
+                        int(doc_id),
+                        source,
+                        int(px.astype(np.int64).sum()),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "source", "px_sum", "px_min", "px_max"]
+            )
+
+    per_doc = docs.mapInPandas(
+        gen, "doc_id bigint, source string, px_sum bigint, px_min int, px_max int"
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(
+                F.sum("px_sum") / (F.count(F.lit(1)) * 1024), 6
+            ).alias("avg_px_mean"),
+            F.min("px_min").alias("min_px"),
+            F.max("px_max").alias("max_px"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_JPEG_ROUNDTRIP = """
+WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 41 = 0),
+blocks AS (
+  SELECT d.doc_id, d.source,
+         (d.doc_id * 17 + by.range * 8 + bx.range * 3) % 256 AS bval
+  FROM d, range(4) by, range(4) bx
+),
+per_doc AS (
+  SELECT doc_id, source, sum(bval * 64)::BIGINT AS px_sum,
+         min(bval) AS mn, max(bval) AS mx
+  FROM blocks GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS n_images,
+       round(sum(px_sum)::DOUBLE / (count(*) * 1024), 6) AS avg_px_mean,
+       min(mn)::INT AS min_px, max(mx)::INT AS max_px
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Sentiment (SURVEY §2.9 M11 + A5/W3)
 # --------------------------------------------------------------------------
@@ -15042,6 +15131,171 @@ ORDER BY probe_id, rank
 """
 
 
+def q_hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-DRIVEN hard-negative mining (VERDICT r3 "Next" #4): the
+    same mining task as `hard_negative_mining`, but candidates come
+    from the IVF coarse quantizer (per-label centroid cells, probes
+    expand to their nprobe nearest cells via the integer-cell
+    equi-join) instead of an all-pairs probe broadcast — the shape a
+    100 TB contrastive-data job needs. The exact variant stays as the
+    recall anchor: this query GRADES the index like `ann_recall` does,
+    reporting, for nprobe ∈ {1, 3} plus the exact anchor, the selected
+    pair count, recall@3 vs the exact top-3, and the mean cosine of
+    the selected negatives (how much "hardness" the index keeps).
+
+    Shape: cell assignment is a map over broadcast centroid literals;
+    the probe is a cell equi-join; the anchor's cross join is bounded
+    by the tiny probe set. Cosines ranked and averaged at 6dp via
+    decimal sums — cross-engine exact."""
+    from ..operators.similarity import (
+        _cosine_sql,
+        hard_negatives_ivf,
+        label_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probes = emb.filter(F.col("vec_id") % 211 == 0)
+    centers = label_centroids(emb, "embedding", "label")
+
+    q = probes.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("probe_label"),
+        F.col("embedding").alias("_qv"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("_bv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    exact3 = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("probe_label"))
+        .withColumn("cosine", F.round(F.expr(_cosine_sql("_qv", "_bv", 64)), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "negative_id", "cosine")
+        .localCheckpoint(eager=False)
+    )
+
+    def summary(method: str, sel: DataFrame) -> DataFrame:
+        stats = sel.agg(
+            F.count(F.lit(1)).cast("bigint").alias("sel_pairs"),
+            # 6dp-rounded cosines sum exactly as decimals (order-free)
+            F.round(
+                F.sum(F.col("cosine").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_cosine"),
+        )
+        hits = sel.select("query_id", "negative_id").join(
+            exact3.select("query_id", "negative_id"), ["query_id", "negative_id"]
+        ).agg(F.count(F.lit(1)).alias("hits"))
+        n_exact = exact3.agg(F.count(F.lit(1)).alias("n_exact"))
+        return (
+            stats.crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(n_exact))
+            .select(
+                F.lit(method).alias("method"),
+                "sel_pairs",
+                F.round(F.col("hits") / F.col("n_exact"), 6).alias("recall_at_3"),
+                "mean_cosine",
+            )
+        )
+
+    out = summary("exact", exact3)
+    for nprobe in (1, 3):
+        sel = hard_negatives_ivf(
+            probes, emb, k=3, centers=centers, nprobe=nprobe
+        ).select("query_id", "negative_id", "cosine")
+        out = out.unionByName(summary(f"ivf_nprobe{nprobe}", sel))
+    return out.orderBy("method")
+
+
+def _sql_hard_neg_ivf() -> str:
+    """Oracle for `hard_negative_mining_ivf`: replays the coarse
+    quantizer (the proven _SQL_IVF centers/cells CTEs), both probe
+    widths, the label filter, the 6dp re-rank, and the recall/mean
+    grading against the exact top-3 anchor."""
+
+    def sel_cte(nprobe: int) -> str:
+        return f"""
+  SELECT query_id, negative_id, cosine FROM (
+    SELECT p.query_id, b.negative_id,
+           round(list_dot_product(p.qv, b.bv)
+             / (sqrt(list_dot_product(p.qv, p.qv))
+                * sqrt(list_dot_product(b.bv, b.bv))), 6) AS cosine,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY
+             round(list_dot_product(p.qv, b.bv)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(b.bv, b.bv))), 6) DESC,
+             b.negative_id ASC) AS rk
+    FROM (SELECT vec_id AS query_id, v AS qv, label, cell
+          FROM scored WHERE rn <= {nprobe} AND vec_id % 211 = 0) p
+    JOIN cells b USING (cell)
+    WHERE b.label <> p.label
+  ) WHERE rk <= 3"""
+
+    def summary(method: str, cte: str) -> str:
+        return f"""
+SELECT '{method}' AS method,
+       (SELECT count(*) FROM {cte})::BIGINT AS sel_pairs,
+       round((SELECT count(*) FROM {cte} s
+              JOIN exact3 e ON s.query_id = e.query_id
+                           AND s.negative_id = e.negative_id)
+             / (SELECT count(*) FROM exact3)::DOUBLE, 6) AS recall_at_3,
+       (SELECT round(sum(cosine::DECIMAL(24,6))::DOUBLE / count(*), 6)
+        FROM {cte}) AS mean_cosine"""
+
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+dims AS (SELECT unnest(range(1, len(v) + 1)) AS i, vec_id FROM emb),
+centers AS (
+  SELECT label AS cell, list(m ORDER BY i) AS c
+  FROM (
+    SELECT e.label, d.i, avg(e.v[d.i]) AS m
+    FROM emb e JOIN dims d USING (vec_id)
+    GROUP BY e.label, d.i
+  ) GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.v, e.label, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cell ASC) AS rn
+  FROM emb e CROSS JOIN centers c
+),
+cells AS (SELECT vec_id AS negative_id, v AS bv, label, cell
+          FROM scored WHERE rn = 1),
+exact3 AS (
+  SELECT query_id, negative_id, cosine FROM (
+    SELECT q.vec_id AS query_id, b.vec_id AS negative_id,
+           round(list_dot_product(q.v, b.v)
+             / (sqrt(list_dot_product(q.v, q.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round(list_dot_product(q.v, b.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+             b.vec_id ASC) AS rk
+    FROM (SELECT * FROM emb WHERE vec_id % 211 = 0) q
+    JOIN emb b ON b.label <> q.label
+  ) WHERE rk <= 3
+),
+sel1 AS ({sel_cte(1)}),
+sel3 AS ({sel_cte(3)})
+{summary("exact", "exact3")}
+UNION ALL
+{summary("ivf_nprobe1", "sel1")}
+UNION ALL
+{summary("ivf_nprobe3", "sel3")}
+ORDER BY method
+"""
+
+
 def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+dense retrieval with Reciprocal Rank Fusion
     (Cormack 2009, k=60) — the standard RAG first stage: for each of 4
@@ -15527,9 +15781,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_stats": (q_multimodal_stats, _SQL_MULTIMODAL),
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "png_roundtrip_stats": (q_png_roundtrip_stats, _SQL_PNG_ROUNDTRIP),
+    "jpeg_roundtrip_stats": (q_jpeg_roundtrip_stats, _SQL_JPEG_ROUNDTRIP),
     "wav_roundtrip_stats": (q_wav_roundtrip_stats, _SQL_WAV_ROUNDTRIP),
     "gif_roundtrip_stats": (q_gif_roundtrip_stats, _SQL_GIF_ROUNDTRIP),
     "hard_negative_mining": (q_hard_negative_mining, _SQL_HARD_NEG),
+    "hard_negative_mining_ivf": (q_hard_negative_mining_ivf, _sql_hard_neg_ivf()),
     "rrf_hybrid_retrieval": (q_rrf_hybrid_retrieval, _SQL_RRF),
     "ppl_bucket_census": (q_ppl_bucket_census, _SQL_PPL_BUCKETS),
     "quality_funnel_docs": (q_quality_funnel_docs, _sql_quality_funnel()),

@@ -78,6 +78,7 @@ ALLOWLIST_NLJ = {
     "kaplan_meier_users": "1-row observation-span broadcast clamping censoring at the corpus end",
     "ppl_bucket_census": "1-row tercile-threshold broadcast over per-doc perplexities",
     "hard_negative_mining": "bounded probe broadcast (vec_id % 211) against the partitioned base — the knn_embeddings brute-force shape",
+    "hard_negative_mining_ivf": "exact ANCHOR keeps the bounded probe broadcast for recall grading; the graded IVF paths are cell equi-joins + 1-row stat broadcasts",
     "rrf_hybrid_retrieval": "4-probe broadcast on the dense side; lexical side is an inverted-index equi-join",
     "domain_mix_budget": "two 1-row broadcasts: corpus totals + water-filling redistribution terms",
 }
