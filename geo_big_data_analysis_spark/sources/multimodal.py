@@ -4,11 +4,12 @@ A 100 TB training-data pipeline carries images/audio/video as opaque
 ``binary`` columns with typed metadata, decoding only inside Arrow
 batches. This module implements that plumbing for real — schema
 convention, mapInPandas batch shape, deterministic feature extraction.
-The IMAGE path is fully real for PNG: ``decode_media`` decodes PNG
-payloads through the pure-Python reader in `sources/png.py` and
-``resize_image`` does a true decode→resample→re-encode round-trip.
-Audio/video codecs (and non-PNG image formats) remain environment
-stubs (no libav/pillow here): ``decode_media`` raises
+The IMAGE path is fully real for PNG and baseline JPEG:
+``decode_media`` decodes PNG payloads through the pure-Python reader
+in `sources/png.py`, baseline-sequential JPEG through
+`sources/jpeg.py` (Huffman + IDCT + YCbCr), and ``resize_image`` does
+a true decode→resample→re-encode round-trip. Remaining codecs are
+environment stubs (no libav/pillow here): ``decode_media`` raises
 NotImplementedError for them, and ``FAKE_DECODE`` substitutes a
 deterministic byte-level "decode" so those stages stay testable.
 
@@ -72,13 +73,17 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     stubs — libav/pillow are not available here; the error names the
     swap-in point."""
     if media_type == "image":
+        from .jpeg import is_jpeg, read_jpeg
         from .png import is_png, read_png
 
         if is_png(payload):
             return read_png(payload)
+        if is_jpeg(payload):
+            return read_jpeg(payload)
         raise NotImplementedError(
-            "non-PNG image payload: install pillow for JPEG/WebP/... "
-            "(PNG decodes natively via sources/png.py)"
+            "non-PNG/JPEG image payload: install pillow for WebP/... "
+            "(PNG and baseline JPEG decode natively via sources/png.py "
+            "and sources/jpeg.py)"
         )
     if media_type == "audio":
         from .wav import is_wav, read_wav
