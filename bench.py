@@ -215,8 +215,10 @@ HEADLINE = [
     "bpe_encode_docs",
     "orc_roundtrip_events",
     "png_roundtrip_stats",
+    "jpeg_roundtrip_stats",
     "lab4_sentiment_golden",
     "hard_negative_mining",
+    "hard_negative_mining_ivf",
     "rrf_hybrid_retrieval",
     "ppl_bucket_census",
     "quality_funnel_docs",

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .sentiment_lexicon_ext import EXTENDED_VALENCES_2
 from .text import clean_text, tokens
 
 # word -> (polarity, subjectivity); valences follow common sentiment
@@ -244,6 +245,10 @@ _EXTENDED_VALENCES: dict[str, tuple[float, float]] = {
 }
 
 PATTERN_LEXICON: dict[str, tuple[float, float, float]] = {
+    # tier 2 (checked-in data file, 940 entries) merges FIRST — the
+    # curated tier-1 extension and the TextBlob-pinned parity tier
+    # always win on overlap
+    **{w: (p, s, 1.0) for w, (p, s) in EXTENDED_VALENCES_2.items()},
     **{w: (p, s, 1.0) for w, (p, s) in _EXTENDED_VALENCES.items()},
     # pinned-parity tier LAST so it always wins on overlap
     **{w: (p, s, 1.0) for w, (p, s) in LEXICON.items() if w != "never"},
@@ -275,7 +280,7 @@ def _pattern_lex_map() -> Column:
 
 
 #: bucket count for the crc32-chained lexicon index. GetMapValue on a
-#: literal map is a LINEAR scan per access — at 336 entries that made
+#: literal map is a LINEAR scan per access — at 336+ entries that made
 #: the fold ~3.5× slower (round-3 bench). Bucketing by crc32(word) mod
 #: 256 (zlib.crc32 == Spark's crc32, so the Python-built table and the
 #: JVM probe agree) turns each token lookup into one O(1) array index
@@ -320,7 +325,7 @@ def pattern_scores(col) -> Column:
     ``aggregate`` fold. A ``transform`` prepass BINDS each token's
     lexicon entry + negation flag exactly once (SCALE.md's let-binding
     rule: the fold's branches reference the entry ~6×, and each textual
-    reference re-evaluates its subtree — with a 336-entry lexicon that
+    reference re-evaluates its subtree — with a 1,000+-entry lexicon that
     re-evaluation was a measured 3.5× slowdown); the fold then touches
     only cheap struct fields."""
     lex = _pattern_lex_buckets()
