@@ -223,6 +223,8 @@ HEADLINE = [
     "ppl_bucket_census",
     "quality_funnel_docs",
     "domain_mix_budget",
+    "self_bleu_pairs",
+    "zipf_slope_words",
     "wav_roundtrip_stats",
     "gif_roundtrip_stats",
 ]

@@ -15690,6 +15690,312 @@ ORDER BY source
 """
 
 
+def q_self_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DIVERSITY via self-BLEU (Zhu 2018, Texygen: high
+    self-BLEU = the corpus repeats itself — a generation/curation
+    health metric) plus ROUGE-1 F, on deterministic consecutive-doc
+    pairs (candidate doc vs the NEXT doc of the same source in doc_id
+    order; both ≥2 tokens). Per pair: clipped modified 1/2-gram
+    precisions, brevity penalty, BLEU-2 = BP·√(p1·p2), ROUGE-1
+    recall/F; per source: pair count + decimal-exact means.
+
+    Shape: the pairing is one lead() window partitioned by source;
+    gram counting is explode → (pair, gram) hash aggregates → an
+    inverted-index equi-join on the gram key — never all-pairs, the
+    LSH-family shuffle shape. All ratios round to 6dp before the
+    decimal mean (ppl_bucket_census edge rule); exp/sqrt land on
+    identical doubles cross-engine at that precision."""
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", "source", tx.tokens(F.col("text")).alias("toks"))
+        .withColumn("n_tok", F.size("toks"))
+        .filter(F.col("n_tok") >= 2)
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        base.select(
+            F.col("doc_id").alias("pair_id"),
+            "source",
+            F.col("toks").alias("ctoks"),
+            F.col("n_tok").alias("clen"),
+            F.lead("toks").over(w).alias("rtoks"),
+            F.lead("n_tok").over(w).alias("rlen"),
+        )
+        .filter(F.col("rlen").isNotNull())
+        # consumed by four gram-count jobs + the length frame
+        .localCheckpoint(eager=False)
+    )
+
+    def bigrams(col: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.size(col) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(col, i), F.element_at(col, i + 1)
+            ),
+        )
+
+    def clipped(cg: Column, rg: Column, tag: str) -> DataFrame:
+        c = (
+            pairs.select("pair_id", F.explode(cg).alias("g"))
+            .groupBy("pair_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        r = (
+            pairs.select("pair_id", F.explode(rg).alias("g"))
+            .groupBy("pair_id", "g")
+            .agg(F.count(F.lit(1)).alias("r"))
+        )
+        return (
+            c.join(r, ["pair_id", "g"], "left")
+            .groupBy("pair_id")
+            .agg(
+                F.sum(
+                    F.least(F.col("c"), F.coalesce(F.col("r"), F.lit(0)))
+                ).alias(f"clip{tag}"),
+                F.sum("c").alias(f"den{tag}"),
+            )
+        )
+
+    g1 = clipped(F.col("ctoks"), F.col("rtoks"), "1")
+    g2 = clipped(bigrams(F.col("ctoks")), bigrams(F.col("rtoks")), "2")
+    m = (
+        pairs.select("pair_id", "source", "clen", "rlen")
+        .join(g1, "pair_id")
+        .join(g2, "pair_id")
+        .withColumn("p1", F.round(F.col("clip1") / F.col("den1"), 6))
+        .withColumn("p2", F.round(F.col("clip2") / F.col("den2"), 6))
+        .withColumn(
+            "bp",
+            F.round(
+                F.least(
+                    F.lit(1.0), F.exp(F.lit(1.0) - F.col("rlen") / F.col("clen"))
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "bleu2",
+            F.round(
+                F.when(
+                    (F.col("p1") > 0) & (F.col("p2") > 0),
+                    F.col("bp") * F.sqrt(F.col("p1") * F.col("p2")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .withColumn("r1", F.round(F.col("clip1") / F.col("rlen"), 6))
+        .withColumn(
+            "rouge1_f",
+            F.round(
+                F.when(
+                    F.col("p1") + F.col("r1") > 0,
+                    2.0 * F.col("p1") * F.col("r1") / (F.col("p1") + F.col("r1")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("bleu2").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_self_bleu2"),
+            F.round(
+                F.sum(F.col("rouge1_f").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_rouge1_f"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_SELF_BLEU = r"""
+WITH base AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+b2 AS (SELECT doc_id, source, toks, len(toks) AS n FROM base WHERE len(toks) >= 2),
+pairs AS (
+  SELECT * FROM (
+    SELECT doc_id AS pair_id, source, toks AS ctoks, n AS clen,
+           lead(toks) OVER w AS rtoks, lead(n) OVER w AS rlen
+    FROM b2 WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+  ) WHERE rlen IS NOT NULL
+),
+c1 AS (SELECT pair_id, u.g, count(*)::BIGINT AS c
+       FROM pairs, unnest(ctoks) AS u(g) GROUP BY 1, 2),
+r1 AS (SELECT pair_id, u.g, count(*)::BIGINT AS r
+       FROM pairs, unnest(rtoks) AS u(g) GROUP BY 1, 2),
+c2 AS (SELECT pair_id, u.g, count(*)::BIGINT AS c
+       FROM pairs, unnest(list_transform(range(1, len(ctoks)),
+                                          i -> ctoks[i] || ' ' || ctoks[i+1])) AS u(g)
+       GROUP BY 1, 2),
+r2 AS (SELECT pair_id, u.g, count(*)::BIGINT AS r
+       FROM pairs, unnest(list_transform(range(1, len(rtoks)),
+                                          i -> rtoks[i] || ' ' || rtoks[i+1])) AS u(g)
+       GROUP BY 1, 2),
+s1 AS (SELECT c1.pair_id, sum(least(c1.c, coalesce(r1.r, 0)))::BIGINT AS clip1,
+              sum(c1.c)::BIGINT AS den1
+       FROM c1 LEFT JOIN r1 USING (pair_id, g) GROUP BY 1),
+s2 AS (SELECT c2.pair_id, sum(least(c2.c, coalesce(r2.r, 0)))::BIGINT AS clip2,
+              sum(c2.c)::BIGINT AS den2
+       FROM c2 LEFT JOIN r2 USING (pair_id, g) GROUP BY 1),
+m AS (
+  SELECT p.source,
+         round(clip1 / den1::DOUBLE, 6) AS p1,
+         round(clip2 / den2::DOUBLE, 6) AS p2,
+         round(least(1.0, exp(1.0 - rlen / clen::DOUBLE)), 6) AS bp,
+         round(clip1 / rlen::DOUBLE, 6) AS r1m
+  FROM pairs p JOIN s1 USING (pair_id) JOIN s2 USING (pair_id)
+),
+m2 AS (
+  SELECT source,
+         round(CASE WHEN p1 > 0 AND p2 > 0 THEN bp * sqrt(p1 * p2)
+                    ELSE 0.0 END, 6) AS bleu2,
+         round(CASE WHEN p1 + r1m > 0 THEN 2.0 * p1 * r1m / (p1 + r1m)
+                    ELSE 0.0 END, 6) AS rouge1_f
+  FROM m
+)
+SELECT source, count(*)::BIGINT AS n_pairs,
+       round(sum(bleu2::DECIMAL(24,6))::DOUBLE / count(*), 6) AS mean_self_bleu2,
+       round(sum(rouge1_f::DECIMAL(24,6))::DOUBLE / count(*), 6) AS mean_rouge1_f
+FROM m2 GROUP BY source ORDER BY source
+"""
+
+
+def q_zipf_slope_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health Zipf diagnostics per source (the Gopher paper
+    reports rank-frequency slope as a quality signal): least-squares
+    slope of ln(freq) on ln(rank) over the top-100 terms, plus vocab
+    size, token total, and type-token ratio.
+
+    Shape: term frequencies are one token-key aggregate; the per-source
+    top-100 uses the SAME bucketed partial top-k as the KMV fix —
+    per-(source, crc32-bucket) partial top-100 arrays merged per source
+    (two bounded aggregates, never a vocab-wide sort window). Ranks
+    come from the merged array's positions (posexplode — deterministic:
+    freq desc, term asc); regression moments quantize ln values to 9dp
+    decimals BEFORE summing so the 100-term sums are order-free and
+    cross-engine exact."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    totals = tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("freq").cast("bigint").alias("tokens_total"),
+    )
+    # bucketed partial top-100 (freq desc, tok asc) merged per source
+    part = tf.groupBy(
+        "source", F.pmod(F.crc32(F.encode("tok", "UTF-8")), F.lit(32)).alias("b")
+    ).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct((-F.col("freq")).alias("nf"), "tok"))
+            ),
+            1,
+            100,
+        ).alias("mins")
+    )
+    top = part.groupBy("source").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("mins"))), 1, 100
+        ).alias("mins")
+    )
+    ranked = top.select(
+        "source", F.posexplode("mins").alias("pos", "e")
+    ).select(
+        "source",
+        (F.col("pos") + 1).alias("rank"),
+        (-F.col("e.nf")).alias("freq"),
+    )
+    xy = ranked.select(
+        "source",
+        F.round(F.log(F.col("rank").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 9).alias("y"),
+    ).select(
+        "source",
+        F.col("x").cast("decimal(20,9)").alias("x"),
+        F.col("y").cast("decimal(20,9)").alias("y"),
+        F.round(F.col("x") * F.col("y"), 9).cast("decimal(20,9)").alias("xy"),
+        F.round(F.col("x") * F.col("x"), 9).cast("decimal(20,9)").alias("xx"),
+    )
+    fit = xy.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"), F.sum("xx").alias("sxx"),
+    )
+    return (
+        fit.join(totals, "source")
+        .select(
+            "source",
+            "vocab",
+            "tokens_total",
+            F.round(F.col("vocab") / F.col("tokens_total"), 6).alias("ttr"),
+            F.round(
+                (
+                    F.col("n") * F.col("sxy").cast("double")
+                    - F.col("sx").cast("double") * F.col("sy").cast("double")
+                )
+                / (
+                    F.col("n") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx").cast("double")
+                ),
+                6,
+            ).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_ZIPF = r"""
+WITH tf AS (
+  SELECT source, tok, count(*)::BIGINT AS freq
+  FROM (
+    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> '' GROUP BY 1, 2
+),
+totals AS (
+  SELECT source, count(*)::BIGINT AS vocab, sum(freq)::BIGINT AS tokens_total
+  FROM tf GROUP BY source
+),
+ranked AS (
+  SELECT source, row_number() OVER (PARTITION BY source
+           ORDER BY freq DESC, tok ASC) AS rnk, freq
+  FROM tf QUALIFY rnk <= 100
+),
+xy AS (
+  SELECT source,
+         round(ln(rnk), 9)::DECIMAL(20,9) AS x,
+         round(ln(freq), 9)::DECIMAL(20,9) AS y,
+         round(round(ln(rnk), 9) * round(ln(freq), 9), 9)::DECIMAL(20,9) AS xy,
+         round(round(ln(rnk), 9) * round(ln(rnk), 9), 9)::DECIMAL(20,9) AS xx
+  FROM ranked
+),
+fit AS (
+  SELECT source, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(xy) AS sxy, sum(xx) AS sxx
+  FROM xy GROUP BY source
+)
+SELECT f.source, t.vocab, t.tokens_total,
+       round(t.vocab / t.tokens_total::DOUBLE, 6) AS ttr,
+       round((f.n * f.sxy::DOUBLE - f.sx::DOUBLE * f.sy::DOUBLE)
+             / (f.n * f.sxx::DOUBLE - f.sx::DOUBLE * f.sx::DOUBLE), 6)
+         AS zipf_slope
+FROM fit f JOIN totals t USING (source)
+ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -15790,6 +16096,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ppl_bucket_census": (q_ppl_bucket_census, _SQL_PPL_BUCKETS),
     "quality_funnel_docs": (q_quality_funnel_docs, _sql_quality_funnel()),
     "domain_mix_budget": (q_domain_mix_budget, _SQL_DOMAIN_MIX),
+    "self_bleu_pairs": (q_self_bleu_pairs, _SQL_SELF_BLEU),
+    "zipf_slope_words": (q_zipf_slope_words, _SQL_ZIPF),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),
     "raster_tiled_stats": (q_raster_tiled_stats, _sql_raster_stats()),
     "road_density_grid": (q_road_density_grid, _SQL_ROAD_DENSITY),
