@@ -1,0 +1,116 @@
+"""Property-based codec tests (hypothesis): the round-trip contracts
+the registry oracle queries rely on, pushed across randomized inputs
+instead of fixed fixtures.
+
+- PNG / WAV / GIF are LOSSLESS by construction: encode→decode must be
+  bit-exact for every input shape/content.
+- Baseline JPEG is lossy with two pinned properties: (a) EXACT on
+  block-constant content (DC-only blocks under the all-8 quantizer),
+  (b) bounded reconstruction error on arbitrary content (quantization
+  error ≤ a conservative bound; empirically ≤ ~6 grayscale / ~24 RGB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geo_big_data_analysis_spark.sources.gif import read_gif, write_gif
+from geo_big_data_analysis_spark.sources.jpeg import read_jpeg, write_jpeg
+from geo_big_data_analysis_spark.sources.png import read_png, write_png
+from geo_big_data_analysis_spark.sources.wav import read_wav, write_wav
+
+
+def _rng_image(seed: int, h: int, w: int, channels: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if channels == 1 else (h, w, channels)
+    return rng.randint(0, 256, shape).astype(np.uint8)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    channels=st.sampled_from([1, 3]),
+    filter_type=st.sampled_from([0, 1, 2, 3, 4, "mixed"]),
+)
+def test_png_roundtrip_lossless(seed, h, w, channels, filter_type):
+    img = _rng_image(seed, h, w, channels)
+    out = read_png(write_png(img, filter_type=filter_type))
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_frames=st.integers(1, 1000),
+    n_channels=st.integers(1, 2),
+    bits=st.sampled_from([8, 16, 32]),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_lossless(seed, n_frames, n_channels, bits, rate):
+    rng = np.random.RandomState(seed)
+    lo, hi = -(2 ** (bits - 1)), 2 ** (bits - 1) - 1
+    pcm = rng.randint(lo, hi + 1, (n_frames, n_channels)).astype(np.int64)
+    if bits == 8:  # unsigned container: stored biased, decoded re-centered
+        pcm = rng.randint(0, 256, (n_frames, n_channels)).astype(np.int64) - 128
+    data = write_wav(pcm, rate=rate, bits=bits)
+    out, got_rate = read_wav(data)
+    assert got_rate == rate
+    assert np.array_equal(out, pcm)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    n_frames=st.integers(1, 4),
+    n_colors=st.integers(2, 32),
+)
+def test_gif_roundtrip_lossless(seed, h, w, n_frames, n_colors):
+    rng = np.random.RandomState(seed)
+    frames = [
+        rng.randint(0, n_colors, (h, w)).astype(np.uint8) for _ in range(n_frames)
+    ]
+    palette = rng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+    pal, out = read_gif(write_gif(frames, palette))
+    assert len(out) == n_frames
+    for got, want in zip(out, frames):
+        assert np.array_equal(got, want)
+    assert np.array_equal(pal[:n_colors], palette)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    bh=st.integers(1, 4),
+    bw=st.integers(1, 4),
+    channels=st.sampled_from([1, 3]),
+)
+def test_jpeg_block_constant_exact(seed, bh, bw, channels):
+    rng = np.random.RandomState(seed)
+    blocks = rng.randint(0, 256, (bh, bw)).astype(np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    if channels == 3:  # gray-valued RGB: Cb=Cr=128 exactly, still exact
+        img = np.stack([img] * 3, axis=-1)
+    out = read_jpeg(write_jpeg(img))
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(8, 32),
+    w=st.integers(8, 32),
+    channels=st.sampled_from([1, 3]),
+)
+def test_jpeg_bounded_error(seed, h, w, channels):
+    img = _rng_image(seed, h, w, channels)
+    out = read_jpeg(write_jpeg(img))
+    assert out.shape == img.shape
+    bound = 16 if channels == 1 else 32  # all-8 quant + YCbCr rounding
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= bound
