@@ -225,6 +225,8 @@ HEADLINE = [
     "domain_mix_budget",
     "self_bleu_pairs",
     "zipf_slope_words",
+    "tokenizer_fertility_by_lang",
+    "split_leakage_audit",
     "wav_roundtrip_stats",
     "gif_roundtrip_stats",
 ]

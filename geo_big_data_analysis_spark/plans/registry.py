@@ -15996,6 +15996,142 @@ ORDER BY source
 """
 
 
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-health report per language (the standard fertility /
+    compression diagnostics a multilingual-corpus job reviews before
+    committing a tokenizer): whitespace words, sub-word-ish tokens
+    (`text.bpe_ish_token_count` — letter/digit runs + punctuation
+    marks, the deterministic BPE stand-in), characters; fertility =
+    subword tokens per word, chars-per-token = compression. High
+    fertility on a language flags tokenizer mismatch (over-splitting).
+
+    Shape: one projection + one hash aggregate over the corpus — pure
+    codegen'd regexp/split column work, no joins, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            tx.token_count("text").alias("ws"),
+            tx.bpe_ish_token_count("text").alias("bpe"),
+            F.length("text").cast("bigint").alias("chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ws").alias("words"),
+            F.sum("bpe").alias("subword_tokens"),
+            F.sum("chars").alias("n_chars"),
+            F.round(F.sum("bpe") / F.sum("ws").cast("double"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.sum("chars") / F.sum("bpe").cast("double"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_TOKENIZER_FERTILITY = r"""
+WITH t AS (
+  SELECT lang,
+         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ws,
+         len(regexp_split_to_array(
+               trim(regexp_replace(text, '([^a-zA-Z0-9\s])', ' \1 ', 'g')),
+               '\s+'))::BIGINT AS bpe,
+         length(text)::BIGINT AS chars
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(ws)::BIGINT AS words,
+       sum(bpe)::BIGINT AS subword_tokens, sum(chars)::BIGINT AS n_chars,
+       round(sum(bpe) / sum(ws)::DOUBLE, 6) AS fertility,
+       round(sum(chars) / sum(bpe)::DOUBLE, 6) AS chars_per_token
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test LEAKAGE AUDIT (the eval-integrity check a
+    curation pipeline runs before shipping a split): docs are assigned
+    90/5/5 splits by engine-portable integer hash
+    ((doc_id·2654435761) mod 20 — the lab-4 bucket convention), then
+    every MinHash-LSH near-duplicate pair (Jaccard ≥ 0.8, the proven
+    `minhash_near_dup_docs` machinery) is classified by the split pair
+    it straddles. A near-dup crossing train→test is memorized eval
+    data; the audit reports pair counts per (split, split) cell with
+    the leak flag.
+
+    Shape: split assignment is a map; the pair generation is the LSH
+    integer band-hash shuffle (never all-pairs); the split join-back
+    is two broadcast-size equi-joins on doc id."""
+    docs = _t(spark, sf_dir, "documents")
+    b = (F.col("doc_id") * F.lit(2654435761)) % 20
+    split = (
+        F.when(b < 18, "train").when(b == 18, "val").otherwise("test")
+    )
+    assign = docs.select("doc_id", split.alias("split"))
+    pairs = dd.minhash_near_dup_pairs(
+        docs, "text", "doc_id", jaccard_threshold=0.8, num_hashes=64, bands=32
+    ).select("doc_a", "doc_b")
+    labeled = (
+        pairs.join(
+            assign.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            assign.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+    )
+    return (
+        labeled.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+        .orderBy("split_a", "split_b")
+    )
+
+
+_SQL_SPLIT_LEAKAGE = f"""
+WITH docs AS (SELECT doc_id, {_CLEAN_SQL} AS ct FROM documents),
+sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM (SELECT doc_id, string_split(ct, ' ') AS toks FROM docs)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+),
+assign AS (
+  SELECT doc_id,
+         CASE WHEN (doc_id * 2654435761) % 20 < 18 THEN 'train'
+              WHEN (doc_id * 2654435761) % 20 = 18 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+labeled AS (
+  SELECT least(sa.split, sb.split) AS split_a,
+         greatest(sa.split, sb.split) AS split_b
+  FROM pairs p
+  JOIN assign sa ON sa.doc_id = p.doc_a
+  JOIN assign sb ON sb.doc_id = p.doc_b
+)
+SELECT split_a, split_b, count(*)::BIGINT AS n_pairs,
+       split_a <> split_b AS is_leak
+FROM labeled GROUP BY 1, 2 ORDER BY split_a, split_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -16098,6 +16234,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "domain_mix_budget": (q_domain_mix_budget, _SQL_DOMAIN_MIX),
     "self_bleu_pairs": (q_self_bleu_pairs, _SQL_SELF_BLEU),
     "zipf_slope_words": (q_zipf_slope_words, _SQL_ZIPF),
+    "tokenizer_fertility_by_lang": (q_tokenizer_fertility_by_lang, _SQL_TOKENIZER_FERTILITY),
+    "split_leakage_audit": (q_split_leakage_audit, _SQL_SPLIT_LEAKAGE),
     "raster_sample_stats": (q_raster_sample_stats, _sql_raster_stats()),
     "raster_tiled_stats": (q_raster_tiled_stats, _sql_raster_stats()),
     "road_density_grid": (q_road_density_grid, _SQL_ROAD_DENSITY),
