@@ -118,10 +118,60 @@ def test_feature_matrix_rejections():
     data = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x08\x00\x08\x01"
     with pytest.raises(NotImplementedError):
         read_jpeg(data)
-    # restart interval
-    data = b"\xff\xd8" + b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 8)
-    with pytest.raises(NotImplementedError):
+
+
+def test_decode_hand_built_restart_markers():
+    # 16x8 grayscale = 2 MCUs, DRI interval 1 -> one RST0 between them.
+    # Each MCU is the constant-136 block from the single-block test
+    # (11 bits, padded to 0xB1 0x5F); the RST resets the DC predictor,
+    # so the SAME bits decode to 136 in both blocks.
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)
+    data = (
+        b"\xff\xd8"
+        + _dqt()
+        + _sof0(8, 16)
+        + _dht(0x00, *_DC_LUM)
+        + _dht(0x10, *_AC_LUM)
+        + dri
+        + _sos()
+        + bytes([0xB1, 0x5F])
+        + b"\xff\xd0"  # RST0
+        + bytes([0xB1, 0x5F])
+        + b"\xff\xd9"
+    )
+    img = read_jpeg(data)
+    assert img.shape == (8, 16)
+    assert np.array_equal(img, np.full((8, 16), 136, dtype=np.uint8))
+
+
+def test_decode_wrong_restart_marker_raises():
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)
+    data = (
+        b"\xff\xd8"
+        + _dqt()
+        + _sof0(8, 16)
+        + _dht(0x00, *_DC_LUM)
+        + _dht(0x10, *_AC_LUM)
+        + dri
+        + _sos()
+        + bytes([0xB1, 0x5F])
+        + b"\xff\xd3"  # RST3 where RST0 is required
+        + bytes([0xB1, 0x5F])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError):
         read_jpeg(data)
+
+
+def test_roundtrip_with_restart_intervals():
+    y, x = np.mgrid[0:24, 0:40]  # 15 MCUs: several RST cycles
+    img = ((7 * 17 + (y // 8) * 8 + (x // 8) * 3) % 256).astype(np.uint8)
+    for interval in (1, 2, 7):
+        out = read_jpeg(write_jpeg(img, restart_interval=interval))
+        assert np.array_equal(out, img), interval
+    rgb = np.stack([img, img, img], axis=-1)
+    out = read_jpeg(write_jpeg(rgb, restart_interval=3))
+    assert np.array_equal(out, rgb)
 
 
 def test_decode_media_jpeg_path():
