@@ -181,3 +181,42 @@ def test_decode_media_jpeg_path():
     assert is_jpeg(payload)
     out = decode_media(payload, "image")
     assert np.array_equal(out, img)
+
+
+def test_roundtrip_420_gray_constant_exact():
+    # 16x16-block-constant gray-valued RGB: Y blocks constant, chroma
+    # constant 128 (box-mean exact) -> lossless under 4:2:0 too
+    y, x = np.mgrid[0:32, 0:48]
+    g = ((11 + (y // 16) * 5 + (x // 16) * 9) % 256).astype(np.uint8)
+    rgb = np.stack([g, g, g], axis=-1)
+    out = read_jpeg(write_jpeg(rgb, subsampling="420"))
+    assert np.array_equal(out, rgb)
+    # with restart framing on top
+    out2 = read_jpeg(write_jpeg(rgb, subsampling="420", restart_interval=2))
+    assert np.array_equal(out2, rgb)
+
+
+def test_roundtrip_420_smooth_bounded_error():
+    y, x = np.mgrid[0:24, 0:40]
+    sm = np.stack(
+        [(y * 3) % 200, (x * 2) % 200, (y + x) % 200], axis=-1
+    ).astype(np.uint8)
+    out = read_jpeg(write_jpeg(sm, subsampling="420"))
+    assert out.shape == sm.shape
+    # chroma varies smoothly, so 2x2 box subsampling stays close
+    assert np.abs(out.astype(int) - sm.astype(int)).max() <= 12
+
+
+def test_unsupported_sampling_rejected():
+    # hand-build an SOF with 4:2:2 sampling (0x21) - not supported
+    body = struct.pack(">BHHB", 8, 16, 16, 3)
+    body += bytes([1, 0x21, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    data = (
+        b"\xff\xd8"
+        + _dqt()
+        + b"\xff\xc0" + struct.pack(">H", len(body) + 2) + body
+    )
+    with pytest.raises(NotImplementedError):
+        read_jpeg(data)
+    with pytest.raises(ValueError):
+        write_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="422")
