@@ -3977,9 +3977,11 @@ def q_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     full DCT entropy pipeline LOSSLESS on this content class — a
     constant block has only the DC coefficient 8·(v−128), which the
     all-8 quantizer carries exactly, so the lossy codec is exact
-    precisely where the math says it must be. Probe set
-    doc_id % 41 = 0 (codec work is per-image Python, bounded like the
-    PNG/WAV/GIF probes)."""
+    precisely where the math says it must be. The same grid re-encoded
+    as gray-valued RGB through the 4:2:0 + restart-interval path is
+    asserted exact inside the UDF, so the subsampled/DRI machinery is
+    pinned by the same hash. Probe set doc_id % 41 = 0 (codec work is
+    per-image Python, bounded like the PNG/WAV/GIF probes)."""
     import pandas as pd
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 41 == 0).select(
@@ -4001,6 +4003,18 @@ def q_jpeg_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = read_jpeg(write_jpeg(img))
                 if not np.array_equal(px, img):  # exact on this class
                     raise ValueError(f"JPEG round-trip corrupted doc {doc_id}")
+                # the same grid as gray-valued RGB through the 4:2:0 +
+                # restart-interval path: Y blocks constant and chroma
+                # constant 128 (box-means exactly), so THIS path must
+                # also be lossless — pinned by the same oracle hash
+                rgb = np.stack([img, img, img], axis=-1)
+                px420 = read_jpeg(
+                    write_jpeg(rgb, subsampling="420", restart_interval=2)
+                )
+                if not np.array_equal(px420, rgb):
+                    raise ValueError(
+                        f"JPEG 4:2:0 round-trip corrupted doc {doc_id}"
+                    )
                 out.append(
                     (
                         int(doc_id),
