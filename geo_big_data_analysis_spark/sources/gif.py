@@ -9,8 +9,9 @@ Scope (documented feature matrix):
   (frames), graphic-control extensions (delay read, disposal ignored —
   frames are composited onto the running canvas at their offsets,
   which is exact for the full-frame streams the encoder here writes
-  and for disposal-method-1 streams generally); interlaced frames
-  raise NotImplementedError. Single-palette limitation: the decoder
+  and for disposal-method-1 streams generally); interlaced frames are
+  deinterlaced (the 4-pass 0::8/4::8/2::4/1::2 row scatter of
+  appendix E). Single-palette limitation: the decoder
   returns ONE palette (the global color table) for the whole stream;
   a frame's local color table is parsed and skipped — its indices are
   still composited exactly, but its true colors are not representable
@@ -175,8 +176,6 @@ def read_gif(data: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         fx, fy, fw, fh, fflags = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
-        if fflags & 0x40:
-            raise NotImplementedError("interlaced GIF frames not supported")
         if fflags & 0x80:
             # GIF89a §20: a local color table scopes to ITS image only.
             # The single-palette return can't carry per-frame tables, so
@@ -191,6 +190,21 @@ def read_gif(data: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
         idx = np.frombuffer(
             _lzw_decode(min_code, lzw, fw * fh), dtype=np.uint8
         ).reshape(fh, fw)
+        if fflags & 0x40:
+            # interlaced frame (GIF89a §20, appendix E): rows are stored
+            # in four passes — 0::8, 4::8, 2::4, 1::2 — scatter them
+            # back to their display positions
+            order = np.concatenate(
+                [
+                    np.arange(0, fh, 8),
+                    np.arange(4, fh, 8),
+                    np.arange(2, fh, 4),
+                    np.arange(1, fh, 2),
+                ]
+            )
+            deint = np.empty_like(idx)
+            deint[order] = idx
+            idx = deint
         canvas[fy : fy + fh, fx : fx + fw] = idx
         frames.append(canvas.copy())
     return palette, frames

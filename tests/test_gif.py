@@ -94,14 +94,33 @@ def test_animated_roundtrip_and_partial_frames():
     assert np.array_equal(got_pal[:8], pal)
 
 
-def test_interlaced_raises():
-    data = (
-        b"GIF89a"
-        + struct.pack("<HHBBB", 1, 1, 0, 0, 0)
-        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0x40)
+def test_interlaced_frame_deinterlaced():
+    # Hand-build an interlaced single-frame GIF: rows LZW-encoded in
+    # the appendix-E 4-pass order (0::8, 4::8, 2::4, 1::2), interlace
+    # flag set — the decoder must scatter them back to display order.
+    h, w = 10, 3
+    frame = np.arange(h * w, dtype=np.uint8).reshape(h, w) % 16
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8),
+         np.arange(2, h, 4), np.arange(1, h, 2)]
     )
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        read_gif(data)
+    stream_rows = frame[order]  # pass-ordered rows as stored on disk
+    pal = np.array([[i * 16, i * 16, i * 16] for i in range(16)], np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 3, 0, 0)  # GCT, 16 entries
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    out.append(4)  # min LZW code size
+    lzw = _lzw_encode(4, stream_rows.tobytes())
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    out += b"\x3b"
+    got_pal, frames = read_gif(bytes(out))
+    assert len(frames) == 1
+    assert np.array_equal(frames[0], frame)
     assert not is_gif(b"RIFF....WEBP")
 
 

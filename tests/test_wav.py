@@ -62,10 +62,31 @@ def test_8bit_unsigned_recentered():
 
 
 def test_non_pcm_raises():
-    data = _riff([(b"fmt ", _fmt(audio_fmt=3)), (b"data", b"\x00\x00")])
-    with pytest.raises(NotImplementedError, match="format code 3"):
+    # ADPCM (format 2) stays rejected; IEEE-float (3) is now supported
+    data = _riff([(b"fmt ", _fmt(audio_fmt=2)), (b"data", b"\x00\x00")])
+    with pytest.raises(NotImplementedError, match="format code 2"):
         read_wav(data)
     assert not is_wav(b"OggS....")
+
+
+def test_float32_handmade_and_roundtrip():
+    vals = [0.0, 0.5, -0.25, 1.0, -1.0]
+    data = _riff([
+        (b"fmt ", _fmt(audio_fmt=3, bits=32)),
+        (b"data", struct.pack("<5f", *vals)),
+    ])
+    got, rate = read_wav(data)
+    assert rate == 8000 and got.dtype == np.float64
+    assert got[:, 0].tolist() == vals
+    # writer roundtrip, 32- and 64-bit, stereo
+    pcm = np.array([[0.125, -0.5], [0.75, 0.0]], dtype=np.float64)
+    for bits in (32, 64):
+        out, r = read_wav(write_wav(pcm, rate=16000, bits=bits, float_fmt=True))
+        assert r == 16000
+        assert np.allclose(out, pcm, atol=0 if bits == 64 else 1e-7)
+    assert np.array_equal(
+        read_wav(write_wav(pcm, rate=16000, bits=64, float_fmt=True))[0], pcm
+    )
 
 
 def test_writer_reader_roundtrip():
