@@ -92,7 +92,7 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
             return read_wav(payload)[0]
         raise NotImplementedError(
             "non-WAV audio payload: install av/soundfile for "
-            "MP3/FLAC/... (PCM WAV decodes natively via sources/wav.py)"
+            "MP3/FLAC/... (PCM and IEEE-float WAV decode natively via sources/wav.py)"
         )
     if media_type == "video":
         from .gif import is_gif, read_gif
