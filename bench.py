@@ -229,6 +229,11 @@ HEADLINE = [
     "split_leakage_audit",
     "wav_roundtrip_stats",
     "gif_roundtrip_stats",
+    "lsh_sensitivity_report",
+    "flac_roundtrip_stats",
+    "mp4_sample_manifest",
+    "mp3_frame_census",
+    "wordpiece_merges_docs",
 ]
 
 

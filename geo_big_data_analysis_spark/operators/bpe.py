@@ -50,12 +50,10 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bpe_train(
-    vocab: DataFrame, n_merges: int
-) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
-    """Train ``n_merges`` BPE merges. Returns (merges, final_vocab_df)
-    where merges rows are (rank, left, right, merged, pair_count) and
-    the vocab DataFrame carries the fully-merged ``seq`` per word."""
+def _init_words(vocab: DataFrame) -> DataFrame:
+    """Suffix-delimit each word into its symbol sequence, apply the
+    small-vocab size dispatch, and refuse delimiter-corrupting words
+    (shared by the BPE and WordPiece trainers)."""
     words = vocab.withColumn(
         "seq", F.regexp_replace(F.col("word"), "(.)", "$1|")
     ).localCheckpoint()
@@ -78,6 +76,16 @@ def bpe_train(
         )
     if stats["n"] <= 100_000:
         words = words.coalesce(1).localCheckpoint()
+    return words
+
+
+def bpe_train(
+    vocab: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Train ``n_merges`` BPE merges. Returns (merges, final_vocab_df)
+    where merges rows are (rank, left, right, merged, pair_count) and
+    the vocab DataFrame carries the fully-merged ``seq`` per word."""
+    words = _init_words(vocab)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         pairs = (
@@ -108,4 +116,69 @@ def merges_df(spark: SparkSession, merges) -> DataFrame:
         merges,
         "merge_rank int, left_sym string, right_sym string,"
         " merged string, pair_count bigint",
+    )
+
+
+def wordpiece_train(
+    vocab: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, str, int, float]], DataFrame]:
+    """WordPiece merge training (Schuster & Nakajima 2012, the
+    likelihood-gain variant BERT's tokenizer popularized): identical
+    loop shape to :func:`bpe_train`, but each round picks the pair
+    maximizing ``count(l,r) / (count(l) · count(r))`` — the pair whose
+    merge most increases corpus likelihood under a unigram model —
+    instead of the raw pair count. So frequent-but-expected pairs
+    ('e','s') lose to rarer-but-bound pairs.
+
+    Determinism across engines: both factors are exact BIGINT counts
+    ≤ 2^53, each is cast to double exactly, and IEEE multiply/divide
+    are correctly rounded — so the double score is bit-identical in
+    Spark and DuckDB and the (score DESC, l, r) argmax replays
+    exactly. Per round: one symbol-count hash aggregate, one
+    pair-count hash aggregate, two broadcast-sized joins on the
+    distinct-vocabulary table, a 1-row argmax collect, and the same
+    codegen'd ``replace`` rewrite — corpus-size-independent after the
+    initial word count, same as BPE.
+    """
+    words = _init_words(vocab)
+    merges: list[tuple[int, str, str, str, int, float]] = []
+    for rank in range(1, n_merges + 1):
+        toks = words.withColumn(
+            "_toks", F.expr("filter(split(seq, '\\\\|'), x -> x <> '')")
+        )
+        syms = (
+            toks.select(F.explode("_toks").alias("s"), "cnt")
+            .groupBy("s")
+            .agg(F.sum("cnt").alias("sc"))
+        )
+        pairs = (
+            toks.select(F.explode(F.expr(_PAIRS_EXPR)).alias("_p"), "cnt")
+            .groupBy("_p.l", "_p.r")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        scored = (
+            pairs.join(syms.select(F.col("s").alias("l"), F.col("sc").alias("cl")), "l")
+            .join(syms.select(F.col("s").alias("r"), F.col("sc").alias("cr")), "r")
+            .withColumn(
+                "score",
+                F.col("pc") / (F.col("cl").cast("double") * F.col("cr").cast("double")),
+            )
+        )
+        best = scored.orderBy(F.desc("score"), "l", "r").limit(1).collect()
+        if not best:
+            break
+        l, r, pc, score = best[0]["l"], best[0]["r"], int(best[0]["pc"]), float(best[0]["score"])
+        merges.append((rank, l, r, l + r, pc, score))
+        words = words.withColumn(
+            "seq",
+            F.replace(F.col("seq"), F.lit(f"{l}|{r}|"), F.lit(f"{l}{r}|")),
+        ).localCheckpoint()
+    return merges, words
+
+
+def wordpiece_merges_df(spark: SparkSession, merges) -> DataFrame:
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string,"
+        " merged string, pair_count bigint, score double",
     )

@@ -1153,6 +1153,204 @@ SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= 0.
 """
 
 
+def q_lsh_sensitivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter-sensitivity report — the tuning artifact a dedup
+    operator reads before picking (bands, rows): for every candidate
+    pair (docs sharing a ≤20-df 2-gram shingle, exact Jaccard ≥ 0.2),
+    compare OBSERVED MinHash-LSH detection (any of 8 bands × 2 rows
+    colliding) against the ANALYTIC S-curve 1−(1−j²)⁸, bucketed by
+    Jaccard (bands placed at the corpus's actual pair-similarity
+    modes: 0.02/0.05/0.1/0.2+). Where the observed rate tracks the
+    curve, the sketch is healthy; divergence flags hash skew.
+
+    Fully cross-engine: shingle hash is the md5-prefix bigint (the
+    `simhash_docs` idiom — bit-identical in DuckDB), MinHash
+    permutations are the same (a·h+b) mod P integer arithmetic as
+    `operators/dedup.py:141`, so the oracle replays the ENTIRE
+    sketch — signatures, band collisions, and the S-curve (power by
+    explicit multiplication chain; IEEE multiply is correctly rounded,
+    so the doubles match bitwise; averages sum in decimal).
+
+    Scale shape: DF-capped inverted-index equi-join (never all-pairs),
+    16-min HashAggregate signatures, pair-level column arithmetic.
+    Probe modulus doc_id % 3 = 0 bounds the pair volume like the other
+    diagnostic probes."""
+    P = 2_147_483_647
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .withColumn("_toks", F.expr("filter(split(text, ' '), x -> x <> '')"))
+        .filter(F.size("_toks") >= 2)
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(_toks) - 2),"
+                " i -> concat_ws(' ', _toks[i], _toks[i + 1])))"
+            )
+        ).alias("s"),
+    ).withColumn(
+        "h",
+        F.expr("cast(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % 2147483647"),
+    )
+    mins = ", ".join(
+        f"min(pmod(h * {(2654435761 * (j + 1)) % P}L + {40503 * (j + 1) % P}L,"
+        f" {P}L))"
+        for j in range(16)
+    )
+    per_doc = sh.groupBy("doc_id").agg(
+        F.expr(f"array({mins})").alias("sig"),
+        F.collect_set("h").alias("hs"),
+    )
+    rare = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 20)
+    capped = sh.join(rare, "h")
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    joined = (
+        pairs.join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sig").alias("sig_a"),
+                F.col("hs").alias("hs_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            per_doc.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sig").alias("sig_b"),
+                F.col("hs").alias("hs_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jr",
+            F.round(
+                F.col("inter")
+                / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jr") >= 0.02)
+        .withColumn(
+            "detected",
+            F.expr(
+                "exists(sequence(0, 7), b -> sig_a[2 * b] = sig_b[2 * b]"
+                " AND sig_a[2 * b + 1] = sig_b[2 * b + 1])"
+            ).cast("long"),
+        )
+        .withColumn(
+            "expected",
+            F.expr(
+                "1.0 - (((1.0 - jr * jr) * (1.0 - jr * jr))"
+                " * ((1.0 - jr * jr) * (1.0 - jr * jr)))"
+                " * (((1.0 - jr * jr) * (1.0 - jr * jr))"
+                " * ((1.0 - jr * jr) * (1.0 - jr * jr)))"
+            ),
+        )
+        .withColumn(
+            "bucket",
+            F.when(F.col("jr") < 0.05, "j_0.02-0.05")
+            .when(F.col("jr") < 0.1, "j_0.05-0.10")
+            .when(F.col("jr") < 0.2, "j_0.10-0.20")
+            .otherwise("j_0.20-1.00"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            cnt.alias("n_pairs"),
+            F.sum("detected").alias("n_detected"),
+            F.round(F.sum("detected") / cnt, 6).alias("detect_rate"),
+            F.round(
+                F.sum(
+                    F.round("expected", 6).cast("decimal(20,10)")
+                ).cast("double")
+                / cnt,
+                6,
+            ).alias("expected_rate"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SQL_LSH_SENSITIVITY = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 3 = 0
+),
+sh AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct([array_to_string(toks[i:i+1], ' ')
+                                 for i in range(1, len(toks))])) AS s
+    FROM t WHERE len(toks) >= 2
+  )
+),
+per_doc AS MATERIALIZED (
+  SELECT doc_id, [{mins}] AS sig, list_distinct(list(h)) AS hs
+  FROM sh GROUP BY doc_id
+),
+rare AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 20),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN rare USING (h) JOIN sh b USING (h)
+  WHERE a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT p.doc_a, p.doc_b,
+         round(len(list_intersect(da.hs, db.hs))::DOUBLE
+               / (len(da.hs) + len(db.hs) - len(list_intersect(da.hs, db.hs))),
+               6) AS jr,
+         da.sig AS sig_a, db.sig AS sig_b
+  FROM pairs p
+  JOIN per_doc da ON da.doc_id = p.doc_a
+  JOIN per_doc db ON db.doc_id = p.doc_b
+),
+flagged AS (
+  SELECT jr,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM range(0, 8) r(b)
+           WHERE sig_a[b * 2 + 1] = sig_b[b * 2 + 1]
+             AND sig_a[b * 2 + 2] = sig_b[b * 2 + 2]
+         ) THEN 1 ELSE 0 END AS detected,
+         1.0 - (((1.0 - jr * jr) * (1.0 - jr * jr))
+              * ((1.0 - jr * jr) * (1.0 - jr * jr)))
+             * (((1.0 - jr * jr) * (1.0 - jr * jr))
+              * ((1.0 - jr * jr) * (1.0 - jr * jr))) AS expected,
+         CASE WHEN jr < 0.05 THEN 'j_0.02-0.05'
+              WHEN jr < 0.1 THEN 'j_0.05-0.10'
+              WHEN jr < 0.2 THEN 'j_0.10-0.20'
+              ELSE 'j_0.20-1.00' END AS bucket
+  FROM scored WHERE jr >= 0.02
+)
+SELECT bucket, count(*)::BIGINT AS n_pairs,
+       sum(detected)::BIGINT AS n_detected,
+       round(sum(detected)::DOUBLE / count(*), 6) AS detect_rate,
+       round(sum(round(expected, 6)::DECIMAL(20,10))::DOUBLE / count(*), 6)
+         AS expected_rate
+FROM flagged GROUP BY bucket ORDER BY bucket
+""".format(
+    mins=", ".join(
+        f"min((h * {(2654435761 * (j + 1)) % 2_147_483_647}"
+        f" + {40503 * (j + 1) % 2_147_483_647}) % 2147483647)"
+        for j in range(16)
+    )
+)
+
+
 def q_near_dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster census: MinHash-LSH near-dup pairs (Jaccard ≥
     0.8) grouped into duplicate clusters via connected components
@@ -4060,6 +4258,319 @@ per_doc AS (
 SELECT source, count(*)::BIGINT AS n_images,
        round(sum(px_sum)::DOUBLE / (count(*) * 1024), 6) AS avg_px_mean,
        min(mn)::INT AS min_px, max(mx)::INT AS max_px
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+def q_flac_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio-codec round-trip (the FLAC twin of
+    `wav_roundtrip_stats` — genuine Rice entropy coding + fixed linear
+    prediction, `sources/flac.py`): a deterministic 256-frame STEREO
+    waveform per probe doc —
+    ch1[i] = (doc_id·13 + i·3) mod 2001 − 1000   (sawtooth),
+    ch2[i] = (doc_id·29 + i²) mod 1999 − 999     (quadratic) —
+    is ENCODED to a fixed-blocksize FLAC stream (per-frame best FIXED
+    predictor, best-k Rice residuals) and DECODED back inside one
+    Arrow-batched mapInPandas. Both channels have near-constant
+    second differences, so the UDF also asserts the stream is SMALLER
+    than raw 16-bit PCM — a hash match therefore proves the codec is
+    simultaneously lossless AND actually compressing, i.e. the
+    prediction/entropy machinery ran for real, not a verbatim copy.
+
+    The oracle never sees a FLAC stream: it recomputes the statistics
+    from the waveform's closed-form arithmetic. Probe set
+    doc_id % 37 = 0 (per-clip Python codec work, bounded like the
+    PNG/WAV/GIF/JPEG probes)."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 37 == 0).select(
+        "doc_id", "source"
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from ..sources.flac import read_flac, write_flac
+
+        for pdf in batches:
+            out = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                i = np.arange(256, dtype=np.int64)
+                ch1 = (int(doc_id) * 13 + i * 3) % 2001 - 1000
+                ch2 = (int(doc_id) * 29 + i * i) % 1999 - 999
+                frames = np.stack([ch1, ch2], axis=1)
+                enc = write_flac(frames, rate=16_000, bps=16, blocksize=256)
+                decoded, rate = read_flac(enc)
+                if rate != 16_000 or not np.array_equal(decoded, frames):
+                    raise ValueError(f"FLAC round-trip corrupted doc {doc_id}")
+                if len(enc) >= frames.size * 2:  # must beat raw PCM
+                    raise ValueError(f"FLAC failed to compress doc {doc_id}")
+                out.append(
+                    (
+                        int(doc_id),
+                        source,
+                        int(decoded.sum()),
+                        int((decoded.astype(np.int64) ** 2).sum()),
+                        int(decoded.min()),
+                        int(decoded.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "source", "s_sum", "sq_sum", "s_min", "s_max"]
+            )
+
+    per_doc = docs.mapInPandas(
+        gen,
+        "doc_id bigint, source string, s_sum bigint, sq_sum bigint,"
+        " s_min int, s_max int",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("s_sum").alias("sample_sum"),
+            F.round(
+                F.sqrt(F.sum("sq_sum") / (F.count(F.lit(1)) * 512)), 6
+            ).alias("rms"),
+            F.min("s_min").alias("min_sample"),
+            F.max("s_max").alias("max_sample"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_FLAC_ROUNDTRIP = """
+WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 37 = 0),
+s AS (
+  SELECT d.doc_id, d.source,
+         (d.doc_id * 13 + i.range * 3) % 2001 - 1000 AS c1,
+         (d.doc_id * 29 + i.range * i.range) % 1999 - 999 AS c2
+  FROM d, range(256) i
+),
+per_doc AS (
+  SELECT doc_id, source,
+         sum(c1 + c2)::BIGINT AS s_sum,
+         sum(c1 * c1 + c2 * c2)::BIGINT AS sq_sum,
+         least(min(c1), min(c2))::INT AS s_min,
+         greatest(max(c1), max(c2))::INT AS s_max
+  FROM s GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS n_clips,
+       sum(s_sum)::BIGINT AS sample_sum,
+       round(sqrt(sum(sq_sum)::DOUBLE / (count(*) * 512)), 6) AS rms,
+       min(s_min)::INT AS min_sample, max(s_max)::INT AS max_sample
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+def q_mp4_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-CONTAINER round-trip (`sources/mp4.py`, ISO/IEC
+    14496-12): per probe doc a deterministic single-track MP4 —
+    n = 8 + doc_id mod 13 samples, sample i of length
+    (doc_id + i·7) mod 200 + 1 bytes with duration (i mod 5) + 1 — is
+    MUXED (ftyp/mdat/moov with full stsz/stsc/stco/stts tables),
+    PARSED back, and its samples byte-compared; then the curation
+    operation itself runs: keep every 3rd sample, RE-MUX, RE-PARSE,
+    byte-compare again. The manifest aggregates per source.
+
+    The oracle never sees an MP4: it recomputes sample counts/sizes/
+    durations from the closed-form arithmetic — a hash match proves
+    the sample-table resolution (chunk offsets, size tables, duration
+    runs) and the re-mux are exact. This is the layer a 100 TB video
+    pipeline actually touches (frame manifests + sample slicing, no
+    codec decode). Probe set doc_id % 43 = 0."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 43 == 0).select(
+        "doc_id", "source"
+    )
+
+    def gen(batches):
+        from ..sources.mp4 import extract_samples, read_mp4, write_mp4
+
+        for pdf in batches:
+            out = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                n = 8 + d % 13
+                samples = [
+                    bytes([(d + i) % 256]) * ((d + i * 7) % 200 + 1)
+                    for i in range(n)
+                ]
+                durs = [(i % 5) + 1 for i in range(n)]
+                data = write_mp4(samples, timescale=600, durations=durs)
+                (trk,) = read_mp4(data)
+                if extract_samples(data, trk) != samples or trk.sample_durations != durs:
+                    raise ValueError(f"MP4 sample tables corrupted doc {doc_id}")
+                kept = extract_samples(data, trk)[::3]
+                data2 = write_mp4(
+                    kept, timescale=600, durations=trk.sample_durations[::3]
+                )
+                (trk2,) = read_mp4(data2)
+                if extract_samples(data2, trk2) != samples[::3]:
+                    raise ValueError(f"MP4 re-mux corrupted doc {doc_id}")
+                out.append(
+                    (
+                        d,
+                        source,
+                        n,
+                        sum(len(s) for s in samples),
+                        sum(durs),
+                        len(kept),
+                        sum(len(s) for s in kept),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "source", "n_samples", "total_bytes",
+                    "total_dur", "kept_samples", "kept_bytes",
+                ],
+            )
+
+    per_doc = docs.mapInPandas(
+        gen,
+        "doc_id bigint, source string, n_samples int, total_bytes bigint,"
+        " total_dur bigint, kept_samples int, kept_bytes bigint",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.sum("n_samples").alias("samples"),
+            F.sum("total_bytes").alias("sample_bytes"),
+            F.sum("total_dur").alias("duration_ticks"),
+            F.sum("kept_samples").alias("kept_samples"),
+            F.sum("kept_bytes").alias("kept_bytes"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_MP4_MANIFEST = """
+WITH d AS (SELECT doc_id, source, 8 + doc_id % 13 AS n
+           FROM documents WHERE doc_id % 43 = 0),
+s AS (
+  SELECT d.doc_id, d.source, i.range AS i,
+         (d.doc_id + i.range * 7) % 200 + 1 AS len,
+         (i.range % 5) + 1 AS dur
+  FROM d, range(20) i
+  WHERE i.range < d.n
+),
+per_doc AS (
+  SELECT doc_id, source,
+         count(*)::INT AS n_samples,
+         sum(len)::BIGINT AS total_bytes,
+         sum(dur)::BIGINT AS total_dur,
+         sum(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END)::INT AS kept_samples,
+         sum(CASE WHEN i % 3 = 0 THEN len ELSE 0 END)::BIGINT AS kept_bytes
+  FROM s GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS n_videos,
+       sum(n_samples)::BIGINT AS samples,
+       sum(total_bytes)::BIGINT AS sample_bytes,
+       sum(total_dur)::BIGINT AS duration_ticks,
+       sum(kept_samples)::BIGINT AS kept_samples,
+       sum(kept_bytes)::BIGINT AS kept_bytes
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+def q_mp3_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-audio metadata walk (`sources/mp3.py`, ISO/IEC
+    11172-3 §2.4.1): per probe doc a spec-valid Layer III stream of 6
+    frames with bitrate index (doc_id + j·3) mod 14 + 1 at sample-rate
+    index doc_id mod 3 is SYNTHESIZED (headers + sized payloads) and
+    WALKED frame-by-frame; per-frame bitrate and exact frame byte
+    length (144·kbps·1000 ÷ rate, integer) aggregate per source —
+    the ffprobe-style duration/bitrate census a curation pipeline
+    runs over audio shards.
+
+    The oracle recomputes the walk from the header arithmetic and the
+    published V1-L3 bitrate table — a hash match proves the frame-size
+    formula and stream walk exact. Integer-only outputs (sample
+    counts, byte totals, summed kbps) keep the comparison exact.
+    Probe set doc_id % 47 = 0."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 47 == 0).select(
+        "doc_id", "source"
+    )
+
+    def gen(batches):
+        from ..sources.mp3 import read_mp3_frames, write_mp3_stream
+
+        for pdf in batches:
+            out = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                idxs = [(d + j * 3) % 14 + 1 for j in range(6)]
+                stream = write_mp3_stream(idxs, sr_idx=d % 3)
+                frames = read_mp3_frames(stream)
+                if len(frames) != 6 or len(stream) != sum(f.frame_bytes for f in frames):
+                    raise ValueError(f"MP3 walk lost frames doc {doc_id}")
+                out.append(
+                    (
+                        d,
+                        source,
+                        len(frames),
+                        sum(f.frame_bytes for f in frames),
+                        sum(f.n_samples for f in frames),
+                        sum(f.bitrate_kbps for f in frames),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "source", "n_frames", "stream_bytes",
+                    "pcm_samples", "kbps_sum",
+                ],
+            )
+
+    per_doc = docs.mapInPandas(
+        gen,
+        "doc_id bigint, source string, n_frames int, stream_bytes bigint,"
+        " pcm_samples bigint, kbps_sum bigint",
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            cnt.alias("n_streams"),
+            F.sum("n_frames").alias("frames"),
+            F.sum("stream_bytes").alias("stream_bytes"),
+            F.sum("pcm_samples").alias("pcm_samples"),
+            F.round(F.sum("kbps_sum") / F.sum("n_frames"), 6).alias("mean_kbps"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_MP3_CENSUS = """
+WITH kb(idx, kbps) AS (VALUES (1,32),(2,40),(3,48),(4,56),(5,64),(6,80),(7,96),
+                              (8,112),(9,128),(10,160),(11,192),(12,224),(13,256),(14,320)),
+d AS (SELECT doc_id, source,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS rate
+      FROM documents WHERE doc_id % 47 = 0),
+f AS (
+  SELECT d.doc_id, d.source, d.rate, kb.kbps,
+         (144 * kb.kbps * 1000) // d.rate AS frame_bytes
+  FROM d, range(6) j
+  JOIN kb ON kb.idx = (d.doc_id + j.range * 3) % 14 + 1
+),
+per_doc AS (
+  SELECT doc_id, source,
+         count(*)::INT AS n_frames,
+         sum(frame_bytes)::BIGINT AS stream_bytes,
+         (count(*) * 1152)::BIGINT AS pcm_samples,
+         sum(kbps)::BIGINT AS kbps_sum
+  FROM f GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS n_streams,
+       sum(n_frames)::BIGINT AS frames,
+       sum(stream_bytes)::BIGINT AS stream_bytes,
+       sum(pcm_samples)::BIGINT AS pcm_samples,
+       round(sum(kbps_sum)::DOUBLE / sum(n_frames), 6) AS mean_kbps
 FROM per_doc GROUP BY source ORDER BY source
 """
 
@@ -13051,14 +13562,17 @@ def _sql_bpe_train_parts() -> list[str]:
     """Shared unrolled-BPE-training CTE chain (w0..wN, p/b per round) —
     used by both the merge-table oracle and the encoder oracle."""
     parts = [
-        "w0 AS (SELECT word, count(*)::BIGINT AS cnt,"
+        # MATERIALIZED: each w{t} is referenced by both p{t+1} and
+        # w{t+1}; DuckDB inlines plain CTEs, which would expand the
+        # chain 2^N times (2^8 parquet scans of documents)
+        "w0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS cnt,"
         " regexp_replace(word, '(.)', '\\1|', 'g') AS seq"
         " FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)"
         " WHERE word <> '' GROUP BY word)"
     ]
     for t in range(1, _BPE_N_MERGES + 1):
         parts.append(
-            f"""p{t} AS (
+            f"""p{t} AS MATERIALIZED (
   SELECT l, r, sum(cnt)::BIGINT AS pc FROM (
     SELECT toks[i] AS l, toks[i + 1] AS r, cnt FROM (
       SELECT cnt, toks, unnest(range(1, len(toks))) AS i
@@ -13072,7 +13586,7 @@ def _sql_bpe_train_parts() -> list[str]:
             f"b{t} AS (SELECT l, r, pc FROM p{t} ORDER BY pc DESC, l, r LIMIT 1)"
         )
         parts.append(
-            f"w{t} AS (SELECT word, cnt,"
+            f"w{t} AS MATERIALIZED (SELECT word, cnt,"
             f" replace(seq, b.l || '|' || b.r || '|', b.l || b.r || '|') AS seq"
             f" FROM w{t - 1}, b{t} b)"
         )
@@ -13085,6 +13599,83 @@ def _sql_bpe() -> str:
         f"SELECT {t} AS merge_rank, l AS left_sym, r AS right_sym,"
         f" l || r AS merged, pc AS pair_count FROM b{t}"
         for t in range(1, _BPE_N_MERGES + 1)
+    )
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\nSELECT * FROM (\n{ranks}\n) ORDER BY merge_rank"
+
+
+_WP_N_MERGES = 8
+
+
+def q_wordpiece_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer-merge training over the documents corpus
+    (`operators/bpe.wordpiece_train` — Schuster & Nakajima 2012 /
+    BERT's likelihood-gain criterion): 8 rounds on the (word, count)
+    vocabulary, each picking argmax of
+    ``pair_count / (left_count · right_count)`` instead of BPE's raw
+    pair count — so the merge tables genuinely diverge from
+    `bpe_merges_docs` on the same corpus. Per round: symbol-count +
+    pair-count hash aggregates, two vocab-sized joins, a 1-row argmax
+    collect, and the codegen'd suffix-delimited `replace` rewrite.
+
+    The oracle replays ALL 8 rounds as unrolled CTEs. The double
+    score is bit-identical cross-engine — both factors are exact
+    BIGINT counts cast exactly to double, and IEEE multiply/divide
+    are correctly rounded — so the (score DESC, l, r) argmax replays
+    exactly; the reported score is rounded 6dp on both sides."""
+    from ..operators.bpe import wordpiece_merges_df, wordpiece_train, word_vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = wordpiece_train(word_vocab(docs), _WP_N_MERGES)
+    out = wordpiece_merges_df(spark, merges)
+    return out.select(
+        "merge_rank", "left_sym", "right_sym", "merged", "pair_count",
+        F.round("score", 6).alias("score_6dp"),
+    ).orderBy("merge_rank")
+
+
+def _sql_wordpiece() -> str:
+    parts = [
+        "w0 AS MATERIALIZED (SELECT word, count(*)::BIGINT AS cnt,"
+        " regexp_replace(word, '(.)', '\\1|', 'g') AS seq"
+        " FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)"
+        " WHERE word <> '' GROUP BY word)"
+    ]
+    for t in range(1, _WP_N_MERGES + 1):
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT s, sum(cnt)::BIGINT AS sc FROM (
+    SELECT unnest(list_filter(string_split(seq, '|'), x -> x <> '')) AS s, cnt
+    FROM w{t - 1}
+  ) GROUP BY s
+)"""
+        )
+        parts.append(
+            f"""p{t} AS MATERIALIZED (
+  SELECT l, r, sum(cnt)::BIGINT AS pc FROM (
+    SELECT toks[i] AS l, toks[i + 1] AS r, cnt FROM (
+      SELECT cnt, toks, unnest(range(1, len(toks))) AS i
+      FROM (SELECT cnt, list_filter(string_split(seq, '|'), x -> x <> '') AS toks
+            FROM w{t - 1})
+    )
+  ) GROUP BY l, r
+)"""
+        )
+        parts.append(
+            f"b{t} AS (SELECT p.l, p.r, p.pc,"
+            f" p.pc::DOUBLE / (sl.sc::DOUBLE * sr.sc::DOUBLE) AS score"
+            f" FROM p{t} p JOIN s{t} sl ON sl.s = p.l JOIN s{t} sr ON sr.s = p.r"
+            f" ORDER BY score DESC, p.l, p.r LIMIT 1)"
+        )
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT word, cnt,"
+            f" replace(seq, b.l || '|' || b.r || '|', b.l || b.r || '|') AS seq"
+            f" FROM w{t - 1}, b{t} b)"
+        )
+    ranks = "\nUNION ALL\n".join(
+        f"SELECT {t} AS merge_rank, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, pc AS pair_count, round(score, 6) AS score_6dp FROM b{t}"
+        for t in range(1, _WP_N_MERGES + 1)
     )
     ctes = ",\n".join(parts)
     return f"WITH {ctes}\nSELECT * FROM (\n{ranks}\n) ORDER BY merge_rank"
@@ -16184,6 +16775,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "haversine_stats": (q_haversine_stats, _SQL_HAVERSINE),
     "exact_dedup_docs": (q_exact_dedup_docs, _SQL_DEDUP),
     "minhash_near_dup_docs": (q_minhash_near_dup_docs, _SQL_MINHASH_NEAR_DUP),
+    "lsh_sensitivity_report": (q_lsh_sensitivity_report, _SQL_LSH_SENSITIVITY),
     "near_dup_clusters_docs": (q_near_dup_clusters_docs, _SQL_NEAR_DUP_CLUSTERS),
     "training_corpus_pipeline": (q_training_corpus_pipeline, _SQL_CORPUS_PIPELINE),
     "simhash_docs": (q_simhash_docs, _sql_simhash()),
@@ -16238,6 +16830,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "png_roundtrip_stats": (q_png_roundtrip_stats, _SQL_PNG_ROUNDTRIP),
     "jpeg_roundtrip_stats": (q_jpeg_roundtrip_stats, _SQL_JPEG_ROUNDTRIP),
+    "flac_roundtrip_stats": (q_flac_roundtrip_stats, _SQL_FLAC_ROUNDTRIP),
+    "mp4_sample_manifest": (q_mp4_sample_manifest, _SQL_MP4_MANIFEST),
+    "mp3_frame_census": (q_mp3_frame_census, _SQL_MP3_CENSUS),
     "wav_roundtrip_stats": (q_wav_roundtrip_stats, _SQL_WAV_ROUNDTRIP),
     "gif_roundtrip_stats": (q_gif_roundtrip_stats, _SQL_GIF_ROUNDTRIP),
     "hard_negative_mining": (q_hard_negative_mining, _SQL_HARD_NEG),
@@ -16418,6 +17013,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     ),
     "global_moran_events": (q_global_moran_events, _SQL_GLOBAL_MORAN),
     "bpe_merges_docs": (q_bpe_merges_docs, _sql_bpe()),
+    "wordpiece_merges_docs": (q_wordpiece_merges_docs, _sql_wordpiece()),
     "span_dedup_docs": (q_span_dedup_docs, _SQL_SPAN_DEDUP),
     "sorted_neighborhood_docs": (q_sorted_neighborhood_docs, _SQL_SNM),
     "label_propagation_mod": (q_label_propagation_mod, _sql_lpa()),

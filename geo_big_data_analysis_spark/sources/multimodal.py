@@ -4,14 +4,19 @@ A 100 TB training-data pipeline carries images/audio/video as opaque
 ``binary`` columns with typed metadata, decoding only inside Arrow
 batches. This module implements that plumbing for real — schema
 convention, mapInPandas batch shape, deterministic feature extraction.
-The IMAGE path is fully real for PNG and baseline JPEG:
-``decode_media`` decodes PNG payloads through the pure-Python reader
-in `sources/png.py`, baseline-sequential JPEG through
-`sources/jpeg.py` (Huffman + IDCT + YCbCr), and ``resize_image`` does
-a true decode→resample→re-encode round-trip. Remaining codecs are
-environment stubs (no libav/pillow here): ``decode_media`` raises
-NotImplementedError for them, and ``FAKE_DECODE`` substitutes a
-deterministic byte-level "decode" so those stages stay testable.
+The IMAGE path is real for PNG (incl. Adam7), baseline JPEG, and BMP
+(`sources/png.py` / `jpeg.py` / `bmp.py`); AUDIO is real for
+PCM/float/G.711 WAV and compressed FLAC (`sources/wav.py` /
+`flac.py`); VIDEO is real at the pixel level for animated GIF
+(`sources/gif.py`) and at the container level for MP4 — sample-table
+parse + re-mux in `sources/mp4.py`, the layer a curation job actually
+touches. MP3 streams get a real frame-header walk (`sources/mp3.py`,
+duration/bitrate metadata without audio decode). ``resize_image``
+does a true decode→resample→re-encode round-trip. Codec *pixel*
+decode beyond these (H.264, WebP, MP3 audio…) raises
+NotImplementedError naming the swap-in point, and ``FAKE_DECODE``
+substitutes a deterministic byte-level "decode" so those stages stay
+testable without the libraries.
 
 Schema convention:
     payload  binary                    -- the encoded media bytes
@@ -73,6 +78,7 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     stubs — libav/pillow are not available here; the error names the
     swap-in point."""
     if media_type == "image":
+        from .bmp import is_bmp, read_bmp
         from .jpeg import is_jpeg, read_jpeg
         from .png import is_png, read_png
 
@@ -80,19 +86,25 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
             return read_png(payload)
         if is_jpeg(payload):
             return read_jpeg(payload)
+        if is_bmp(payload):
+            return read_bmp(payload)
         raise NotImplementedError(
-            "non-PNG/JPEG image payload: install pillow for WebP/... "
-            "(PNG and baseline JPEG decode natively via sources/png.py "
-            "and sources/jpeg.py)"
+            "non-PNG/JPEG/BMP image payload: install pillow for WebP/... "
+            "(PNG incl. Adam7, baseline JPEG, and BMP decode natively via "
+            "sources/png.py, sources/jpeg.py, sources/bmp.py)"
         )
     if media_type == "audio":
+        from .flac import is_flac, read_flac
         from .wav import is_wav, read_wav
 
         if is_wav(payload):
             return read_wav(payload)[0]
+        if is_flac(payload):
+            return read_flac(payload)[0]
         raise NotImplementedError(
-            "non-WAV audio payload: install av/soundfile for "
-            "MP3/FLAC/... (PCM and IEEE-float WAV decode natively via sources/wav.py)"
+            "non-WAV/FLAC audio payload: install av/soundfile for "
+            "MP3/Ogg/... (PCM + float WAV decode natively via sources/wav.py, "
+            "FLAC via sources/flac.py)"
         )
     if media_type == "video":
         from .gif import is_gif, read_gif
@@ -101,8 +113,10 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
             _pal, frames = read_gif(payload)
             return np.stack(frames)  # (n_frames, H, W) palette indices
         raise NotImplementedError(
-            "non-GIF video payload: install av for MP4/WebM/... "
-            "(animated GIF decodes natively via sources/gif.py)"
+            "non-GIF video pixel decode: install av for H.264/VP9/... "
+            "(animated GIF decodes to pixels natively via sources/gif.py; "
+            "MP4 CONTAINER structure — sample tables, frame byte ranges, "
+            "re-mux — is handled natively by sources/mp4.py in frame_sample)"
         )
     raise NotImplementedError(
         f"no codec for {media_type}: install av, or use FAKE_DECODE"
@@ -214,16 +228,20 @@ def resize_image(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
 
 def frame_sample(df: DataFrame, every_k: int = 4) -> DataFrame:
     """Video frame sampling. Animated-GIF payloads are sampled FOR
-    REAL: decoded through `sources/gif.py`, every k-th frame kept
-    (from frame 0), re-encoded as GIF — a full decode→sample→encode
-    round-trip with no video library. Other video payloads keep the
-    deterministic byte-stride stand-in so codec-less plumbing stays
-    testable. Non-video rows pass through unchanged; schema is
+    REAL at the pixel level (decoded through `sources/gif.py`, every
+    k-th frame kept, re-encoded). MP4 payloads are sampled FOR REAL at
+    the container level — the way a 100 TB curation job actually does
+    it: parse the ISO-BMFF sample tables (`sources/mp4.py`), slice
+    every k-th sample's byte range, re-mux with durations preserved —
+    no codec decode, payload frames stay opaque. Other video payloads
+    keep the deterministic byte-stride stand-in so codec-less plumbing
+    stays testable. Non-video rows pass through unchanged; schema is
     preserved."""
     schema = df.schema
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .gif import is_gif, read_gif, write_gif
+        from .mp4 import extract_samples, is_mp4, read_mp4, write_mp4
 
         for pdf in batches:
             mt = pdf["media"].map(lambda m: m["media_type"])
@@ -235,6 +253,18 @@ def frame_sample(df: DataFrame, every_k: int = 4) -> DataFrame:
                 elif is_gif(p):
                     pal, frames = read_gif(p)
                     out.append(write_gif(frames[::every_k], pal))
+                elif is_mp4(p):
+                    trk = read_mp4(p)[0]
+                    kept = extract_samples(p, trk)[::every_k]
+                    out.append(
+                        write_mp4(
+                            kept,
+                            timescale=trk.timescale,
+                            durations=trk.sample_durations[::every_k],
+                            handler=trk.handler or "vide",
+                            codec=trk.codec or "raw ",
+                        )
+                    )
                 else:
                     out.append(p[::every_k])
             pdf = pdf.copy()

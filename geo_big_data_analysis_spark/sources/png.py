@@ -7,10 +7,12 @@ Scope (documented feature matrix, like the TIFF reader):
 - decode: 8-bit greyscale (color type 0), RGB (2), palette (3),
   grey+alpha (4), RGBA (6); all five scanline filters
   (None/Sub/Up/Average/Paeth, PNG spec §9); multi-IDAT streams;
+  Adam7 interlace (the seven reduced images of spec §8.2, each with
+  its own filtered scanlines, scattered back onto the pixel grid);
   16-bit samples are down-shifted to 8-bit (high byte, the PNG
-  recommendation for 8-bit consumers). Adam7 interlace raises
-  NotImplementedError (rare in training corpora; the error names it).
-- encode: 8-bit greyscale / RGB / RGBA, filter 0 scanlines — the
+  recommendation for 8-bit consumers).
+- encode: 8-bit greyscale / RGB / RGBA; filter 0-4 or per-row
+  cycling scanline filters; optional Adam7 interlaced output — the
   deterministic sink for resize round-trips.
 
 Reference: PNG (Portable Network Graphics) Specification, Second
@@ -29,6 +31,17 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 #: samples per pixel for each PNG color type
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: Adam7 pass grid (spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
 
 def is_png(data: bytes) -> bool:
@@ -109,8 +122,8 @@ def read_png(data: bytes) -> np.ndarray:
             idat.extend(payload)
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if color_type not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {color_type}")
     if bit_depth not in (8, 16) or (bit_depth == 16 and color_type == 3):
@@ -120,9 +133,27 @@ def read_png(data: bytes) -> np.ndarray:
     bpp = channels * sample_bytes
     stride = width * bpp
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG IDAT stream has the wrong decompressed size")
-    mat = _unfilter(raw, height, stride, bpp)
+    if interlace == 1:
+        # Adam7: seven independently-filtered reduced images (§8.2),
+        # deinterlaced by scattering each pass onto the pixel grid
+        mat = np.zeros((height, stride), dtype=np.uint8)
+        view = mat.reshape(height, width, bpp)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pass_stride = pw * bpp
+            sub = _unfilter(raw[pos : pos + ph * (pass_stride + 1)], ph, pass_stride, bpp)
+            pos += ph * (pass_stride + 1)
+            view[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if pos != len(raw):
+            raise ValueError("PNG IDAT stream has the wrong decompressed size")
+    else:
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG IDAT stream has the wrong decompressed size")
+        mat = _unfilter(raw, height, stride, bpp)
     if bit_depth == 16:
         # keep the high byte — the spec's sample-depth rescale for
         # 8-bit consumers (truncation, bit-replication not needed here)
@@ -176,12 +207,17 @@ def _filter_line(ftype: int, line: bytes, prev: bytes, bpp: int) -> bytes:
     return bytes(out)
 
 
-def write_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
+def write_png(
+    arr: np.ndarray, filter_type: int | str = 0, interlace: bool = False
+) -> bytes:
     """Encode a uint8 array — (H, W) grey, (H, W, 3) RGB, or
-    (H, W, 4) RGBA — as a non-interlaced PNG. ``filter_type`` is one of
-    0-4 applied to every scanline, or ``"mixed"`` to cycle through all
-    five per row (so a decode of the output exercises every
-    reconstruction path — used by the round-trip query's oracle check)."""
+    (H, W, 4) RGBA — as a PNG. ``filter_type`` is one of 0-4 applied
+    to every scanline, or ``"mixed"`` to cycle through all five per
+    row (so a decode of the output exercises every reconstruction
+    path — used by the round-trip query's oracle check).
+    ``interlace=True`` emits Adam7: each of the seven reduced images
+    (§8.2) is gathered from the pixel grid and filtered
+    independently."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -190,8 +226,27 @@ def write_png(arr: np.ndarray, filter_type: int | str = 0) -> bytes:
     if color_type is None:
         raise ValueError(f"unsupported channel count {c}")
     bpp = c
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
     rows = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            flat = sub.reshape(ph, pw * c)
+            prev = bytes(pw * c)
+            for y in range(ph):
+                ft = (y % 5) if filter_type == "mixed" else int(filter_type)
+                line = flat[y].tobytes()
+                rows.extend(_filter_line(ft, line, prev, bpp))
+                prev = line
+        return (
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(rows), 6))
+            + _chunk(b"IEND", b"")
+        )
     flat = a.reshape(h, w * c)
     prev = bytes(w * c)
     for y in range(h):

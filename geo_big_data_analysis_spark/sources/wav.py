@@ -57,6 +57,13 @@ def read_wav(data: bytes) -> tuple[np.ndarray, int]:
             samples[: n_frames * n_ch].reshape(n_frames, n_ch).astype(np.float64),
             rate,
         )
+    if audio_fmt in (6, 7):  # G.711 A-law / µ-law (ITU-T G.711)
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        codes = np.frombuffer(raw, dtype=np.uint8)
+        lin = alaw_decode(codes) if audio_fmt == 6 else ulaw_decode(codes)
+        n_frames = len(lin) // n_ch
+        return lin[: n_frames * n_ch].reshape(n_frames, n_ch).astype(np.int32), rate
     if audio_fmt != 1:
         raise NotImplementedError(f"WAV format code {audio_fmt} (non-PCM) not supported")
     dt = _PCM_DTYPES.get(bits)
@@ -70,17 +77,72 @@ def read_wav(data: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+# --- ITU-T G.711 companding (Tables 1a/2a of the Recommendation) ----------
+# µ-law: 8 exponent segments over a biased 14-bit magnitude; code byte is
+# complemented on the wire. A-law: segment 0/1 linear then doubling
+# segments; code byte is XOR 0x55 on the wire. Both decode into the
+# canonical ±32124 / ±32256 16-bit ranges.
+
+def ulaw_decode(codes: np.ndarray) -> np.ndarray:
+    u = ~np.asarray(codes, dtype=np.uint8)
+    seg = (u >> 4) & 0x7
+    t = (((u & 0xF).astype(np.int32) << 3) + 0x84) << seg
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def ulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    p = np.asarray(pcm, dtype=np.int32)
+    mask = np.where(p < 0, 0x7F, 0xFF)
+    mag = np.where(p < 0, 0x84 - p, p + 0x84)
+    mag = np.minimum(mag, 0x7FFF)
+    # segment = how far the magnitude's MSB sits above bit 7
+    seg = np.clip(np.floor(np.log2(mag)).astype(np.int32) - 7, 0, 7)
+    code = (seg << 4) | ((mag >> (seg + 3)) & 0xF)
+    return (code ^ mask).astype(np.uint8)
+
+
+def alaw_decode(codes: np.ndarray) -> np.ndarray:
+    a = np.asarray(codes, dtype=np.uint8) ^ 0x55
+    seg = (a >> 4) & 0x7
+    t = ((a & 0xF).astype(np.int32) << 4)
+    t = np.where(seg == 0, t + 8, ((t + 0x108) << np.maximum(seg - 1, 0)))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    p = np.asarray(pcm, dtype=np.int32)
+    mask = np.where(p >= 0, 0xD5, 0x55)
+    mag = np.where(p >= 0, p, -p - 8)
+    mag = np.clip(mag, 0, 0x7FFF)
+    seg = np.clip(np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7, 0, 7)
+    low = np.where(seg < 2, (mag >> 4) & 0xF, (mag >> (seg + 3)) & 0xF)
+    code = (seg << 4) | low
+    return (code ^ mask).astype(np.uint8)
+
+
 def write_wav(
-    samples: np.ndarray, rate: int, bits: int = 16, float_fmt: bool = False
+    samples: np.ndarray, rate: int, bits: int = 16, float_fmt: bool = False,
+    g711: str | None = None,
 ) -> bytes:
     """Encode (n_frames,) or (n_frames, n_channels) samples as
-    canonical WAV — PCM (format 1, integer samples) by default, or
-    IEEE-float (format 3, ``float_fmt=True`` with bits 32/64)."""
+    canonical WAV — PCM (format 1, integer samples) by default,
+    IEEE-float (format 3, ``float_fmt=True`` with bits 32/64), or
+    G.711 companded (``g711='ulaw'`` → format 7, ``'alaw'`` →
+    format 6; input is 16-bit linear PCM, lossily companded to 8-bit
+    code bytes per the Recommendation)."""
     a = np.asarray(samples)
     if a.ndim == 1:
         a = a[:, None]
     n_frames, n_ch = a.shape
-    if float_fmt:
+    if g711 is not None:
+        if g711 == "ulaw":
+            raw, audio_fmt = ulaw_encode(a.ravel()).tobytes(), 7
+        elif g711 == "alaw":
+            raw, audio_fmt = alaw_encode(a.ravel()).tobytes(), 6
+        else:
+            raise ValueError(f"g711 must be 'ulaw' or 'alaw', got {g711!r}")
+        bits = 8
+    elif float_fmt:
         fdt = {32: np.dtype("<f4"), 64: np.dtype("<f8")}.get(bits)
         if fdt is None:
             raise ValueError(f"{bits}-bit float WAV not supported")

@@ -81,3 +81,37 @@ def test_bpe_stops_when_no_pairs(spark):
     merges, words = bpe_train(vocab, 5)
     assert merges == []
     assert {r["seq"] for r in words.collect()} == {"a|", "b|"}
+
+
+def test_wordpiece_criterion_diverges_from_bpe(spark):
+    """Same Sennrich corpus, hand-computed likelihood scores:
+    round 1 symbol counts l:7 o:7 w:16 e:17 r:2 n:12 s:9 t:9 i:3 d:3;
+    (i,d) scores 3/(3·3) = 1/3 — the rare-but-bound pair — beating
+    BPE's winner (e,s) at 9/(17·9). Rounds 2-3 then pick (l,o) at
+    1/7 and (s,t) at 1/9."""
+    from geo_big_data_analysis_spark.operators.bpe import wordpiece_train
+
+    vocab = _vocab(spark, {"low": 5, "lower": 2, "newest": 6, "widest": 3})
+    merges, words = wordpiece_train(vocab, 3)
+    assert [(m[1], m[2], m[4]) for m in merges] == [
+        ("i", "d", 3),
+        ("l", "o", 7),
+        ("s", "t", 9),
+    ]
+    scores = [m[5] for m in merges]
+    assert abs(scores[0] - 1 / 3) < 1e-12
+    assert abs(scores[1] - 1 / 7) < 1e-12
+    assert abs(scores[2] - 1 / 9) < 1e-12
+    seqs = {r["word"]: r["seq"] for r in words.collect()}
+    assert seqs["widest"] == "w|id|e|st|"
+    assert seqs["low"] == "lo|w|"
+
+
+def test_wordpiece_rejects_pipe_in_vocab(spark):
+    import pytest
+
+    from geo_big_data_analysis_spark.operators.bpe import wordpiece_train
+
+    vocab = _vocab(spark, {"a|b": 1, "ok": 2})
+    with pytest.raises(ValueError, match="delimiter"):
+        wordpiece_train(vocab, 1)

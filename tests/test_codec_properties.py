@@ -114,3 +114,91 @@ def test_jpeg_bounded_error(seed, h, w, channels):
     assert out.shape == img.shape
     bound = 16 if channels == 1 else 32  # all-8 quant + YCbCr rounding
     assert np.abs(out.astype(int) - img.astype(int)).max() <= bound
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_frames=st.integers(1, 3000),
+    n_channels=st.integers(1, 2),
+    bps=st.sampled_from([8, 16]),
+    blocksize=st.sampled_from([192, 256, 300, 1024]),
+)
+def test_flac_roundtrip_lossless(seed, n_frames, n_channels, bps, blocksize):
+    from geo_big_data_analysis_spark.sources.flac import read_flac, write_flac
+
+    rng = np.random.RandomState(seed)
+    lim = 2 ** (bps - 1) - 1
+    pcm = rng.randint(-lim, lim + 1, (n_frames, n_channels)).astype(np.int64)
+    dec, rate = read_flac(write_flac(pcm, 16000, bps=bps, blocksize=blocksize))
+    assert rate == 16000
+    assert np.array_equal(dec, pcm)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(1, 2000),
+    law=st.sampled_from(["ulaw", "alaw"]),
+)
+def test_g711_idempotent_after_first_companding(seed, n, law):
+    from geo_big_data_analysis_spark.sources.wav import read_wav, write_wav
+
+    rng = np.random.RandomState(seed)
+    pcm = rng.randint(-32768, 32768, (n, 1))
+    d1, _ = read_wav(write_wav(pcm, 8000, g711=law))
+    d2, _ = read_wav(write_wav(d1, 8000, g711=law))
+    assert np.array_equal(d1, d2)
+    # ≤512 = half the top-segment cell; up to 644 at the clipped
+    # extremes (|pcm| > 32124 µ-law / 32256 A-law saturate)
+    assert np.abs(d1 - pcm).max() <= 644
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    channels=st.sampled_from([1, 3]),
+)
+def test_png_adam7_roundtrip_lossless(seed, h, w, channels):
+    img = _rng_image(seed, h, w, channels)
+    assert np.array_equal(read_png(write_png(img, filter_type="mixed", interlace=True)), img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    channels=st.sampled_from([1, 3]),
+)
+def test_bmp_roundtrip_lossless(seed, h, w, channels):
+    from geo_big_data_analysis_spark.sources.bmp import read_bmp, write_bmp
+
+    img = _rng_image(seed, h, w, channels)
+    assert np.array_equal(read_bmp(write_bmp(img)), img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_samples=st.integers(1, 60),
+)
+def test_mp4_container_roundtrip(seed, n_samples):
+    from geo_big_data_analysis_spark.sources.mp4 import (
+        extract_samples,
+        read_mp4,
+        write_mp4,
+    )
+
+    rng = np.random.RandomState(seed)
+    samples = [
+        rng.randint(0, 256, rng.randint(1, 100)).astype(np.uint8).tobytes()
+        for _ in range(n_samples)
+    ]
+    durs = [int(d) for d in rng.randint(1, 10, n_samples)]
+    data = write_mp4(samples, timescale=90000, durations=durs)
+    (trk,) = read_mp4(data)
+    assert extract_samples(data, trk) == samples
+    assert trk.sample_durations == durs

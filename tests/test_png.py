@@ -138,11 +138,18 @@ def test_writer_reader_roundtrip():
             assert np.array_equal(back, a), (shape, ft)
 
 
-def test_interlace_and_bad_signature_raise():
+def test_interlace_decodes_and_bad_signature_raises():
+    # A 1x1 Adam7 image: only pass 1 contributes, so the stream is a
+    # single filtered scanline (filter byte 0 + one gray sample).
     ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)  # Adam7
-    data = PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        read_png(data)
+    idat = zlib.compress(b"\x00\x9c")
+    data = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", idat)
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(read_png(data), np.array([[0x9C]], dtype=np.uint8))
     with pytest.raises(ValueError, match="signature"):
         read_png(b"JFIF....")
     assert not is_png(b"JFIF....")
