@@ -234,6 +234,12 @@ HEADLINE = [
     "mp4_sample_manifest",
     "mp3_frame_census",
     "wordpiece_merges_docs",
+    "image_phash_near_dup",
+    "ivfpq_topk_embeddings",
+    "dup_span_islands_docs",
+    "temperature_mix_docs",
+    "kn_bigram_ppl_docs",
+    "gopher_repetition_docs",
 ]
 
 

@@ -544,8 +544,24 @@ def pq_adc_topk(
         F.col(b_id).alias("neighbor_id"), *[F.col(f"code_{i}") for i in range(m)]
     )
     pairs = b.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("neighbor_id"))
+    pairs = pairs.withColumn("adc_dist", _adc_dist_col(codebooks))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("pq_rank", F.row_number().over(w))
+        .filter(F.col("pq_rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "pq_rank")
+    )
+
+
+def _adc_dist_col(codebooks: list[list[list[float]]]) -> Column:
+    """ADC distance Σ_b ‖q_b − C_b[code_b]‖² as one codegen column.
+    Expects the scaled-int query coords ``c0..c{dim-1}`` and the code
+    columns ``code_0..code_{m-1}`` to be in scope; term order is the
+    left-associated (block, sub-dim) chain the DuckDB oracle joins in
+    the same order, so the double sums are bit-identical."""
+    dsub = len(codebooks[0][0])
     dist = None
-    for blk in range(m):
+    for blk in range(len(codebooks)):
         cb = F.expr(
             "array("
             + ", ".join(
@@ -559,8 +575,79 @@ def pq_adc_topk(
             qd = F.col(f"c{d}").cast("double")
             term = (qd - F.element_at(ctr, j + 1)) * (qd - F.element_at(ctr, j + 1))
             dist = term if dist is None else dist + term
-    pairs = pairs.withColumn("adc_dist", dist)
-    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+    return dist
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    base: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    centers: list[tuple[int, list[float]]],
+    nprobe: int = 3,
+    q_id: str = "vec_id",
+    b_id: str = "vec_id",
+    q_vec: str = "embedding",
+    b_vec: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-PQ composed index probe — the FAISS ``IVFPQ`` shape and the
+    production 100 TB ANN layout: the coarse quantizer (`centers`)
+    restricts each query to its `nprobe` nearest cells, and ranking
+    inside the probed cells uses the PQ codes' asymmetric distance
+    (codes are m small ints per vector — the only per-vector state the
+    search touches; the raw vectors never ride through the join).
+
+    Scale shape: base cell assignment + PQ encode are map-only; the
+    probe is an equi-join on the integer cell id against a broadcast
+    query-probe side; candidate count ≈ nprobe/n_cells of the base.
+    Output (query_id, neighbor_id, adc_dist, pq_rank)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    bs = (
+        base.select(F.col(b_id).alias("neighbor_id"), F.col(b_vec).alias("_bv"))
+        .withColumn("_n", F.expr(_norm_sql("_bv")))
+        .withColumn(
+            "cell",
+            F.element_at(
+                F.array_sort(F.expr(_cell_scores_sql("_bv", "_n", centers))), 1
+            )["cell"],
+        )
+        .select("neighbor_id", "cell")
+    )
+    bcodes = codes.select(
+        F.col(b_id).alias("neighbor_id"), *[F.col(f"code_{i}") for i in range(m)]
+    ).join(bs, "neighbor_id")
+    qs = (
+        queries.select(
+            F.col(q_id).alias("query_id"),
+            F.col(q_vec).alias("_qv"),
+            *_pq_int_cols(q_vec, list(range(m * dsub)), scale),
+        )
+        .withColumn("_n", F.expr(_norm_sql("_qv")))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.array_sort(F.expr(_cell_scores_sql("_qv", "_n", centers))),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: s["cell"],
+                )
+            ),
+        )
+        .drop("_qv", "_n")
+    )
+    pairs = bcodes.join(F.broadcast(qs), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    pairs = pairs.withColumn("adc_dist", _adc_dist_col(codebooks))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
     return (
         pairs.withColumn("pq_rank", F.row_number().over(w))
         .filter(F.col("pq_rank") <= k)

@@ -2004,6 +2004,87 @@ FROM ranked WHERE pq_rank <= 5
 """
 
 
+def q_ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index probe (the FAISS ``IVFPQ`` layout — the
+    production 100 TB ANN shape): the label-centroid coarse quantizer
+    restricts each query (vec_id % 25 = 0) to its 3 nearest cells, and
+    ranking INSIDE the probed cells uses the PQ codes' asymmetric
+    distance — the search never touches raw base vectors, only m=8
+    2-bit codes per vector. Top-5 per query by (adc_dist, neighbor_id).
+    The oracle replays codebook training, encoding, coarse assignment,
+    the probe restriction, and every ADC distance in pure SQL."""
+    from ..operators.similarity import ivfpq_topk, label_centroids, pq_encode
+
+    emb, cbs = _pq_codebooks(spark, sf_dir)
+    codes = pq_encode(emb, cbs, scale=_PQ_SCALE)
+    centers = label_centroids(emb, "embedding", "label")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = ivfpq_topk(
+        queries, emb, codes, cbs, k=5, centers=centers, nprobe=3, scale=_PQ_SCALE
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("adc_dist", 4).alias("adc_dist"), "pq_rank"
+    )
+
+
+def _sql_ivfpq() -> str:
+    dsub = _PQ_DIM // _PQ_M
+    blocks = ",\n".join(_sql_pq_block_ctes(b) for b in range(_PQ_M))
+    qcols = ", ".join(
+        f"CAST(round(embedding[{d + 1}]::DOUBLE * {_PQ_SCALE}) AS BIGINT) AS q{d}"
+        for d in range(_PQ_DIM)
+    )
+    code_joins = "\n  ".join(
+        f"JOIN code{b} cd{b} ON cd{b}.id = b.vec_id"
+        f" JOIN cb{b}_{_PQ_ITERS} cc{b} ON cc{b}.cid = cd{b}.code"
+        for b in range(_PQ_M)
+    )
+    terms = []
+    for b in range(_PQ_M):
+        for j in range(dsub):
+            d = b * dsub + j
+            terms.append(f"(q.q{d}::DOUBLE - cc{b}.x{j}) * (q.q{d}::DOUBLE - cc{b}.x{j})")
+    dist = " + ".join(terms)
+    return f"""
+WITH {blocks},
+iemb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+idims AS (SELECT unnest(range(1, len(v) + 1)) AS i, vec_id FROM iemb),
+icenters AS (
+  SELECT label AS cell, list(m ORDER BY i) AS c
+  FROM (
+    SELECT e.label, d.i, avg(e.v[d.i]) AS m
+    FROM iemb e JOIN idims d USING (vec_id)
+    GROUP BY e.label, d.i
+  ) GROUP BY label
+),
+iscored AS (
+  SELECT e.vec_id, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cell ASC) AS rn
+  FROM iemb e CROSS JOIN icenters c
+),
+icells AS (SELECT vec_id, cell FROM iscored WHERE rn = 1),
+iprobes AS (SELECT vec_id AS query_id, cell FROM iscored
+            WHERE rn <= 3 AND vec_id % 25 = 0),
+q AS (SELECT vec_id AS query_id, {qcols} FROM embeddings WHERE vec_id % 25 = 0),
+pairs AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, {dist} AS adc_dist
+  FROM embeddings b
+  {code_joins}
+  JOIN icells cl ON cl.vec_id = b.vec_id
+  JOIN iprobes p ON p.cell = cl.cell
+  JOIN q ON q.query_id = p.query_id
+  WHERE q.query_id <> b.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, neighbor_id ASC) AS pq_rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(adc_dist, 4) AS adc_dist, pq_rank
+FROM ranked WHERE pq_rank <= 5
+"""
+
+
 _SEMDEDUP_K, _SEMDEDUP_ITERS, _SEMDEDUP_TAU = 8, 2, 0.45
 
 
@@ -4259,6 +4340,188 @@ SELECT source, count(*)::BIGINT AS n_images,
        round(sum(px_sum)::DOUBLE / (count(*) * 1024), 6) AS avg_px_mean,
        min(mn)::INT AS min_px, max(mx)::INT AS max_px
 FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-duplicate detection end-to-end through
+    the REAL PNG codec: each probe doc (doc_id % 3 = 0) renders a
+    deterministic 8×9 greyscale thumbnail whose base pattern depends on
+    a latent duplicate group g = doc_id % 31 —
+    base(y, x) = clamp((g·(y+3)·(x+5) + y·29 + x·13) mod 256, 64, 191)
+    — plus k = (doc_id mod 4)+1 per-doc perturbed pixels at
+    ((doc_id·7 + 13j) mod 8, (doc_id·11 + 17j) mod 9) of amplitude
+    64·((doc_id+j) mod 3 − 1), final clamp to [0, 255]; each ±64 spike
+    flips ≤2 difference-hash comparisons, so same-group thumbnails
+    spread over Hamming 0–6 while cross-group thumbnails sit ~32 bits
+    apart. The thumbnail is ENCODED to PNG and DECODED back
+    (`sources/png.py`) inside one Arrow-batched mapInPandas; the 64-bit
+    dHash — bit(y, x) = px[y, x] < px[y, x+1] — is computed from the
+    DECODED pixels and packed into four 16-bit band values.
+
+    Candidate pairs come from a banded-LSH equi-join (any shared
+    16-bit band), exact-verified with bit_count(xor) Hamming ≤ 6 —
+    never all-pairs, the same bucketed shape as the MinHash text path
+    (`operators/dedup.py`). The oracle recomputes pixels, dHash bits,
+    bands, the band join, and the Hamming census in pure SQL from the
+    closed-form arithmetic — it never sees a PNG, so a hash match
+    proves decode-loop fidelity AND the LSH candidate semantics
+    (including genuinely-missed pairs whose ≤6 flips straddle all four
+    bands) cross-engine. 100 TB shape: per-image Python is map-only
+    over a bounded probe set; the joins are integer-keyed shuffles."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id"
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from ..sources.png import read_png, write_png
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d % 31
+                y, x = np.mgrid[0:8, 0:9]
+                base = (g * (y + 3) * (x + 5) + y * 29 + x * 13) % 256
+                grid = np.clip(base, 64, 191).astype(np.int64)
+                for j in range(d % 4 + 1):
+                    # scalar-indexed += so coinciding spike positions
+                    # ACCUMULATE (fancy-index += would apply only once,
+                    # diverging from the oracle's summed CASE terms)
+                    grid[(d * 7 + 13 * j) % 8, (d * 11 + 17 * j) % 9] += (
+                        64 * ((d + j) % 3 - 1)
+                    )
+                grid = np.clip(grid, 0, 255).astype(np.uint8)
+                px = read_png(write_png(grid, filter_type="mixed"))
+                if not np.array_equal(px, grid):
+                    raise ValueError(f"PNG round-trip corrupted doc {d}")
+                bits = (
+                    px[:, :8].astype(np.int64) < px[:, 1:].astype(np.int64)
+                ).astype(np.int64).ravel()  # i = y*8 + x
+                bands = [
+                    int((bits[k * 16 : (k + 1) * 16] << np.arange(16)).sum())
+                    for k in range(4)
+                ]
+                out.append((d, g, *bands))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "grp", "b0", "b1", "b2", "b3"]
+            )
+
+    hashes = docs.mapInPandas(
+        gen, "doc_id bigint, grp int, b0 int, b1 int, b2 int, b3 int"
+    )
+    bands = hashes.select(
+        "doc_id", F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "val")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("ida"),
+        F.col("grp").alias("ga"),
+        *[F.col(c).alias(c + "a") for c in ["b0", "b1", "b2", "b3"]],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("idb"),
+        F.col("grp").alias("gb"),
+        *[F.col(c).alias(c + "b") for c in ["b0", "b1", "b2", "b3"]],
+    )
+    return (
+        cand.join(ha, "ida")
+        .join(hb, "idb")
+        .withColumn(
+            "hamming",
+            F.expr(
+                "bit_count(b0a ^ b0b) + bit_count(b1a ^ b1b)"
+                " + bit_count(b2a ^ b2b) + bit_count(b3a ^ b3b)"
+            ),
+        )
+        .filter(F.col("hamming") <= 6)
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(F.col("ga") == F.col("gb"), 1).otherwise(0)).alias(
+                "n_same_group"
+            ),
+            F.sum(F.col("ida") + F.col("idb")).alias("id_sum"),
+        )
+        .orderBy("hamming")
+    )
+
+
+_SQL_IMAGE_PHASH = """
+WITH d AS (SELECT doc_id, doc_id % 31 AS grp, doc_id % 4 + 1 AS kk
+           FROM documents WHERE doc_id % 3 = 0),
+px AS (
+  SELECT d.doc_id, d.grp, y.range AS y, x.range AS x,
+         least(255, greatest(0,
+           least(191, greatest(64,
+             (d.grp * (y.range + 3) * (x.range + 5)
+              + y.range * 29 + x.range * 13) % 256))
+           + CASE WHEN 0 < d.kk AND y.range = (d.doc_id * 7) % 8
+                   AND x.range = (d.doc_id * 11) % 9
+                  THEN 64 * (d.doc_id % 3 - 1) ELSE 0 END
+           + CASE WHEN 1 < d.kk AND y.range = (d.doc_id * 7 + 13) % 8
+                   AND x.range = (d.doc_id * 11 + 17) % 9
+                  THEN 64 * ((d.doc_id + 1) % 3 - 1) ELSE 0 END
+           + CASE WHEN 2 < d.kk AND y.range = (d.doc_id * 7 + 26) % 8
+                   AND x.range = (d.doc_id * 11 + 34) % 9
+                  THEN 64 * ((d.doc_id + 2) % 3 - 1) ELSE 0 END
+           + CASE WHEN 3 < d.kk AND y.range = (d.doc_id * 7 + 39) % 8
+                   AND x.range = (d.doc_id * 11 + 51) % 9
+                  THEN 64 * ((d.doc_id + 3) % 3 - 1) ELSE 0 END)) AS p
+  FROM d, range(8) y, range(9) x
+),
+bits AS (
+  SELECT a.doc_id, a.grp, a.y * 8 + a.x AS i,
+         CASE WHEN a.p < b.p THEN 1 ELSE 0 END AS bit
+  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+hashes AS (
+  SELECT doc_id, grp,
+         sum(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END)::INT AS b0,
+         sum(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END)::INT AS b1,
+         sum(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END)::INT AS b2,
+         sum(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END)::INT AS b3
+  FROM bits GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, 0 AS band, b0 AS val FROM hashes
+  UNION ALL SELECT doc_id, 1, b1 FROM hashes
+  UNION ALL SELECT doc_id, 2, b2 FROM hashes
+  UNION ALL SELECT doc_id, 3, b3 FROM hashes
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.ida, c.idb, ha.grp AS ga, hb.grp AS gb,
+         bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+         + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) AS hamming
+  FROM cand c
+  JOIN hashes ha ON c.ida = ha.doc_id
+  JOIN hashes hb ON c.idb = hb.doc_id
+)
+SELECT hamming::INT AS hamming, count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN ga = gb THEN 1 ELSE 0 END)::BIGINT AS n_same_group,
+       sum(ida + idb)::BIGINT AS id_sum
+FROM pairs WHERE hamming <= 6
+GROUP BY 1 ORDER BY 1
 """
 
 
@@ -13684,6 +13947,101 @@ def _sql_wordpiece() -> str:
 _SPAN_W = 8  # tokens per scrub span
 
 
+def q_dup_span_islands_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL cross-document duplicated-substring spans — the
+    distributed approximation of suffix-array substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": remove repeated substrings ≥50 tokens found via suffix
+    arrays): every OVERLAPPING 8-token gram is position-stamped; grams
+    appearing in >1 distinct document mark their start positions
+    duplicated; consecutive duplicated positions merge into maximal
+    runs via gaps-and-islands (i − row_number per doc), each run of
+    length r covering a duplicated substring of r+7 tokens. Per-source
+    census: affected docs, span count, duplicated token volume, longest
+    span. Distinct from `span_dedup_docs` (non-overlapping C4 scrub —
+    fixed 8-token blocks, keep-first) — this finds arbitrary-offset
+    maximal spans, the suffix-array semantics.
+
+    Scale shape: the gram explode is a map (fan-out ≈ tokens/doc); the
+    duplicate census is ONE hash aggregate on xxhash64 of the gram (the
+    oracle groups the gram text itself — equivalent modulo 64-bit
+    collisions); the islands window is partitioned by doc_id — never
+    global. At 100 TB this is exactly the BigQuery/Spark reformulation
+    used in practice when true suffix arrays don't fit."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_t", F.expr("filter(split(text, ' '), x -> x <> '')")
+    )
+    grams = (
+        docs.filter(F.expr("size(_t) >= 8"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    """transform(sequence(0, size(_t) - 8),
+                         i -> struct(i AS i,
+                                     xxhash64(array_join(slice(_t, i + 1, 8), ' '))
+                                       AS g_h))"""
+                )
+            ).alias("_g"),
+        )
+        .select("doc_id", "source", F.col("_g.i").alias("i"), F.col("_g.g_h").alias("g_h"))
+    )
+    dup = (
+        grams.groupBy("g_h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g_h")
+    )
+    dpos = grams.join(dup, "g_h").select("doc_id", "source", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    islands = dpos.withColumn("isl", F.col("i") - F.row_number().over(w))
+    spans = islands.groupBy("doc_id", "source", "isl").agg(
+        (F.count(F.lit(1)) + 7).alias("span_tokens")
+    )
+    return (
+        spans.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_tokens").alias("dup_tokens"),
+            F.max("span_tokens").cast("int").alias("max_span_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_DUP_SPAN_ISLANDS = """
+WITH toks AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, source, t, unnest(range(len(t) - 7)) AS i
+  FROM toks WHERE len(t) >= 8
+),
+grams AS (
+  SELECT doc_id, source, i, array_to_string(t[i + 1 : i + 8], ' ') AS g FROM pos
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+dpos AS (SELECT doc_id, source, i FROM grams JOIN dup USING (g)),
+islands AS (
+  SELECT doc_id, source, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+  FROM dpos
+),
+spans AS (
+  SELECT doc_id, source, count(*) + 7 AS span_tokens
+  FROM islands GROUP BY doc_id, source, isl
+)
+SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_spans,
+       sum(span_tokens)::BIGINT AS dup_tokens,
+       max(span_tokens)::INT AS max_span_tokens
+FROM spans GROUP BY source ORDER BY source
+"""
+
+
 def q_span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style duplicate-span scrub (Raffel 2020 §2.2 dedups exact
     three-sentence spans corpus-wide, keeping one occurrence): docs →
@@ -16124,6 +16482,286 @@ ORDER BY source, bucket
 """
 
 
+def q_kn_bigram_ppl_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney BIGRAM language-model perplexity — the
+    honest scaled-down of CCNet's 5-gram KenLM quality scorer (the
+    `ppl_bucket_census` unigram LM upgraded to a real smoothed
+    conditional model): train on doc_id % 7 ≠ 0 (7 is coprime with the 20-source round-robin, so every source is scored), score the held-out
+    docs. Per eval bigram (v, w):
+      P(w|v) = (max(c(v,w) − 0.75, 0) + 0.75·N1+(v·)·Pcont(w)) / c(v)
+    with Pcont(w) = N1+(·w)/N1+(··), backing off to Pcont(w) when the
+    context v is unseen and to 1/N1+(··) when w itself is novel.
+    Per-source report: docs scored, decimal-mean perplexity, and the
+    unseen-bigram share (the OOV pressure a curation run monitors).
+
+    Cross-engine exactness: every count is integer; each bigram's
+    log-prob rounds to 6dp and sums as DECIMAL(24,6) (order-free, the
+    ppl_bucket_census edge rule applied one level deeper); per-doc ppl
+    rounds 6dp before the source-level decimal mean. Shape: word-keyed
+    hash aggregates + equi-joins (v, w keys), one 1-row broadcast for
+    N1+(··) — the KenLM training layout on a shuffle engine."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", tx.tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bigrams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                """transform(sequence(0, size(t) - 2),
+                     i -> struct(element_at(t, i + 1) AS v,
+                                 element_at(t, i + 2) AS w))"""
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", F.col("b.v").alias("v"), F.col("b.w").alias("w"))
+    train = bigrams.filter(F.col("doc_id") % 7 != 0)
+    test = bigrams.filter(F.col("doc_id") % 7 == 0)
+    cvw = train.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    cv = cvw.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"), F.count(F.lit(1)).alias("n1p_v")
+    )
+    n1pw = cvw.groupBy("w").agg(F.count(F.lit(1)).alias("n1p_w"))
+    n1all = cvw.agg(F.count(F.lit(1)).alias("n1p_all"))
+    scored = (
+        test.join(cvw, ["v", "w"], "left")
+        .join(cv, "v", "left")
+        .join(n1pw, "w", "left")
+        .crossJoin(F.broadcast(n1all))
+        .withColumn(
+            "pcont",
+            F.coalesce(
+                F.col("n1p_w").cast("double") / F.col("n1p_all").cast("double"),
+                F.lit(1.0) / F.col("n1p_all").cast("double"),
+            ),
+        )
+        .withColumn(
+            "p",
+            F.when(
+                F.col("c_v").isNotNull(),
+                (
+                    F.greatest(
+                        F.coalesce(F.col("c_vw"), F.lit(0)).cast("double") - 0.75,
+                        F.lit(0.0),
+                    )
+                    + F.lit(0.75) * F.col("n1p_v").cast("double") * F.col("pcont")
+                )
+                / F.col("c_v").cast("double"),
+            ).otherwise(F.col("pcont")),
+        )
+        .withColumn("lp", F.round(F.log("p"), 6).cast("decimal(24,6)"))
+        .withColumn("unseen", F.when(F.col("c_vw").isNull(), 1).otherwise(0))
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.sum("lp").alias("s"),
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("unseen").alias("n_unseen"),
+    ).withColumn(
+        "ppl",
+        F.round(F.exp(-(F.col("s").cast("double") / F.col("nb"))), 6),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("ppl").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_ppl"),
+            F.round(
+                F.sum("n_unseen").cast("double") / F.sum("nb").cast("double"), 6
+            ).alias("unseen_share"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_KN_BIGRAM_PPL = """
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2
+),
+pos AS (
+  SELECT doc_id, source, t, unnest(range(len(t) - 1)) AS i FROM toks
+),
+bigrams AS (
+  SELECT doc_id, source, t[i + 1] AS v, t[i + 2] AS w FROM pos
+),
+cvw AS (
+  SELECT v, w, count(*)::BIGINT AS c_vw FROM bigrams
+  WHERE doc_id % 7 <> 0 GROUP BY v, w
+),
+cv AS (
+  SELECT v, sum(c_vw)::BIGINT AS c_v, count(*)::BIGINT AS n1p_v
+  FROM cvw GROUP BY v
+),
+n1pw AS (SELECT w, count(*)::BIGINT AS n1p_w FROM cvw GROUP BY w),
+n1all AS (SELECT count(*)::BIGINT AS n1p_all FROM cvw),
+scored AS (
+  SELECT b.doc_id, b.source,
+         CASE WHEN cv.c_v IS NOT NULL THEN
+           (greatest(coalesce(cvw.c_vw, 0)::DOUBLE - 0.75, 0.0)
+            + 0.75 * cv.n1p_v::DOUBLE
+              * coalesce(n1pw.n1p_w::DOUBLE / a.n1p_all::DOUBLE,
+                         1.0 / a.n1p_all::DOUBLE))
+           / cv.c_v::DOUBLE
+         ELSE coalesce(n1pw.n1p_w::DOUBLE / a.n1p_all::DOUBLE,
+                       1.0 / a.n1p_all::DOUBLE)
+         END AS p,
+         CASE WHEN cvw.c_vw IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM bigrams b
+  LEFT JOIN cvw ON cvw.v = b.v AND cvw.w = b.w
+  LEFT JOIN cv ON cv.v = b.v
+  LEFT JOIN n1pw ON n1pw.w = b.w
+  CROSS JOIN n1all a
+  WHERE b.doc_id % 7 = 0
+),
+per_doc AS (
+  SELECT doc_id, source,
+         round(exp(-(sum(round(ln(p), 6)::DECIMAL(24,6))::DOUBLE / count(*))), 6)
+           AS ppl,
+         count(*)::BIGINT AS nb, sum(unseen)::BIGINT AS n_unseen
+  FROM scored GROUP BY doc_id, source
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(sum(ppl::DECIMAL(24,6))::DOUBLE / count(*), 6) AS avg_ppl,
+       round(sum(n_unseen)::DOUBLE / sum(nb)::DOUBLE, 6) AS unseen_share
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+def q_gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher WITHIN-document repetition filters (Rae et al. 2021
+    Table A1 — the family `gopher_rules` does NOT cover): per doc
+    (≥5 tokens), (a) top-2-gram share = chars covered by the most
+    frequent word 2-gram (count × non-space chars, argmax tie-broken
+    by covered chars) / total token chars, threshold 0.20; (b)
+    duplicated-5-gram share = chars of every occurrence of 5-grams
+    appearing ≥2× within the doc / total token chars (the standard
+    overlap-agnostic approximation), threshold 0.15. Per-source
+    report: docs, failures per rule, decimal-mean shares.
+
+    Shape: two gram explodes (map), counts keyed on (doc_id, gram) —
+    doc-local keys, no windows, no cross-doc joins; per-source rollup.
+    Shares are ratios of exact integers rounded 6dp; means sum as
+    DECIMAL(24,6) (order-free)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", tx.tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 5)
+        .withColumn(
+            "char_total", F.expr("aggregate(t, 0L, (a, w) -> a + length(w))")
+        )
+    )
+
+    def gram_counts(n: int):
+        return (
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"""transform(sequence(0, size(t) - {n}),
+                             i -> array_join(slice(t, i + 1, {n}), ' '))"""
+                    )
+                ).alias("g"),
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("chars", F.length("g") - (n - 1))
+        )
+
+    top2 = gram_counts(2).groupBy("doc_id").agg(
+        F.expr("max_by(c * chars, c * 100000 + chars)").alias("top2_chars")
+    )
+    dup5 = gram_counts(5).groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") >= 2, F.col("c") * F.col("chars")).otherwise(0)).alias(
+            "dup5_chars"
+        )
+    )
+    per_doc = (
+        docs.select("doc_id", "source", "char_total")
+        .join(top2, "doc_id")
+        .join(dup5, "doc_id")
+        .withColumn(
+            "top2_share",
+            F.round(F.col("top2_chars") / F.col("char_total").cast("double"), 6),
+        )
+        .withColumn(
+            "dup5_share",
+            F.round(F.col("dup5_chars") / F.col("char_total").cast("double"), 6),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("top2_share") > 0.20).cast("int")).alias("n_fail_top2"),
+            F.sum((F.col("dup5_share") > 0.15).cast("int")).alias("n_fail_dup5"),
+            F.round(
+                F.sum(F.col("top2_share").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_top2_share"),
+            F.round(
+                F.sum(F.col("dup5_share").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_dup5_share"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_GOPHER_REPETITION = """
+WITH docs AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+),
+base AS (
+  SELECT doc_id, source,
+         list_sum(list_transform(t, w -> length(w)))::BIGINT AS char_total
+  FROM docs
+),
+g2pos AS (SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM docs),
+g2 AS (
+  SELECT doc_id, array_to_string(t[i + 1 : i + 2], ' ') AS g, count(*) AS c
+  FROM g2pos GROUP BY doc_id, g
+),
+top2 AS (
+  SELECT doc_id,
+         max_by(c * (length(g) - 1), c * 100000 + (length(g) - 1)) AS top2_chars
+  FROM g2 GROUP BY doc_id
+),
+g5pos AS (SELECT doc_id, t, unnest(range(len(t) - 4)) AS i FROM docs),
+g5 AS (
+  SELECT doc_id, array_to_string(t[i + 1 : i + 5], ' ') AS g, count(*) AS c
+  FROM g5pos GROUP BY doc_id, g
+),
+dup5 AS (
+  SELECT doc_id,
+         sum(CASE WHEN c >= 2 THEN c * (length(g) - 4) ELSE 0 END)::BIGINT
+           AS dup5_chars
+  FROM g5 GROUP BY doc_id
+),
+per_doc AS (
+  SELECT b.source,
+         round(t2.top2_chars / b.char_total::DOUBLE, 6) AS top2_share,
+         round(d5.dup5_chars / b.char_total::DOUBLE, 6) AS dup5_share
+  FROM base b JOIN top2 t2 USING (doc_id) JOIN dup5 d5 USING (doc_id)
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN top2_share > 0.20 THEN 1 ELSE 0 END)::BIGINT AS n_fail_top2,
+       sum(CASE WHEN dup5_share > 0.15 THEN 1 ELSE 0 END)::BIGINT AS n_fail_dup5,
+       round(sum(top2_share::DECIMAL(24,6))::DOUBLE / count(*), 6) AS avg_top2_share,
+       round(sum(dup5_share::DECIMAL(24,6))::DOUBLE / count(*), 6) AS avg_dup5_share
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 def q_quality_funnel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter FUNNEL ATTRIBUTION (the FineWeb/RefinedWeb
     operational report): the Gopher rule chain applied in a fixed
@@ -16291,6 +16929,80 @@ SELECT source, tokens, round(weight, 6) AS weight,
                              ELSE least(1.0, rate0 + r.leftover * (w_raw / r.w_unsat) / tokens)
                         END, 6) * tokens) AS BIGINT) AS alloc_tokens
 FROM a, redis r
+ORDER BY source
+"""
+
+
+def q_temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5/XLM-R low-resource
+    upsampling scheme: sample source s with probability ∝ share_s^α,
+    α = 0.5): per-source token counts → natural share → α-tempered
+    share sqrt(tokens)/Σ sqrt(tokens) → expected allocation under a
+    1M-token budget → effective epochs (alloc/tokens — >1 means the
+    source is upsampled, the quantity UniMax caps). Complements
+    `domain_mix_budget` (explicit target weights + water-filling);
+    this is the closed-form temperature family.
+
+    Cross-engine exactness: α = 0.5 keeps the tempering on sqrt()
+    (correctly-rounded IEEE — pow() is not), each sqrt rounds to 6dp
+    and sums as DECIMAL(24,6) (order-free), and alloc floors over the
+    6dp-rounded share (the ppl_bucket_census edge rule). Shape: one
+    per-source aggregate + a 1-row broadcast — corpus-size-independent
+    after the first aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(tx.tokens(F.col("text")))).alias("n_tokens")
+    )
+    sq = per_src.withColumn(
+        "sq", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast("decimal(24,6)")
+    )
+    tot = sq.agg(
+        F.sum("n_tokens").alias("tok_total"), F.sum("sq").alias("sq_total")
+    )
+    return (
+        sq.crossJoin(F.broadcast(tot))
+        .withColumn("nat_share", F.round(F.col("n_tokens") / F.col("tok_total"), 6))
+        .withColumn(
+            "temp_share",
+            F.round(
+                F.col("sq").cast("double") / F.col("sq_total").cast("double"), 6
+            ),
+        )
+        .withColumn(
+            "alloc_tokens",
+            F.floor(F.col("temp_share") * 1000000.0).cast("bigint"),
+        )
+        .withColumn(
+            "epochs",
+            F.round(F.col("alloc_tokens") / F.col("n_tokens"), 6),
+        )
+        .select(
+            "source", "n_tokens", "nat_share", "temp_share", "alloc_tokens", "epochs"
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_TEMPERATURE_MIX = """
+WITH per_src AS (
+  SELECT source,
+         sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+sq AS (
+  SELECT source, n_tokens,
+         round(sqrt(n_tokens::DOUBLE), 6)::DECIMAL(24,6) AS sq
+  FROM per_src
+),
+tot AS (SELECT sum(n_tokens) AS tok_total, sum(sq) AS sq_total FROM sq)
+SELECT source, n_tokens,
+       round(n_tokens::DOUBLE / tok_total::DOUBLE, 6) AS nat_share,
+       round(sq::DOUBLE / sq_total::DOUBLE, 6) AS temp_share,
+       CAST(floor(round(sq::DOUBLE / sq_total::DOUBLE, 6) * 1000000.0) AS BIGINT)
+         AS alloc_tokens,
+       round(CAST(floor(round(sq::DOUBLE / sq_total::DOUBLE, 6) * 1000000.0) AS BIGINT)::DOUBLE
+             / n_tokens::DOUBLE, 6) AS epochs
+FROM sq, tot
 ORDER BY source
 """
 
@@ -16830,6 +17542,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multimodal_features": (q_multimodal_features, _sql_multimodal_features()),
     "png_roundtrip_stats": (q_png_roundtrip_stats, _SQL_PNG_ROUNDTRIP),
     "jpeg_roundtrip_stats": (q_jpeg_roundtrip_stats, _SQL_JPEG_ROUNDTRIP),
+    "image_phash_near_dup": (q_image_phash_near_dup, _SQL_IMAGE_PHASH),
+    "ivfpq_topk_embeddings": (q_ivfpq_topk_embeddings, _sql_ivfpq()),
     "flac_roundtrip_stats": (q_flac_roundtrip_stats, _SQL_FLAC_ROUNDTRIP),
     "mp4_sample_manifest": (q_mp4_sample_manifest, _SQL_MP4_MANIFEST),
     "mp3_frame_census": (q_mp3_frame_census, _SQL_MP3_CENSUS),
@@ -16839,8 +17553,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "hard_negative_mining_ivf": (q_hard_negative_mining_ivf, _sql_hard_neg_ivf()),
     "rrf_hybrid_retrieval": (q_rrf_hybrid_retrieval, _SQL_RRF),
     "ppl_bucket_census": (q_ppl_bucket_census, _SQL_PPL_BUCKETS),
+    "kn_bigram_ppl_docs": (q_kn_bigram_ppl_docs, _SQL_KN_BIGRAM_PPL),
+    "gopher_repetition_docs": (q_gopher_repetition_docs, _SQL_GOPHER_REPETITION),
     "quality_funnel_docs": (q_quality_funnel_docs, _sql_quality_funnel()),
     "domain_mix_budget": (q_domain_mix_budget, _SQL_DOMAIN_MIX),
+    "temperature_mix_docs": (q_temperature_mix_docs, _SQL_TEMPERATURE_MIX),
     "self_bleu_pairs": (q_self_bleu_pairs, _SQL_SELF_BLEU),
     "zipf_slope_words": (q_zipf_slope_words, _SQL_ZIPF),
     "tokenizer_fertility_by_lang": (q_tokenizer_fertility_by_lang, _SQL_TOKENIZER_FERTILITY),
@@ -17015,6 +17732,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bpe_merges_docs": (q_bpe_merges_docs, _sql_bpe()),
     "wordpiece_merges_docs": (q_wordpiece_merges_docs, _sql_wordpiece()),
     "span_dedup_docs": (q_span_dedup_docs, _SQL_SPAN_DEDUP),
+    "dup_span_islands_docs": (q_dup_span_islands_docs, _SQL_DUP_SPAN_ISLANDS),
     "sorted_neighborhood_docs": (q_sorted_neighborhood_docs, _SQL_SNM),
     "label_propagation_mod": (q_label_propagation_mod, _sql_lpa()),
     "hll_distinct_words": (q_hll_distinct_words, _SQL_HLL),

@@ -5,9 +5,11 @@ Scope: canonical RIFF WAVE with a PCM (format 1) ``fmt `` chunk —
 8-bit unsigned, 16-bit and 32-bit signed little-endian samples, any
 channel count (decoded to (n_frames, n_channels) int32) — plus
 IEEE-float (format 3) 32/64-bit, decoded to (n_frames, n_channels)
-float64; unknown chunks (LIST/fact/cue) are skipped by the chunk walk.
-Compressed formats (ADPCM/extensible) raise NotImplementedError with
-the format code named.
+float64; G.711 µ-law/A-law (formats 7/6); IMA/DVI ADPCM (format 0x11,
+4-bit adaptive-step nibbles with per-block headers and fact-chunk
+frame counts); unknown chunks (LIST/cue) are skipped by the chunk
+walk. Remaining compressed formats (MS-ADPCM, extensible) raise
+NotImplementedError with the format code named.
 
 Reference: Microsoft/IBM "Multimedia Programming Interface and Data
 Specifications 1.0" (the RIFF WAVE chunk layout).
@@ -35,6 +37,7 @@ def read_wav(data: bytes) -> tuple[np.ndarray, int]:
     pos = 12
     fmt = None
     raw = None
+    fact_frames = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -43,6 +46,8 @@ def read_wav(data: bytes) -> tuple[np.ndarray, int]:
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             raw = body
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack("<I", body[:4])
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -64,6 +69,15 @@ def read_wav(data: bytes) -> tuple[np.ndarray, int]:
         lin = alaw_decode(codes) if audio_fmt == 6 else ulaw_decode(codes)
         n_frames = len(lin) // n_ch
         return lin[: n_frames * n_ch].reshape(n_frames, n_ch).astype(np.int32), rate
+    if audio_fmt == 0x11:  # IMA/DVI ADPCM
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM WAV must be 4-bit, got {bits}")
+        frames = _adpcm_decode(raw, n_ch, _align)
+        # fact chunk (required for compressed WAVE) carries the true
+        # frame count — trims the final block's pad samples
+        if fact_frames is not None:
+            frames = frames[:fact_frames]
+        return frames, rate
     if audio_fmt != 1:
         raise NotImplementedError(f"WAV format code {audio_fmt} (non-PCM) not supported")
     dt = _PCM_DTYPES.get(bits)
@@ -120,20 +134,159 @@ def alaw_encode(pcm: np.ndarray) -> np.ndarray:
     return (code ^ mask).astype(np.uint8)
 
 
+# --- IMA/DVI ADPCM (WAVE format 0x11; IMA "Recommended Practices for
+# Enhancing Digital Audio Compatibility" rev 3.00 §4) -----------------------
+# 4-bit sign-magnitude nibbles against an 89-entry adaptive step table;
+# each block opens with a per-channel 4-byte header (int16 predictor =
+# first sample, uint8 step index), then 4-byte-per-channel interleaved
+# nibble words (low nibble first).
+
+_IMA_STEPS = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41,
+     45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190,
+     209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724,
+     796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272,
+     2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132,
+     7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+     20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32,
+)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_step_sample(nibble: int, pred: int, idx: int) -> tuple[int, int]:
+    """One decoder step: (new predictor, new step index)."""
+    step = int(_IMA_STEPS[idx])
+    delta = step >> 3
+    if nibble & 1:
+        delta += step >> 2
+    if nibble & 2:
+        delta += step >> 1
+    if nibble & 4:
+        delta += step
+    pred = pred - delta if nibble & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + int(_IMA_INDEX_ADJ[nibble & 7])))
+    return pred, idx
+
+
+def _adpcm_decode(raw: bytes, n_ch: int, block_align: int) -> np.ndarray:
+    spb = (block_align - 4 * n_ch) * 2 // n_ch + 1  # samples per block
+    out_blocks = []
+    for bstart in range(0, len(raw) - (block_align - 1), block_align):
+        block = raw[bstart : bstart + block_align]
+        out = np.zeros((spb, n_ch), dtype=np.int32)
+        pred = [0] * n_ch
+        idx = [0] * n_ch
+        off = 0
+        for c in range(n_ch):
+            pred[c], idx[c] = struct.unpack_from("<hB", block, off)
+            idx[c] = max(0, min(88, idx[c]))
+            out[0, c] = pred[c]
+            off += 4
+        s = [1] * n_ch
+        while off + 4 * n_ch <= len(block):
+            for c in range(n_ch):
+                for byte in block[off : off + 4]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        if s[c] < spb:
+                            pred[c], idx[c] = _ima_step_sample(nib, pred[c], idx[c])
+                            out[s[c], c] = pred[c]
+                            s[c] += 1
+                off += 4
+        out_blocks.append(out)
+    if not out_blocks:
+        return np.zeros((0, n_ch), dtype=np.int32)
+    return np.concatenate(out_blocks, axis=0)
+
+
+def _ima_quantize(diff: int, step: int) -> int:
+    """Encoder nibble for a (signed) difference at the current step —
+    the canonical magnitude ladder (step, step/2, step/4)."""
+    nib = 0
+    if diff < 0:
+        nib = 8
+        diff = -diff
+    if diff >= step:
+        nib |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nib |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nib |= 1
+    return nib
+
+
+def _adpcm_encode(a: np.ndarray, data_bytes_per_ch: int = 128) -> tuple[bytes, int]:
+    """Encode (n_frames, n_ch) int16-range samples; returns (payload,
+    block_align). The final block is padded by repeating the last
+    sample (the fact chunk trims on decode)."""
+    n_frames, n_ch = a.shape
+    spb = data_bytes_per_ch * 2 + 1
+    block_align = n_ch * (4 + data_bytes_per_ch)
+    idx = [0] * n_ch
+    blocks = []
+    for bstart in range(0, n_frames, spb):
+        seg = a[bstart : bstart + spb]
+        if len(seg) < spb:  # pad with the last sample
+            seg = np.concatenate([seg, np.repeat(seg[-1:], spb - len(seg), axis=0)])
+        hdr = bytearray()
+        pred = [0] * n_ch
+        for c in range(n_ch):
+            pred[c] = int(seg[0, c])
+            hdr += struct.pack("<hBB", pred[c], idx[c], 0)
+        nibs: list[list[int]] = [[] for _ in range(n_ch)]
+        for c in range(n_ch):
+            for s in range(1, spb):
+                step = int(_IMA_STEPS[idx[c]])
+                nib = _ima_quantize(int(seg[s, c]) - pred[c], step)
+                pred[c], idx[c] = _ima_step_sample(nib, pred[c], idx[c])
+                nibs[c].append(nib)
+        body = bytearray()
+        word_words = (spb - 1) // 8  # 4-byte words per channel
+        for w in range(word_words):
+            for c in range(n_ch):
+                for b in range(4):
+                    lo = nibs[c][w * 8 + b * 2]
+                    hi = nibs[c][w * 8 + b * 2 + 1]
+                    body.append(lo | (hi << 4))
+        blocks.append(bytes(hdr) + bytes(body))
+    return b"".join(blocks), block_align
+
+
 def write_wav(
     samples: np.ndarray, rate: int, bits: int = 16, float_fmt: bool = False,
-    g711: str | None = None,
+    g711: str | None = None, ima_adpcm: bool = False,
 ) -> bytes:
     """Encode (n_frames,) or (n_frames, n_channels) samples as
     canonical WAV — PCM (format 1, integer samples) by default,
-    IEEE-float (format 3, ``float_fmt=True`` with bits 32/64), or
+    IEEE-float (format 3, ``float_fmt=True`` with bits 32/64),
     G.711 companded (``g711='ulaw'`` → format 7, ``'alaw'`` →
     format 6; input is 16-bit linear PCM, lossily companded to 8-bit
-    code bytes per the Recommendation)."""
+    code bytes per the Recommendation), or IMA/DVI ADPCM
+    (``ima_adpcm=True`` → format 0x11: 4-bit adaptive-step nibbles,
+    ~4:1 compression, fact chunk carries the true frame count)."""
     a = np.asarray(samples)
     if a.ndim == 1:
         a = a[:, None]
     n_frames, n_ch = a.shape
+    if ima_adpcm:
+        raw, block_align = _adpcm_encode(a.astype(np.int32))
+        spb = (block_align - 4 * n_ch) * 2 // n_ch + 1
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, n_ch, rate,
+            rate * block_align // spb, block_align, 4, 2, spb,
+        )
+        chunks = b"".join(
+            [
+                b"fmt ", struct.pack("<I", len(fmt)), fmt,
+                b"fact", struct.pack("<II", 4, n_frames),
+                b"data", struct.pack("<I", len(raw)), raw,
+                b"" if len(raw) % 2 == 0 else b"\x00",
+            ]
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
     if g711 is not None:
         if g711 == "ulaw":
             raw, audio_fmt = ulaw_encode(a.ravel()).tobytes(), 7

@@ -652,3 +652,51 @@ def test_gopher_rules_each_axis(spark):
     assert out[4]["symbol_ratio_ok"] is False
     assert out[5]["common_words_ok"] is False
     assert out[6]["alpha_share_ok"] is False
+
+
+def test_ivfpq_full_probe_equals_pq_adc(spark, sf_dir):
+    """With nprobe = n_cells the IVF restriction admits every base
+    vector, so IVF-PQ degrades exactly to the flat PQ-ADC ranking —
+    same ids, same distances, same ranks."""
+    from geo_big_data_analysis_spark.plans.registry import (
+        _PQ_SCALE,
+        _pq_codebooks,
+    )
+
+    emb, cbs = _pq_codebooks(spark, sf_dir)
+    emb = emb.limit(150).cache()
+    codes = similarity.pq_encode(emb, cbs, scale=_PQ_SCALE)
+    centers = similarity.label_centroids(emb, "embedding", "label")
+    queries = emb.filter(F.col("vec_id") < 8)
+    flat = similarity.pq_adc_topk(queries, codes, cbs, k=3, scale=_PQ_SCALE)
+    ivfpq = similarity.ivfpq_topk(
+        queries, emb, codes, cbs, k=3, centers=centers,
+        nprobe=len(centers), scale=_PQ_SCALE,
+    )
+    f = {(r.query_id, r.neighbor_id, round(r.adc_dist, 6), r.pq_rank) for r in flat.collect()}
+    a = {(r.query_id, r.neighbor_id, round(r.adc_dist, 6), r.pq_rank) for r in ivfpq.collect()}
+    assert f == a
+
+
+def test_ivfpq_partial_probe_is_subset(spark, sf_dir):
+    """nprobe=2 candidates are a subset of the flat ADC universe and
+    every returned neighbor shares a probed cell with its query."""
+    from geo_big_data_analysis_spark.plans.registry import (
+        _PQ_SCALE,
+        _pq_codebooks,
+    )
+
+    emb, cbs = _pq_codebooks(spark, sf_dir)
+    emb = emb.limit(150).cache()
+    codes = similarity.pq_encode(emb, cbs, scale=_PQ_SCALE)
+    centers = similarity.label_centroids(emb, "embedding", "label")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.ivfpq_topk(
+        queries, emb, codes, cbs, k=3, centers=centers, nprobe=2, scale=_PQ_SCALE
+    ).collect()
+    assert len(out) > 0
+    flat = similarity.pq_adc_topk(queries, codes, cbs, k=150, scale=_PQ_SCALE)
+    flat_d = {(r.query_id, r.neighbor_id): r.adc_dist for r in flat.collect()}
+    for r in out:
+        # ADC distance agrees with the flat path for the same pair
+        assert abs(flat_d[(r.query_id, r.neighbor_id)] - r.adc_dist) < 1e-9

@@ -36,6 +36,8 @@ ALLOWLIST_NLJ = {
     # keeping it a join (vs collect+literal) keeps the whole pipeline
     # one lazy DAG with no driver round-trip
     "pareto_user_share": "1-row total broadcast for share-of-total",
+    "temperature_mix_docs": "1-row token/sqrt-total broadcast for the tempered shares",
+    "kn_bigram_ppl_docs": "1-row N1+(··) broadcast into the per-bigram KN scorer",
     "high_density_hours": "1-row mu/sigma broadcast threshold",
     "lisa_moran_events": "1-row mean/std broadcast for z-standardization",
     "lab1_noise_pipeline": "1-row mu/sigma broadcast threshold (via high_density_hours)",
