@@ -235,7 +235,6 @@ HEADLINE = [
     "mp3_frame_census",
     "wordpiece_merges_docs",
     "image_phash_near_dup",
-    "ivfpq_topk_embeddings",
     "dup_span_islands_docs",
     "temperature_mix_docs",
     "kn_bigram_ppl_docs",
@@ -272,6 +271,22 @@ def main() -> None:
     # not regression; load averages bracket the run as the machine-load
     # marker.
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+
+    # Code-independent CPU calibration marker: a fixed 1200x1200 numpy
+    # matmul (median of 5). The SAME code on the SAME data can time
+    # 1.3x apart round-to-round purely from host CPU sharing (seen
+    # r3 judge-vs-builder AND r4 late-vs-early); this marker lets a
+    # cross-round comparison normalize machine speed out.
+    import numpy as _np
+
+    _a = _np.ones((1200, 1200))
+    _cal = []
+    for _ in range(5):
+        _t0 = time.time()
+        _a @ _a
+        _cal.append(time.time() - _t0)
+    cpu_marker = round(statistics.median(_cal), 4)
+
     load_before = os.getloadavg()
     times: dict[str, float] = {}
     iqrs: dict[str, float] = {}
@@ -311,6 +326,7 @@ def main() -> None:
                 "iters": iters,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
+                "cpu_marker_sec": cpu_marker,
                 "sf": sf,
                 "n_queries": len(times),
             },
@@ -327,6 +343,7 @@ def main() -> None:
                 "n_queries": len(times),
                 "iters": iters,
                 "median_sec": round(sorted(times.values())[len(times) // 2], 3),
+                "cpu_marker_sec": cpu_marker,
                 "slowest": {k: v for k, v in slowest},
                 "detail": "BENCH_DETAIL.json",
                 "queries": {"_total": total},

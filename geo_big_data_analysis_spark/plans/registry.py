@@ -2295,6 +2295,50 @@ ORDER BY method
 """
 
 
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 grading of the COMPOSED IVF-PQ index against the exact
+    brute-force top-5 (the `ann_recall` pattern applied to
+    `ivfpq_topk_embeddings`): quantifies what the two approximations
+    stack to — coarse-cell candidate loss (IVF) plus code-quantization
+    ranking loss (PQ). recall = Σ|approx ∩ exact| / (5·n_queries),
+    sum-then-divide. The oracle nests the full IVF-PQ replay (codebook
+    training included) and the exact top-5 SQL as subqueries."""
+    from ..operators.similarity import ivfpq_topk, label_centroids, pq_encode
+
+    emb, cbs = _pq_codebooks(spark, sf_dir)
+    codes = pq_encode(emb, cbs, scale=_PQ_SCALE)
+    centers = label_centroids(emb, "embedding", "label")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    approx = ivfpq_topk(
+        queries, emb, codes, cbs, k=5, centers=centers, nprobe=3, scale=_PQ_SCALE
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk_bruteforce(queries, emb, k=5, dim=64).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    nq = queries.agg(F.count(F.lit(1)).alias("n"))
+    return hits.crossJoin(nq).select(
+        F.lit("ivfpq").alias("method"),
+        F.col("n").cast("bigint").alias("n_queries"),
+        F.round(F.col("s") / (F.lit(5.0) * F.col("n")), 6).alias("recall_at_5"),
+    )
+
+
+def _sql_ivfpq_recall() -> str:
+    return f"""
+SELECT 'ivfpq' AS method,
+       (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0)::BIGINT AS n_queries,
+       round(
+         (SELECT count(*) FROM ({_sql_exact_topk('vec_id % 25 = 0')}) e
+            JOIN ({_sql_ivfpq()}) a
+              ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+         / (5.0 * (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0)), 6
+       ) AS recall_at_5
+"""
+
+
 def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10/ANN — exact cosine top-5 neighbors for a query subset.
 
@@ -17502,6 +17546,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "srp_multi_topk_embeddings": (q_srp_multi_topk_embeddings, _sql_srp_multi()),
     "ivf_topk_embeddings": (q_ivf_topk_embeddings, _SQL_IVF),
     "ann_recall": (q_ann_recall, _sql_ann_recall()),
+    "ivfpq_recall": (q_ivfpq_recall, _sql_ivfpq_recall()),
     "token_stats_docs": (q_token_stats_docs, _SQL_TOKENS),
     "top_keywords_docs": (q_top_keywords_docs, _sql_top_keywords()),
     "pii_scrub_docs": (q_pii_scrub_docs, _SQL_PII_SCRUB),

@@ -43,6 +43,7 @@ ALLOWLIST_NLJ = {
     "lab1_noise_pipeline": "1-row mu/sigma broadcast threshold (via high_density_hours)",
     "hot_cold_grid_cells": "1-row q75/q25 broadcast threshold over cell counts",
     "ann_recall": "exact brute-force baseline (tiny query set) + 1-row hit/count crossJoins",
+    "ivfpq_recall": "exact brute-force grading baseline (tiny query set) + 1-row hit/count crossJoins",
     "global_sales_opportunity": "Q22 scalar subquery: 1-row avg-balance broadcast threshold",
     "tfidf_top_terms": "1-row corpus-size broadcast for the idf denominator",
     "streaming_click_nopurchase": "1-row watermark-horizon broadcast over the drained batch",
