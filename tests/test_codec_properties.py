@@ -202,3 +202,29 @@ def test_mp4_container_roundtrip(seed, n_samples):
     (trk,) = read_mp4(data)
     assert extract_samples(data, trk) == samples
     assert trk.sample_durations == durs
+
+
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n=st.integers(2, 900),
+    n_ch=st.integers(1, 3),
+    start=st.integers(-30000, 30000),
+)
+@settings(max_examples=25, deadline=None)
+def test_ima_adpcm_unit_slope_exact(seed, n, n_ch, start):
+    """IMA ADPCM roundtrips signals with per-sample slope in
+    {-1, 0, +1} EXACTLY: at the resting step index 0 (step 7) a ±1
+    difference quantizes to nibble 1/9 with delta 7>>3 + 7>>2 = 1 and
+    index adjust -1, so the codec tracks unit slopes losslessly and
+    never leaves index 0 — and the per-block headers restore sample 0
+    verbatim. Random lengths also exercise the fact-chunk pad trim."""
+    rng = np.random.default_rng(seed)
+    steps = rng.integers(-1, 2, size=(n - 1, n_ch))
+    sig = np.vstack(
+        [np.full((1, n_ch), start, dtype=np.int64), steps]
+    ).cumsum(axis=0)
+    sig = np.clip(sig, -32768, 32767).astype(np.int32)
+    dec, rate = read_wav(write_wav(sig, rate=8000, ima_adpcm=True))
+    assert rate == 8000
+    assert dec.shape == sig.shape
+    assert np.array_equal(dec, sig)
