@@ -211,6 +211,10 @@ def _decode_subframe(r: _BitReader, blocksize: int, bps: int) -> np.ndarray:
         if precision == 16:
             raise ValueError("invalid LPC precision escape")
         shift = r.read_signed(5)
+        if shift < 0:
+            # Spec-reserved: RFC 9639 §9.2.6 says the shift is signed on
+            # the wire but MUST be non-negative.
+            raise ValueError(f"invalid negative LPC shift {shift}")
         coefs = [r.read_signed(precision) for _ in range(order)]
         res = _decode_residual(r, blocksize, order)
         s = np.empty(blocksize, dtype=np.int64)
@@ -248,7 +252,6 @@ def read_flac(data: bytes) -> tuple[np.ndarray, int]:
     if info is None:
         raise ValueError("FLAC missing STREAMINFO")
 
-    chans: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(info["channels"])]
     out_parts: list[np.ndarray] = []
     while pos < len(data):
         frame_start = pos
@@ -272,6 +275,8 @@ def read_flac(data: bytes) -> tuple[np.ndarray, int]:
             blocksize = r.read(8) + 1
         elif bs_code == 7:
             blocksize = r.read(16) + 1
+        elif bs_code == 0:
+            raise ValueError("reserved blocksize code 0 in frame header")
         else:
             blocksize = _BLOCKSIZE_FIXED[bs_code]
         if sr_code == 12:

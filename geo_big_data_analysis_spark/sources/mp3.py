@@ -123,6 +123,14 @@ def read_mp3_frames(data: bytes) -> list[Mp3Frame]:
             raise ValueError(f"truncated final frame at {pos}")
         frames.append(f)
         pos += f.frame_bytes
+    if pos != len(data):
+        # Either 1-3 trailing bytes that can't hold a frame header, or a
+        # truncated ID3v1 trailer (the TAG skip overshot the end) — fail
+        # loudly per the contract instead of silently ignoring them.
+        raise ValueError(
+            f"trailing garbage after last frame: stream ends at {len(data)} "
+            f"but frame walk stopped at {pos}"
+        )
     if not frames:
         raise ValueError("no MPEG audio frames found")
     return frames

@@ -171,6 +171,11 @@ def _ima_step_sample(nibble: int, pred: int, idx: int) -> tuple[int, int]:
 
 
 def _adpcm_decode(raw: bytes, n_ch: int, block_align: int) -> np.ndarray:
+    if len(raw) % block_align != 0:
+        raise ValueError(
+            f"IMA ADPCM data length {len(raw)} is not a multiple of "
+            f"block_align {block_align} (truncated final block)"
+        )
     spb = (block_align - 4 * n_ch) * 2 // n_ch + 1  # samples per block
     out_blocks = []
     for bstart in range(0, len(raw) - (block_align - 1), block_align):

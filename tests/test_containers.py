@@ -136,6 +136,18 @@ def test_mp3_corrupt_fails_loudly():
         read_mp3_frames(bytes(s))
 
 
+def test_mp3_trailing_garbage_fails_loudly():
+    s = write_mp3_stream([5, 5])
+    for n_extra in (1, 2, 3):
+        with pytest.raises(ValueError, match="trailing garbage"):
+            read_mp3_frames(s + b"\x00" * n_extra)
+    # A full 128-byte ID3v1 trailer is still accepted...
+    assert len(read_mp3_frames(s + b"TAG" + b"\x00" * 125)) == 2
+    # ...but a truncated one is not.
+    with pytest.raises(ValueError, match="trailing garbage"):
+        read_mp3_frames(s + b"TAG" + b"\x00" * 50)
+
+
 # ---------------------------------------------------------------- BMP
 
 @pytest.mark.parametrize("shape", [(5, 5), (7, 13), (1, 1), (16, 3)])

@@ -182,6 +182,43 @@ def test_decode_lpc_subframe():
     assert np.array_equal(dec[:, 0], exp)
 
 
+def test_decode_lpc_negative_shift_named_error():
+    """A (spec-invalid) negative LPC shift raises a named format error,
+    not a bare 'negative shift count' from the '>>' operator."""
+    bs = 16
+    w = _BitWriter()
+    _frame_header(w, bs, ch_code=0, bps_code=4)
+    w.write(0, 1); w.write(32 + 1, 6); w.write(0, 1)  # LPC order 2
+    for v in (10, 11):
+        w.write(v, 16)
+    w.write(4, 4)        # precision-1 = 4
+    w.write(0x1F, 5)     # shift = -1 as signed 5-bit
+    data = _streaminfo(16000, 1, 16, bs, bs) + _finish_frame(w)
+    with pytest.raises(ValueError, match="negative LPC shift"):
+        read_flac(data)
+
+
+def test_reserved_blocksize_code_named_error():
+    """bs_code 0 is reserved — decoder names the malformed field instead
+    of raising a bare KeyError."""
+    bs = 16
+    w = _BitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 2)          # fixed blocksize
+    w.write(0, 4)          # RESERVED blocksize code
+    w.write(5, 4)          # 16 kHz
+    w.write(0, 4)          # mono
+    w.write(4, 3)          # 16-bit
+    w.write(0, 1)
+    _write_utf8_number(w, 0)
+    w.align()
+    hdr = w.bytes()
+    w.buf.append(_crc8(hdr))
+    data = _streaminfo(16000, 1, 16, bs, bs) + _finish_frame(w)
+    with pytest.raises(ValueError, match="reserved blocksize"):
+        read_flac(data)
+
+
 @pytest.mark.parametrize("ch_code", [8, 9, 10])
 def test_decode_stereo_decorrelation(ch_code):
     """left/side (8), right/side (9), mid/side (10) — VERBATIM

@@ -106,3 +106,17 @@ def test_decode_media_wav_real():
     assert got[:, 0].tolist() == [5, -5, 10, -10]
     with pytest.raises(NotImplementedError, match="non-WAV"):
         decode_media(b"ID3\x03rest-of-an-mp3", "audio")
+
+
+def test_ima_adpcm_truncated_block_raises():
+    """A payload that is not a whole number of ADPCM blocks fails loudly
+    instead of silently dropping the trailing partial block."""
+    sig = np.cumsum(np.ones(2000, dtype=np.int64)).reshape(-1, 1)
+    data = bytearray(write_wav(sig, rate=8000, ima_adpcm=True))
+    # locate the data chunk and shave 3 bytes off its payload
+    i = data.index(b"data")
+    (size,) = struct.unpack_from("<I", data, i + 4)
+    struct.pack_into("<I", data, i + 4, size - 3)
+    truncated = bytes(data[: i + 8 + size - 3]) + bytes(data[i + 8 + size:])
+    with pytest.raises(ValueError, match="block_align"):
+        read_wav(truncated)
