@@ -11,14 +11,15 @@ Scope (documented feature matrix):
   which is exact for the full-frame streams the encoder here writes
   and for disposal-method-1 streams generally); interlaced frames are
   deinterlaced (the 4-pass 0::8/4::8/2::4/1::2 row scatter of
-  appendix E). Single-palette limitation: the decoder
-  returns ONE palette (the global color table) for the whole stream;
-  a frame's local color table is parsed and skipped — its indices are
-  still composited exactly, but its true colors are not representable
-  in the single returned palette. Per GIF89a §20 an LCT scopes to its
-  image only, so it is never allowed to leak into later GCT frames.
+  appendix E). Two decode APIs: `read_gif` returns index-space frames
+  against the single GLOBAL table (an LCT frame keeps exact indices but
+  its true colors are out of that table's reach), while `read_gif_rgb`
+  maps each image through ITS OWN table (LCT if present, else GCT) and
+  composites in RGB — per GIF89a §20 an LCT scopes to its image only,
+  so multi-LCT streams decode per-frame-correct there.
 - encode: N full-canvas palette-indexed frames with one global color
-  table, LZW-compressed (dictionary reset on table overflow at 4096).
+  table, LZW-compressed (dictionary reset on table overflow at 4096);
+  optional per-frame LOCAL color tables via `local_palettes`.
 
 Reference: CompuServe GIF89a specification (1990) — LZW §22,
 block layout appendix.
@@ -146,23 +147,25 @@ def _sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
     return b"".join(chunks), pos
 
 
-def read_gif(data: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
-    """Decode a GIF into (palette (256, 3) uint8 padded, list of
-    (H, W) uint8 palette-index frames composited on the canvas)."""
+def _walk_frames(data: bytes):
+    """Yield (fx, fy, idx (fh, fw) uint8, palette (256, 3) uint8) per
+    image descriptor, with the palette the spec says colors THAT image:
+    its local color table if present (GIF89a §20 — an LCT scopes to its
+    image only), else the global color table. Interlaced frames arrive
+    already deinterlaced. Also returns the canvas size via StopIteration
+    value — callers use the generator through _decode_all below."""
     if not is_gif(data):
         raise ValueError("not a GIF stream")
     w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
-    gct = None
+    gct_pal = np.zeros((256, 3), dtype=np.uint8)
     if flags & 0x80:
         n = 2 << (flags & 7)
-        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        gct_pal[:n] = np.frombuffer(
+            data[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
         pos += 3 * n
-    palette = np.zeros((256, 3), dtype=np.uint8)
-    if gct is not None:
-        palette[: len(gct)] = gct
-    canvas = np.zeros((h, w), dtype=np.uint8)
-    frames: list[np.ndarray] = []
+    yield (w, h, gct_pal)  # header record first
     while pos < len(data):
         block = data[pos]
         pos += 1
@@ -176,13 +179,13 @@ def read_gif(data: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
         fx, fy, fw, fh, fflags = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
+        pal = gct_pal
         if fflags & 0x80:
-            # GIF89a §20: a local color table scopes to ITS image only.
-            # The single-palette return can't carry per-frame tables, so
-            # the LCT is parsed and skipped without clobbering the
-            # shared palette (documented limitation in the module
-            # docstring) — later GCT-only frames keep their true colors.
             n = 2 << (fflags & 7)
+            pal = np.zeros((256, 3), dtype=np.uint8)
+            pal[:n] = np.frombuffer(
+                data[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
             pos += 3 * n
         min_code = data[pos]
         pos += 1
@@ -205,37 +208,93 @@ def read_gif(data: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
             deint = np.empty_like(idx)
             deint[order] = idx
             idx = deint
+        yield (fx, fy, idx, pal)
+
+
+def read_gif(data: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Decode a GIF into (global palette (256, 3) uint8 padded, list of
+    (H, W) uint8 palette-index frames composited on the canvas).
+
+    Index-space API: frames carry palette INDICES; a frame painted from
+    a local color table keeps its indices but those index through the
+    returned GLOBAL table. For true per-frame colors on multi-LCT
+    streams use :func:`read_gif_rgb`, which composites in RGB space
+    with each image's own table."""
+    walk = _walk_frames(data)
+    w, h, palette = next(walk)
+    canvas = np.zeros((h, w), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    for fx, fy, idx, _pal in walk:
+        fh, fw = idx.shape
         canvas[fy : fy + fh, fx : fx + fw] = idx
         frames.append(canvas.copy())
     return palette, frames
 
 
+def read_gif_rgb(data: bytes) -> list[np.ndarray]:
+    """Decode a GIF into true-color (H, W, 3) uint8 frames: each image
+    descriptor's pixels are mapped through ITS OWN color table (local if
+    present, else global) before compositing, so multi-LCT streams come
+    out per-frame-correct (GIF89a §20 — an LCT scopes to its image
+    only). The running canvas keeps earlier frames' already-resolved
+    RGB, matching disposal-method-1 rendering."""
+    walk = _walk_frames(data)
+    w, h, _gct = next(walk)
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    for fx, fy, idx, pal in walk:
+        fh, fw = idx.shape
+        canvas[fy : fy + fh, fx : fx + fw] = pal[idx]
+        frames.append(canvas.copy())
+    return frames
+
+
+def _pal_table(pal: np.ndarray) -> tuple[np.ndarray, int]:
+    """Pad a palette to the next power-of-two size; return (table, bits)."""
+    pal = np.asarray(pal, dtype=np.uint8)
+    bits = max(1, int(np.ceil(np.log2(max(len(pal), 2)))))
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    return table, bits
+
+
 def write_gif(
-    frames: list[np.ndarray], palette: np.ndarray, delay_cs: int = 4
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delay_cs: int = 4,
+    local_palettes: list[np.ndarray | None] | None = None,
 ) -> bytes:
     """Encode full-canvas (H, W) uint8 index frames + an (n, 3) palette
-    as an animated GIF89a (one global color table, a graphic-control
-    extension per frame)."""
+    as an animated GIF89a (global color table, a graphic-control
+    extension per frame). ``local_palettes`` optionally gives one entry
+    per frame: a non-None entry is written as that image's LOCAL color
+    table (GIF89a §20), so multi-LCT streams can be synthesized for the
+    true-color decode path (:func:`read_gif_rgb`)."""
     if not frames:
         raise ValueError("no frames")
+    if local_palettes is not None and len(local_palettes) != len(frames):
+        raise ValueError("local_palettes must have one entry per frame")
     h, w = frames[0].shape
-    pal = np.asarray(palette, dtype=np.uint8)
-    bits = max(1, int(np.ceil(np.log2(max(len(pal), 2)))))
-    n_pal = 1 << bits
-    table = np.zeros((n_pal, 3), dtype=np.uint8)
-    table[: len(pal)] = pal
+    table, bits = _pal_table(palette)
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
     out += table.tobytes()
-    min_code = max(2, bits)
-    for fr in frames:
+    for i, fr in enumerate(frames):
         assert fr.shape == (h, w)
+        lct = local_palettes[i] if local_palettes is not None else None
         out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        if lct is None:
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            min_code = max(2, bits)
+        else:
+            ltable, lbits = _pal_table(lct)
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x80 | (lbits - 1))
+            out += ltable.tobytes()
+            min_code = max(2, lbits)
         out.append(min_code)
         lzw = _lzw_encode(min_code, fr.tobytes())
-        for i in range(0, len(lzw), 255):
-            chunk = lzw[i : i + 255]
+        for j in range(0, len(lzw), 255):
+            chunk = lzw[j : j + 255]
             out.append(len(chunk))
             out += chunk
         out.append(0)

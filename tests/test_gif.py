@@ -149,3 +149,47 @@ def test_decode_media_and_frame_sample_gif(spark):
     ).read_gif(bytes(out["payload"]))
     assert len(kept) == 3
     assert all(np.array_equal(kept[j], frames[2 * j]) for j in range(3))
+
+
+def test_multi_lct_true_color_decode():
+    """Three frames, frame 1 carrying its own LOCAL color table
+    (GIF89a §20): read_gif_rgb must color each frame through its own
+    table, read_gif must keep exact indices and the GLOBAL table."""
+    from geo_big_data_analysis_spark.sources.gif import read_gif_rgb
+
+    gct = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8)
+    lct = np.array([[1, 2, 3], [40, 50, 60], [70, 80, 90], [200, 201, 202]], np.uint8)
+    f0 = np.array([[0, 1], [2, 3]], np.uint8)
+    f1 = np.array([[3, 2], [1, 0]], np.uint8)
+    f2 = np.array([[1, 1], [2, 2]], np.uint8)
+    data = write_gif([f0, f1, f2], gct, local_palettes=[None, lct, None])
+
+    rgb = read_gif_rgb(data)
+    assert len(rgb) == 3
+    # frame 0 through GCT
+    assert np.array_equal(rgb[0], gct[f0])
+    # frame 1 through ITS OWN LCT — the round-4 limitation, now real
+    assert np.array_equal(rgb[1], lct[f1])
+    # frame 2 back through GCT: the LCT never leaks forward
+    assert np.array_equal(rgb[2], gct[f2])
+
+    # index-space API unchanged: exact indices, global palette only
+    pal, idx_frames = read_gif(data)
+    assert np.array_equal(pal[:4], gct)
+    for want, got in zip([f0, f1, f2], idx_frames):
+        assert np.array_equal(got, want)
+
+
+def test_local_palette_wider_than_global():
+    """An LCT larger than the GCT forces a wider per-frame LZW code
+    size; the decoder must honor the per-image min-code."""
+    from geo_big_data_analysis_spark.sources.gif import read_gif_rgb
+
+    gct = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)  # 1-bit
+    lct = np.array([[i, 2 * i, 3 * i] for i in range(16)], np.uint8)  # 4-bit
+    f0 = np.array([[0, 1], [1, 0]], np.uint8)
+    f1 = np.array([[15, 7], [3, 12]], np.uint8)
+    data = write_gif([f0, f1], gct, local_palettes=[None, lct])
+    rgb = read_gif_rgb(data)
+    assert np.array_equal(rgb[0], gct[f0])
+    assert np.array_equal(rgb[1], lct[f1])

@@ -63,3 +63,34 @@ def test_doc_counts_match_registry():
     assert f"{total} registry queries, {oracle} oracle-checked" in coverage, (
         "COVERAGE.md surface counts drifted — run `python tools/counts.py write`"
     )
+
+
+def test_rotate_sample_deterministic_and_round_varying():
+    import sys
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from selfcheck import ROTATE_K, rotate_sample
+
+    r5, r6 = rotate_sample(5), rotate_sample(6)
+    assert r5 == rotate_sample(5)                 # deterministic
+    assert len(r5) == ROTATE_K
+    assert set(r5) <= set(REGISTRY)
+    assert r5 != r6                               # rotation actually rotates
+    # consecutive rounds must re-verify a substantially different slice
+    assert len(set(r5) & set(r6)) < ROTATE_K // 2
+
+
+def test_rotate_record_matches_its_round():
+    """If a SELFCHECK_ROTATE_r{N}.txt is committed, its query set must be
+    exactly rotate_sample(N) and all green."""
+    import sys
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from selfcheck import rotate_sample
+
+    for path in sorted(glob.glob(os.path.join(ROOT, "SELFCHECK_ROTATE_r*.txt"))):
+        n = int(re.search(r"_r(\d+)\.txt$", path).group(1))
+        with open(path) as f:
+            text = f.read()
+        passed = set(re.findall(r"^(?:PASS|ok\? ) (\w+):", text, re.MULTILINE))
+        assert passed == set(rotate_sample(n)), os.path.basename(path)
+        assert not re.findall(r"^FAIL ", text, re.MULTILINE)
+        assert "ALL GREEN" in text
