@@ -8,8 +8,10 @@ The IMAGE path is real for PNG (incl. Adam7), baseline JPEG, and BMP
 (`sources/png.py` / `jpeg.py` / `bmp.py`); AUDIO is real for
 PCM/float/G.711 WAV and compressed FLAC (`sources/wav.py` /
 `flac.py`); VIDEO is real at the pixel level for animated GIF
-(`sources/gif.py`) and at the container level for MP4 — sample-table
-parse + re-mux in `sources/mp4.py`, the layer a curation job actually
+(`sources/gif.py`) AND for MJPEG-in-MP4 (sample slicing via
+`sources/mp4.py` composed with the baseline-JPEG decoder in
+`sources/jpeg.py`), and at the container level for every MP4 —
+sample-table parse + re-mux, the layer a curation job actually
 touches. MP3 streams get a real frame-header walk (`sources/mp3.py`,
 duration/bitrate metadata without audio decode). ``resize_image``
 does a true decode→resample→re-encode round-trip. Codec *pixel*
@@ -112,11 +114,33 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
         if is_gif(payload):
             _pal, frames = read_gif(payload)
             return np.stack(frames)  # (n_frames, H, W) palette indices
+        from .mp4 import extract_samples, is_mp4, read_mp4
+
+        if is_mp4(payload):
+            from .jpeg import is_jpeg, read_jpeg
+
+            tracks = read_mp4(payload)
+            trk = next((t for t in tracks if t.handler == "vide"), tracks[0])
+            samples = extract_samples(payload, trk)
+            # Motion-JPEG: every video sample is an independent baseline
+            # JPEG — the one MP4 codec whose FRAME pixels decode natively
+            # (sources/mp4.py sample slicing ∘ sources/jpeg.py decode).
+            if samples and (
+                trk.codec in ("jpeg", "mjpa", "mjpb", "MJPG", "mjpg")
+                or all(is_jpeg(s) for s in samples)
+            ):
+                return np.stack([read_jpeg(s) for s in samples])
+            raise NotImplementedError(
+                f"MP4 sample codec {trk.codec!r} pixel decode: install av "
+                "for H.264/VP9/... (MJPEG samples decode natively via "
+                "sources/jpeg.py; container sample tables / re-mux are "
+                "always native via sources/mp4.py)"
+            )
         raise NotImplementedError(
-            "non-GIF video pixel decode: install av for H.264/VP9/... "
-            "(animated GIF decodes to pixels natively via sources/gif.py; "
-            "MP4 CONTAINER structure — sample tables, frame byte ranges, "
-            "re-mux — is handled natively by sources/mp4.py in frame_sample)"
+            "non-GIF/MP4 video pixel decode: install av for raw H.264/"
+            "VP9/... elementary streams (animated GIF and MJPEG-in-MP4 "
+            "decode to pixels natively via sources/gif.py, sources/mp4.py "
+            "+ sources/jpeg.py)"
         )
     raise NotImplementedError(
         f"no codec for {media_type}: install av, or use FAKE_DECODE"

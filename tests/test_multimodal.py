@@ -152,3 +152,42 @@ def test_byte_histogram_properties():
             assert abs(h[i] - naive[i] / len(payload)) < 1e-12
 
     check()
+
+
+def test_decode_media_mjpeg_mp4_frames():
+    """MJPEG-in-MP4: container sample slicing composed with the real
+    JPEG decoder gives end-to-end video FRAME pixel decode."""
+    from geo_big_data_analysis_spark.sources.jpeg import write_jpeg
+    from geo_big_data_analysis_spark.sources.mp4 import write_mp4
+    from geo_big_data_analysis_spark.sources.multimodal import decode_media
+
+    y, x = np.mgrid[0:16, 0:16]
+    frames = [
+        (((y // 8) * 8 + (x // 8) * 3 + 31 * k) % 256).astype(np.uint8)
+        for k in range(4)
+    ]
+    mp4 = write_mp4(
+        [write_jpeg(f) for f in frames],
+        timescale=600,
+        durations=[25] * 4,
+        handler="vide",
+        codec="jpeg",
+    )
+    px = decode_media(mp4, "video")
+    assert px.shape == (4, 16, 16)
+    for k in range(4):
+        assert np.array_equal(px[k], frames[k])
+
+    # RGB MJPEG frames decode to (n, H, W, 3)
+    rgb = [np.stack([f, f, f], axis=-1) for f in frames[:2]]
+    mp4_rgb = write_mp4(
+        [write_jpeg(f) for f in rgb], handler="vide", codec="jpeg"
+    )
+    px_rgb = decode_media(mp4_rgb, "video")
+    assert px_rgb.shape == (2, 16, 16, 3)
+    assert np.array_equal(px_rgb[0], rgb[0])
+
+    # a non-JPEG sample codec still names the swap-in point
+    raw_mp4 = write_mp4([b"\x00" * 10], handler="vide", codec="avc1")
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_media(raw_mp4, "video")
