@@ -22,6 +22,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .sentiment_lexicon_ext import EXTENDED_VALENCES_2
+from .sentiment_lexicon_ext3 import EXTENDED_VALENCES_3
 from .text import clean_text, tokens
 
 # word -> (polarity, subjectivity); valences follow common sentiment
@@ -119,7 +120,9 @@ def lexicon_sql_values(idx: int = 0, alias: str = "lex") -> str:
 # rules as one JVM-side `aggregate` over the token array — no UDF.
 
 #: (polarity, subjectivity, intensity) lexicon for the Pattern-style
-#: scorer. TWO documented tiers:
+#: scorer. Documented tiers (plus the checked-in tier-2/3 data files
+#: `sentiment_lexicon_ext.py` / `sentiment_lexicon_ext3.py`, ~1,890
+#: further entries merged at lowest precedence):
 #:   1. PINNED-PARITY tier — values matching the pattern-en sense
 #:      averages TextBlob reports (good 0.7/0.6, great 0.8/0.75,
 #:      bad −0.7/0.6667, terrible −1/1, very 0.2/0.3/×1.3); the
@@ -245,9 +248,10 @@ _EXTENDED_VALENCES: dict[str, tuple[float, float]] = {
 }
 
 PATTERN_LEXICON: dict[str, tuple[float, float, float]] = {
-    # tier 2 (checked-in data file, 940 entries) merges FIRST — the
-    # curated tier-1 extension and the TextBlob-pinned parity tier
-    # always win on overlap
+    # tier 3 then tier 2 (checked-in data files, 952 + 940 entries)
+    # merge FIRST — the curated tier-1 extension and the
+    # TextBlob-pinned parity tier always win on overlap
+    **{w: (p, s, 1.0) for w, (p, s) in EXTENDED_VALENCES_3.items()},
     **{w: (p, s, 1.0) for w, (p, s) in EXTENDED_VALENCES_2.items()},
     **{w: (p, s, 1.0) for w, (p, s) in _EXTENDED_VALENCES.items()},
     # pinned-parity tier LAST so it always wins on overlap

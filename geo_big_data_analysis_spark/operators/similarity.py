@@ -604,7 +604,6 @@ def ivfpq_topk(
     query-probe side; candidate count ≈ nprobe/n_cells of the base.
     Output (query_id, neighbor_id, adc_dist, pq_rank)."""
     m = len(codebooks)
-    dsub = len(codebooks[0][0])
     bs = (
         base.select(F.col(b_id).alias("neighbor_id"), F.col(b_vec).alias("_bv"))
         .withColumn("_n", F.expr(_norm_sql("_bv")))
@@ -619,6 +618,32 @@ def ivfpq_topk(
     bcodes = codes.select(
         F.col(b_id).alias("neighbor_id"), *[F.col(f"code_{i}") for i in range(m)]
     ).join(bs, "neighbor_id")
+    return ivfpq_probe(
+        queries, bcodes, codebooks, centers, k,
+        nprobe=nprobe, q_id=q_id, q_vec=q_vec, scale=scale,
+    )
+
+
+def ivfpq_probe(
+    queries: DataFrame,
+    coded_base: DataFrame,
+    codebooks: list[list[list[float]]],
+    centers: list[tuple[int, list[float]]],
+    k: int,
+    nprobe: int = 3,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Probe a PREPARED IVF-PQ index: ``coded_base`` already carries
+    (neighbor_id, cell, code_0..code_{m-1}) — the stored-index shape
+    (`sources/ann_index.py`). This is the build-once/probe-many hot
+    path: the base side is a parquet scan of m+2 small ints per vector
+    (raw vectors never load), the query side broadcasts with its
+    ``nprobe`` probe cells exploded, and ranking is the codegen'd ADC
+    distance. Output (query_id, neighbor_id, adc_dist, pq_rank)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
     qs = (
         queries.select(
             F.col(q_id).alias("query_id"),
@@ -641,7 +666,7 @@ def ivfpq_topk(
         )
         .drop("_qv", "_n")
     )
-    pairs = bcodes.join(F.broadcast(qs), "cell").filter(
+    pairs = coded_base.join(F.broadcast(qs), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     pairs = pairs.withColumn("adc_dist", _adc_dist_col(codebooks))

@@ -1,0 +1,160 @@
+"""IVF-PQ index as a persisted artifact — build once, probe many.
+
+At 100 TB an ANN index is never retrained inside the query: codebooks
+and coarse centroids are fitted once (on the full table or a sample),
+codes are materialized next to the data, and every search afterwards
+only scans the code table and the query batch (VERDICT r4 "Next" #2).
+This module is that storage layer:
+
+- ``build_ivfpq_index(spark, emb, index_dir, ...)`` trains the m
+  per-block PQ codebooks (`operators/similarity.pq_train`, the exact
+  replayable Lloyd) and the IVF coarse quantizer (label centroids),
+  encodes every vector to (cell, code_0..code_{m-1}), and writes
+    index_dir/codes/      parquet — m+2 small ints per vector
+    index_dir/meta.json   params + centers + codebooks + fingerprint
+- ``load_ivfpq_index(spark, index_dir)`` reads both back.
+- ``ensure_ivfpq_index(spark, sf_dir, ...)`` is the cache wrapper the
+  registry uses: the artifact path is keyed by a fingerprint of the
+  embeddings parquet (size + mtime) and the index params, so a stale
+  index can never be probed after the fixture set regenerates — a new
+  fingerprint means a fresh build.
+
+The stored probe (`operators/similarity.ivfpq_probe`) hash-matches the
+retrain-inline path (`ivfpq_topk`) because every fitted artifact is
+deterministic: Lloyd on scaled ints, centroid means in fixed fp order,
+lowest-index tie breaks. `plans/registry.q_ivfpq_probe_stored` asserts
+exactly that against the same DuckDB oracle that replays training.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    """Cheap change-detector for the embeddings table: total size +
+    max mtime over the parquet file(s). Regenerated fixtures get a new
+    fingerprint → a new index path → a fresh build."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return f"{st.st_size}_{int(st.st_mtime)}"
+    total, mtime = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            st = os.stat(os.path.join(root, f))
+            total += st.st_size
+            mtime = max(mtime, int(st.st_mtime))
+    return f"{total}_{mtime}"
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    *,
+    dim: int,
+    m: int,
+    k: int,
+    iters: int,
+    scale: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    fingerprint: str = "",
+) -> dict:
+    """Train + encode + persist. Returns the meta dict. The codes
+    parquet is written partition-parallel; meta (centers + codebooks,
+    a few KB) is one JSON file."""
+    from ..operators.similarity import (
+        _cell_scores_sql,
+        _norm_sql,
+        label_centroids,
+        pq_encode,
+        pq_train,
+    )
+
+    codebooks = pq_train(
+        emb, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k,
+        iters=iters, scale=scale,
+    )
+    centers = label_centroids(emb, vec_col, label_col)
+    coded = pq_encode(
+        emb.select(id_col, vec_col), codebooks, id_col=id_col,
+        vec_col=vec_col, scale=scale,
+    )
+    cells = (
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_bv"))
+        .withColumn("_n", F.expr(_norm_sql("_bv")))
+        .withColumn(
+            "cell",
+            F.element_at(
+                F.array_sort(F.expr(_cell_scores_sql("_bv", "_n", centers))), 1
+            )["cell"],
+        )
+        .select("neighbor_id", "cell")
+    )
+    codes = coded.withColumnRenamed(id_col, "neighbor_id").join(cells, "neighbor_id")
+    codes.write.mode("overwrite").parquet(os.path.join(index_dir, "codes"))
+    meta = {
+        "kind": "ivfpq",
+        "dim": dim,
+        "m": m,
+        "k": k,
+        "iters": iters,
+        "scale": scale,
+        "fingerprint": fingerprint,
+        "centers": [[int(c), list(map(float, v))] for c, v in centers],
+        "codebooks": codebooks,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_ivfpq_index(
+    spark: SparkSession, index_dir: str
+) -> tuple[DataFrame, list[tuple[int, list[float]]], list[list[list[float]]], dict]:
+    """Read back (codes_df, centers, codebooks, meta). codes_df has
+    the probe-ready shape (neighbor_id, cell, code_0..code_{m-1})."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes"))
+    centers = [(int(c), list(map(float, v))) for c, v in meta["centers"]]
+    return codes, centers, meta["codebooks"], meta
+
+
+def ensure_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    dim: int,
+    m: int,
+    k: int,
+    iters: int,
+    scale: int,
+    base_dir: str | None = None,
+) -> tuple[DataFrame, list[tuple[int, list[float]]], list[list[list[float]]], dict]:
+    """Load the IVF-PQ index for ``sf_dir``'s embeddings, building it
+    first if absent or stale (fingerprint mismatch). The artifact lives
+    under spark-warehouse/ann_index/, keyed by params + fingerprint."""
+    from ..plans.registry import _t  # late import; avoids a cycle at module load
+
+    fp = _embeddings_fingerprint(sf_dir)
+    tag = f"ivfpq_d{dim}_m{m}_k{k}_i{iters}_s{scale}_{fp}"
+    root = base_dir or os.path.join("spark-warehouse", "ann_index")
+    index_dir = os.path.join(root, tag)
+    meta_path = os.path.join(index_dir, "meta.json")
+    if not os.path.exists(meta_path):
+        emb = _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        build_ivfpq_index(
+            spark, emb, index_dir, dim=dim, m=m, k=k, iters=iters,
+            scale=scale, fingerprint=fp,
+        )
+    return load_ivfpq_index(spark, index_dir)

@@ -19,6 +19,9 @@ from geo_big_data_analysis_spark.functions.sentiment import (
 from geo_big_data_analysis_spark.functions.sentiment_lexicon_ext import (
     EXTENDED_VALENCES_2,
 )
+from geo_big_data_analysis_spark.functions.sentiment_lexicon_ext3 import (
+    EXTENDED_VALENCES_3,
+)
 
 #: words the TextBlob-pinned parity phrases use as unknown sentinels
 _PARITY_SENTINELS = {"the", "weather", "report", "arrived", "and", "food", "staff"}
@@ -33,25 +36,38 @@ def _lab4_template_vocab() -> set[str]:
     return vocab
 
 
-def test_lexicon_size_at_least_1000():
-    assert len(PATTERN_LEXICON) >= 1000
+def test_lexicon_size_at_least_2000():
+    assert len(PATTERN_LEXICON) >= 2000
     assert len(EXTENDED_VALENCES_2) >= 900
+    assert len(EXTENDED_VALENCES_3) >= 900
+
+
+def test_tier3_adds_only_new_words():
+    """Tier 3 may not duplicate an earlier tier — an overlapping entry
+    would be dead weight (earlier tiers win on merge precedence)."""
+    earlier = (
+        set(LEXICON) | set(_EXTENDED_VALENCES) | set(EXTENDED_VALENCES_2)
+    )
+    dead = set(EXTENDED_VALENCES_3) & earlier
+    assert not dead, sorted(dead)[:10]
 
 
 def test_words_are_sql_safe_lowercase_tokens():
     # embedded verbatim in SQL literals by the oracle generators
-    for w in EXTENDED_VALENCES_2:
-        assert re.fullmatch(r"[a-z]+", w), w
+    for tier in (EXTENDED_VALENCES_2, EXTENDED_VALENCES_3):
+        for w in tier:
+            assert re.fullmatch(r"[a-z]+", w), w
 
 
 def test_value_ranges():
-    for w, (p, s) in EXTENDED_VALENCES_2.items():
-        assert -1.0 <= p <= 1.0, (w, p)
-        assert 0.0 <= s <= 1.0, (w, s)
+    for tier in (EXTENDED_VALENCES_2, EXTENDED_VALENCES_3):
+        for w, (p, s) in tier.items():
+            assert -1.0 <= p <= 1.0, (w, p)
+            assert 0.0 <= s <= 1.0, (w, s)
 
 
 def test_no_new_lab4_template_or_parity_words():
-    """No tier-2 word may score a previously-UNscored lab-4 template
+    """No tier-2/3 word may score a previously-UNscored lab-4 template
     word or a parity-phrase sentinel — that would move the golden band
     / pinned expectations."""
     older_tiers = set(LEXICON) | set(_EXTENDED_VALENCES)
@@ -59,7 +75,7 @@ def test_no_new_lab4_template_or_parity_words():
         (_lab4_template_vocab() | _PARITY_SENTINELS | set(NEGATIONS))
         - older_tiers
     )
-    clash = set(EXTENDED_VALENCES_2) & forbidden
+    clash = (set(EXTENDED_VALENCES_2) | set(EXTENDED_VALENCES_3)) & forbidden
     assert not clash, sorted(clash)
 
 
