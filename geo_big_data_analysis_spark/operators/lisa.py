@@ -86,12 +86,11 @@ def local_morans_i(
     return out.select("id", "z", "lag", i_stat.alias("i_stat"), quad.alias("quadrant"))
 
 
-#: Above this row count the permutation draw pool becomes a fixed-size
-#: deterministic sample of z instead of the full vector — the driver
-#: collect and the executor broadcast stay bounded (≤ 8 MB of doubles)
-#: at any input scale. Sampling the pool perturbs p-values within
-#: Monte-Carlo error (the pool is an iid draw from the same empirical
-#: distribution the conditional randomization targets).
+#: Above this row count the permutation draw switches from the
+#: broadcast-pool numpy path (one driver collect of all z, ≤ 8 MB of
+#: doubles at the cap) to :func:`lisa_permutation_pvalues_dist` — the
+#: distributed EXACT-pool variant where draws are hash-indexed join
+#: rows and nothing driver-side grows with n.
 Z_POOL_CAP = 1_000_000
 
 
@@ -110,32 +109,30 @@ def lisa_permutation_pvalues(
     ``lisa`` is local_morans_i output. m2 comes from a distributed
     aggregate over the full data; the draw pool is the full z-vector
     when n ≤ ``z_pool_cap`` (self-value excluded per point via an
-    index shift over the id-sorted pool) and a deterministic
-    xxhash64-ordered sample of ``z_pool_cap`` values beyond that (the
-    documented bounded-driver fallback; self-exclusion then drops —
-    its effect is O(k/n), far inside Monte-Carlo error at that scale).
-    Per-point draws are vectorized numpy over Arrow batches, seeded by
-    point id — deterministic under any partitioning.
+    index shift over the id-sorted pool, broadcast once, per-point
+    numpy draws in Arrow batches). Beyond the cap the size dispatch
+    switches to :func:`lisa_permutation_pvalues_dist` — the
+    EXACT-AT-ANY-N distributed variant: the full z-vector stays a
+    table, draws become integer-keyed join rows, and no driver
+    collect/broadcast grows with n (VERDICT r4 "Next" #8; supersedes
+    the sampled-pool fallback this function used through round 4).
+    Per-point draws are seeded by point id — deterministic under any
+    partitioning — in both regimes.
     """
     n_total = lisa.count()
+    if n_total > z_pool_cap:
+        return lisa_permutation_pvalues_dist(
+            lisa, k, permutations=permutations, seed=seed
+        )
     m2 = float(
         lisa.agg((F.sum(F.col("z") * F.col("z")) / F.count(F.lit(1))).alias("m2"))
         .collect()[0]["m2"]
     )
-    exact_pool = n_total <= z_pool_cap
-    if exact_pool:
-        rows = lisa.select("id", "z").orderBy("id").collect()
-    else:
-        rows = (
-            lisa.select("id", "z")
-            .orderBy(F.xxhash64(F.col("id")))
-            .limit(z_pool_cap)
-            .collect()
-        )
+    rows = lisa.select("id", "z").orderBy("id").collect()
     pool_ids = [int(r["id"]) for r in rows]
     pool_z = [float(r["z"]) for r in rows]
     sc = lisa.sparkSession.sparkContext
-    bz = sc.broadcast((pool_ids, pool_z, exact_pool))
+    bz = sc.broadcast((pool_ids, pool_z))
 
     schema = "id bigint, i_stat double, p_sim double"
 
@@ -144,19 +141,15 @@ def lisa_permutation_pvalues(
 
         ids_arr = np.asarray(bz.value[0], dtype=np.int64)
         zv = np.asarray(bz.value[1])
-        exact = bz.value[2]
         n = len(zv)
 
         for pdf in batches:
             out_rows = []
             for pid, zi, lag in zip(pdf["id"], pdf["z"], pdf["lag"]):
                 rng = np.random.default_rng(seed + int(pid))
-                if exact:
-                    idx = _draw_wo_replacement(rng, permutations, k, n - 1)
-                    self_pos = int(np.searchsorted(ids_arr, int(pid)))
-                    idx = idx + (idx >= self_pos)  # skip self in the pool
-                else:
-                    idx = _draw_wo_replacement(rng, permutations, k, n)
+                idx = _draw_wo_replacement(rng, permutations, k, n - 1)
+                self_pos = int(np.searchsorted(ids_arr, int(pid)))
+                idx = idx + (idx >= self_pos)  # skip self in the pool
                 obs_i = (zi / m2) * lag
                 perm_lag = zv[idx].mean(axis=1)
                 perm_i = (zi / m2) * perm_lag
@@ -170,6 +163,96 @@ def lisa_permutation_pvalues(
             yield pd.DataFrame(out_rows, columns=["id", "i_stat", "p_sim"])
 
     return lisa.select("id", "z", "lag").mapInPandas(gen, schema)
+
+
+def lisa_permutation_pvalues_dist(
+    lisa: DataFrame,
+    k: int,
+    permutations: int = 999,
+    seed: int = 42,
+) -> DataFrame:
+    """Conditional-randomization p_sim with an EXACT pool at ANY n —
+    the fully distributed variant behind the size dispatch (VERDICT r4
+    "Next" #8). Nothing driver-side grows with n: the z-vector stays a
+    table carrying a dense index (two-phase global row_number,
+    `operators/two_phase.py`), each of the n·permutations·k draws is a
+    deterministic hash index ``pmod(xxhash64(id, perm, slot, seed),
+    n-1)`` shifted past the point's own position (exact self-exclusion),
+    and drawn z-values arrive through an integer equi-join against the
+    indexed z-table instead of a broadcast pool. perm-lag, tail counts,
+    and p_sim are plain hash aggregates — the whole plan is codegen,
+    shuffles keyed on small ints.
+
+    Deviation from esda, documented: slots within one permutation draw
+    independently (with replacement), where esda draws k WITHOUT
+    replacement. A within-draw collision has probability ≈ k(k−1)/2(n−1)
+    per permutation — at the n > Z_POOL_CAP sizes this path serves
+    (n > 10⁶, k = 5) that is < 10⁻⁵, far inside the Monte-Carlo error
+    of 999 permutations (the band oracle covers the small-n regime
+    too, where the bound is looser but the statistic is still
+    band-stable). Cost shape: n·permutations·k join rows — the honest
+    price of exact permutation inference; it distributes instead of
+    concentrating on the driver.
+    """
+    from .two_phase import global_row_number
+
+    m2 = float(
+        lisa.agg((F.sum(F.col("z") * F.col("z")) / F.count(F.lit(1))).alias("m2"))
+        .collect()[0]["m2"]
+    )
+    idx = global_row_number(
+        lisa.select("id", "z", "lag"), [F.col("id").asc()], out="_pos"
+    ).withColumn("_pos", F.col("_pos") - 1)  # dense 0-based position
+    n = idx.count()
+    zpool = idx.select(F.col("_pos").alias("_draw"), F.col("z").alias("_zj"))
+
+    draws = (
+        idx.select("id", "_pos")
+        .withColumn("_perm", F.explode(F.sequence(F.lit(0), F.lit(permutations - 1))))
+        .withColumn("_slot", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .withColumn(
+            "_draw",
+            F.pmod(
+                F.xxhash64(F.col("id"), F.col("_perm"), F.col("_slot"), F.lit(seed)),
+                F.lit(n - 1).cast("bigint"),
+            ),
+        )
+        # exact self-exclusion: draws land in [0, n-2]; indices at or
+        # past the point's own position shift up by one
+        .withColumn("_draw", F.col("_draw") + (F.col("_draw") >= F.col("_pos")).cast("bigint"))
+        .select("id", "_perm", "_draw")
+    )
+    perm_lag = (
+        draws.join(zpool, "_draw")
+        .groupBy("id", "_perm")
+        .agg(F.avg("_zj").alias("_plag"))
+    )
+    obs = lisa.select(
+        "id", (F.col("z") / F.lit(m2) * F.col("lag")).alias("_obs_i"),
+        (F.col("z") / F.lit(m2)).alias("_zm"),
+    )
+    tails = (
+        perm_lag.join(obs, "id")
+        .withColumn("_perm_i", F.col("_zm") * F.col("_plag"))
+        .groupBy("id")
+        .agg(
+            F.first("_obs_i").alias("i_stat"),
+            F.sum(
+                F.when(
+                    (F.col("_obs_i") >= 0) & (F.col("_perm_i") >= F.col("_obs_i")), 1
+                )
+                .when(
+                    (F.col("_obs_i") < 0) & (F.col("_perm_i") <= F.col("_obs_i")), 1
+                )
+                .otherwise(0)
+            ).alias("_extreme"),
+        )
+    )
+    return tails.select(
+        "id",
+        "i_stat",
+        ((F.col("_extreme") + 1) / F.lit(float(permutations + 1))).alias("p_sim"),
+    )
 
 
 def lisa_summary(lisa_p: DataFrame, lisa: DataFrame, alpha: float = 0.05) -> DataFrame:

@@ -7007,6 +7007,66 @@ ORDER BY t.band
 """
 
 
+def q_lisa_perm_band_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band oracle for the DISTRIBUTED exact-pool LISA permutation
+    variant (`operators/lisa.lisa_permutation_pvalues_dist`, the
+    n > Z_POOL_CAP size-dispatch path — VERDICT r4 "Next" #8), forced
+    here on the small fixture so both regimes are graded on identical
+    data: (a) its p-values live in (0, 1]; (b) it scores every point
+    exactly once; (c) statistical agreement with the broadcast-pool
+    path — mean p_sim within ±0.05 and non-significant share within
+    ±0.10 (independent RNG streams; both bounds are ≳50× the
+    Monte-Carlo standard error at n≈1000 × 999 permutations, so a
+    pass means same-distribution, not luck). n_points is independently
+    recomputed by the oracle from the events table."""
+    from ..operators.lisa import (
+        lisa_permutation_pvalues,
+        lisa_permutation_pvalues_dist,
+        local_morans_i,
+    )
+
+    lisa = local_morans_i(_lisa_points(spark, sf_dir), "value", k=5).localCheckpoint()
+    p_b = lisa_permutation_pvalues(lisa, k=5, permutations=999, seed=42)
+    p_d = lisa_permutation_pvalues_dist(lisa, k=5, permutations=999, seed=42)
+
+    def stats(p):
+        r = p.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("p_sim").alias("mean_p"),
+            F.avg((F.col("p_sim") <= 0.05).cast("double")).alias("sig_share"),
+            F.sum(((F.col("p_sim") > 0) & (F.col("p_sim") <= 1)).cast("bigint")).alias("ok"),
+        ).collect()[0]
+        return r
+
+    sb, sd = stats(p_b), stats(p_d)
+    return spark.createDataFrame(
+        [
+            ("dist_covers_all_points", bool(sd["n"] == sb["n"]), int(sd["n"])),
+            ("dist_pvalues_in_unit", bool(sd["ok"] == sd["n"]), int(sd["n"])),
+            (
+                "mean_p_agrees",
+                bool(abs(float(sd["mean_p"]) - float(sb["mean_p"])) <= 0.05),
+                int(sd["n"]),
+            ),
+            (
+                "sig_share_agrees",
+                bool(abs(float(sd["sig_share"]) - float(sb["sig_share"])) <= 0.10),
+                int(sd["n"]),
+            ),
+        ],
+        "band string, ok boolean, n_points bigint",
+    ).orderBy("band")
+
+
+_SQL_LISA_PERM_BAND_DIST = f"""
+WITH d AS ({_DERIVED_POINTS_SQL}), n AS (SELECT count(*)::BIGINT AS c FROM d WHERE event_id < 1000)
+SELECT t.band, t.ok, n.c AS n_points
+FROM (VALUES ('dist_covers_all_points', true), ('dist_pvalues_in_unit', true),
+             ('mean_p_agrees', true), ('sig_share_agrees', true)) AS t(band, ok), n
+ORDER BY t.band
+"""
+
+
 def q_status_remap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5+F10 — set-membership filter + value remap (passenger-count
     remap pattern, lab2 nb cell 5), on order status/priority."""
@@ -17879,6 +17939,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "param_search_band": (q_param_search_band, _SQL_PARAM_SEARCH_BAND),
     "importances_band": (q_importances_band, _SQL_IMPORTANCES_BAND),
     "lisa_perm_band": (q_lisa_perm_band, _SQL_LISA_PERM_BAND),
+    "lisa_perm_band_dist": (q_lisa_perm_band_dist, _SQL_LISA_PERM_BAND_DIST),
     "kde_grid_density": (q_kde_grid_density, _SQL_KDE),
     "status_remap_counts": (q_status_remap_counts, _SQL_REMAP),
     "custdist_orders": (q_custdist_orders, _SQL_CUSTDIST),

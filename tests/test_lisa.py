@@ -81,8 +81,9 @@ def test_lisa_zero_variance_raises(spark):
 
 
 def test_lisa_pool_cap_bounds_driver_collect(spark):
-    """The sampled-z fallback keeps the draw pool at z_pool_cap values
-    and still produces valid, deterministic p-values (VERDICT r1 #3)."""
+    """Beyond z_pool_cap the size dispatch routes to the DISTRIBUTED
+    exact-pool variant (no driver collect grows with n) and still
+    produces valid, deterministic p-values (VERDICT r1 #3 → r4 #8)."""
     lisa = local_morans_i(_planted(spark), "value", k=5).localCheckpoint()
     p_cap = sorted(
         (r["id"], r["p_sim"])
@@ -121,3 +122,32 @@ def test_lisa_draws_without_replacement():
     assert (a == b).all()
     with pytest.raises(ValueError):
         _draw_wo_replacement(np.random.default_rng(1), 10, 6, 5)
+
+
+def test_lisa_dist_variant_agrees_with_broadcast(spark):
+    """The distributed exact-pool variant is the same statistic as the
+    broadcast-pool path: identical coverage, valid p-values, planted
+    spots significant, and census-level agreement within Monte-Carlo
+    error (independent RNG streams, so per-point equality is not
+    expected)."""
+    from geo_big_data_analysis_spark.operators.lisa import (
+        lisa_permutation_pvalues_dist,
+    )
+
+    lisa = local_morans_i(_planted(spark), "value", k=5).localCheckpoint()
+    p_b = lisa_permutation_pvalues(lisa, k=5, permutations=199, seed=42)
+    p_d = lisa_permutation_pvalues_dist(lisa, k=5, permutations=199, seed=42)
+    rows_b = {r["id"]: r for r in p_b.collect()}
+    rows_d = {r["id"]: r for r in p_d.collect()}
+    assert set(rows_b) == set(rows_d)
+    assert all(0 < r["p_sim"] <= 1 for r in rows_d.values())
+    # i_stat is deterministic (not Monte-Carlo): must agree exactly-ish
+    for i in rows_b:
+        assert abs(rows_b[i]["i_stat"] - rows_d[i]["i_stat"]) < 1e-9
+    # planted interiors significant under both
+    for i in (1 * 16 + 1, 14 * 16 + 14):
+        assert rows_d[i]["p_sim"] <= 0.05
+    # census agreement within MC error
+    mean_b = sum(r["p_sim"] for r in rows_b.values()) / len(rows_b)
+    mean_d = sum(r["p_sim"] for r in rows_d.values()) / len(rows_d)
+    assert abs(mean_b - mean_d) < 0.05
