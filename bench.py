@@ -239,6 +239,11 @@ HEADLINE = [
     "temperature_mix_docs",
     "kn_bigram_ppl_docs",
     "gopher_repetition_docs",
+    # round 5
+    "mjpeg_mp4_frame_stats",
+    "ivfpq_index_build",
+    "ivfpq_probe_stored",
+    "lisa_perm_band_dist",
 ]
 
 

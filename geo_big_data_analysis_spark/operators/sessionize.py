@@ -54,9 +54,15 @@ def sessionize(
     test.py:668-669). Adds an integer ``session_col`` per key."""
     keys = keys or []
     w = Window.partitionBy(*keys).orderBy(ts_col) if keys else Window.orderBy(ts_col)
-    gap_s = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
-        F.lag(ts_col).over(w)
-    )
+    # full-precision epoch seconds: unix_timestamp() TRUNCATES to whole
+    # seconds, which misclassifies gaps inside (gap, gap+1s) against a
+    # microsecond-precise comparison — found by the sf1 scale sweep,
+    # where ~17/954k sessions flipped vs the oracle. double keeps µs
+    # (2^-52 · ~1.7e9 s ≈ 0.4 µs resolution).
+    # (ntz→ltz cast first: TIMESTAMP_NTZ has no direct double cast;
+    # exact here because session TZ is pinned UTC)
+    ep = F.col(ts_col).cast("timestamp").cast("double")
+    gap_s = ep - F.lag(ep).over(w)
     new_session = (
         F.when(gap_s.isNull() | (gap_s > gap_minutes * 60), 1).otherwise(0)
     )

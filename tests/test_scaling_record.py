@@ -1,0 +1,72 @@
+"""Gate on the committed empirical-scaling record (SCALING.json).
+
+Round 4's verdict called the 100 TB posture design-verified only; the
+scalebench sweep (tools/scalebench.py over the tools/scalegen.py
+fixture ladder) is the measurement. These tests make the committed
+record load-bearing: the scale set must be covered at all three ladder
+points and nothing may scale super-linearly past the flag ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PATH = os.path.join(ROOT, "SCALING.json")
+
+
+def _record() -> dict:
+    assert os.path.exists(PATH), "SCALING.json missing — run tools/scalebench.py"
+    with open(PATH) as f:
+        return json.load(f)
+
+
+def test_scaling_record_covers_scale_set():
+    import sys
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from scalebench import FIXED_PARAM, LADDER, SCALE_SET, VARIANTS
+
+    rec = _record()
+    assert rec["ladder"] == [sf for sf, _ in LADDER]
+    want = set(SCALE_SET) | set(VARIANTS) | set(FIXED_PARAM)
+    missing = sorted(want - set(rec["queries"]))
+    assert not missing, f"scale set not covered: {missing[:10]}"
+    # fixed-param entries must carry their documented reason
+    for name in FIXED_PARAM:
+        assert "fixed_param_reason" in rec["queries"][name], name
+    for name, q in rec["queries"].items():
+        assert set(q["sec"]) == {"0.01", "0.1", "1.0"}, name
+        assert all(v > 0 for v in q["sec"].values()), name
+
+
+def test_scaling_no_superlinear_flags():
+    rec = _record()
+    assert rec["flags"] == [], (
+        f"queries scale super-linearly past {rec['flag_ratio']}x per "
+        f"10x data: {rec['flags']}"
+    )
+
+
+def test_scaling_rows_grow_with_data():
+    """Result cardinality must respond to input volume for the
+    row-per-entity queries (most of the scale set returns fixed-size
+    aggregates/census rows by design — those are exempt; a constant
+    count on a per-entity output would mean the query isn't actually
+    exercising the bigger input)."""
+    rec = _record()
+    per_entity = [
+        "user_sessions",
+        "exact_dedup_docs",
+        "minhash_near_dup_docs",
+        "near_dup_clusters_docs",
+        "jw_entity_resolution",
+        "split_leakage_audit",
+    ]
+    for name in per_entity:
+        q = rec["queries"][name]
+        assert q["rows"]["1.0"] > q["rows"]["0.1"] > 0, (name, q["rows"])
+    # density-bound work units must have been recorded and grown
+    w = rec["queries"]["distance_band_pairs"]["work"]
+    assert w["1.0"] > w["0.1"] > w["0.01"] > 0

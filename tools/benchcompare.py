@@ -53,6 +53,20 @@ def main() -> int:
         f"common queries: {len(common)}  old total {to:.1f}s  "
         f"new total {tn:.1f}s  ratio {tn / to:.3f}x"
     )
+    # Machine-speed normalization (VERDICT r4 "What's wrong" #1): when
+    # both records carry the code-independent cpu marker (fixed numpy
+    # matmul median), divide host speed out of the ratio. The same code
+    # has measured 1.3-1.8x apart across runs purely from host CPU
+    # sharing; the normalized ratio is the code-attributable part.
+    mo, mn = old.get("cpu_marker_sec"), new.get("cpu_marker_sec")
+    if mo and mn:
+        norm = (tn / to) * (float(mo) / float(mn))
+        print(
+            f"cpu markers: old {mo}s new {mn}s (host speed ratio "
+            f"{float(mn) / float(mo):.2f}x) -> marker-normalized ratio {norm:.3f}x"
+        )
+    else:
+        print("cpu markers: missing in one record — raw ratio only")
     if only_old:
         print(f"dropped ({len(only_old)}): {', '.join(only_old[:8])}")
     if only_new:
