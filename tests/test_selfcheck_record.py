@@ -80,13 +80,19 @@ def test_rotate_sample_deterministic_and_round_varying():
 
 
 def test_rotate_record_matches_its_round():
-    """If a SELFCHECK_ROTATE_r{N}.txt is committed, its query set must be
-    exactly rotate_sample(N) and all green."""
+    """If a SELFCHECK_ROTATE_r{N}.txt (or the sf1 twin
+    SELFCHECK_SF1_r{N}.txt, the same rotate slice run on the scalegen
+    sf1 fixtures) is committed, its query set must be exactly
+    rotate_sample(N) and all green."""
     import sys
     sys.path.insert(0, os.path.join(ROOT, "tools"))
     from selfcheck import rotate_sample
 
-    for path in sorted(glob.glob(os.path.join(ROOT, "SELFCHECK_ROTATE_r*.txt"))):
+    paths = sorted(
+        glob.glob(os.path.join(ROOT, "SELFCHECK_ROTATE_r*.txt"))
+        + glob.glob(os.path.join(ROOT, "SELFCHECK_SF1_r*.txt"))
+    )
+    for path in paths:
         n = int(re.search(r"_r(\d+)\.txt$", path).group(1))
         with open(path) as f:
             text = f.read()
