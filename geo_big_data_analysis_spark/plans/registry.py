@@ -16223,9 +16223,15 @@ def q_holt_trend_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     states = arr.select(
         F.col("n_months"), F.explode(F.expr(fold)).alias("h")
     )
-    sse = states.agg(
-        F.sum(F.pow(F.col("h.y") - F.col("h.fit"), 2)).alias("_sse")
-    )
+    # per-month squared residuals are bit-identical cross-engine (y is
+    # integer-cent exact, fit replays the fold bit-for-bit), but a raw
+    # DOUBLE sum of them is association-ordered — at sf1 the ~1e16-scale
+    # SSE differed by 1 ULP between Spark's partial sums and DuckDB's
+    # sequential sum, and round(·, 2) is a no-op at that magnitude
+    # (found by the sf1 cross-engine slice). Quantize each term to
+    # integer units first: bigint sums are order-free on both engines.
+    sq = F.round(F.pow(F.col("h.y") - F.col("h.fit"), 2), 0).cast("bigint")
+    sse = states.agg(F.sum(sq).alias("_sse"))
     return (
         states.crossJoin(F.broadcast(sse))
         .select(
@@ -16259,7 +16265,7 @@ h(rn, mon, y, l, b, fit) AS (
          h.l + h.b
   FROM h JOIN m ON m.rn = h.rn + 1
 ),
-sse AS (SELECT sum(pow(y - fit, 2)) AS s, count(*)::BIGINT AS n FROM h)
+sse AS (SELECT sum(round(pow(y - fit, 2))::BIGINT) AS s, count(*)::BIGINT AS n FROM h)
 SELECT mon, round(y, 2) AS revenue, round(l, 4) AS level,
        round(b, 4) AS trend, round(fit, 4) AS fitted,
        round(sse.s / sse.n, 2) AS mse_all
