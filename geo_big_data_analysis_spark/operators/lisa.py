@@ -93,6 +93,15 @@ def local_morans_i(
 #: rows and nothing driver-side grows with n.
 Z_POOL_CAP = 1_000_000
 
+#: In the distributed exact-pool path, the indexed z-table is sent as a
+#: broadcast-join side (executor-resident, ~16 B/row — ≤ 128 MB at the
+#: cap) while it fits, so the n·permutations·k draw rows never shuffle
+#: for the lookup: the join is map-side and the partial aggregate
+#: collapses k slots per (id, perm) in place before the only shuffle.
+#: Past the cap the same plan degrades to a shuffle hash join — the
+#: asymptotic shape; nothing else changes.
+BCAST_POOL_CAP = 8_000_000
+
 
 def lisa_permutation_pvalues(
     lisa: DataFrame,
@@ -179,8 +188,12 @@ def lisa_permutation_pvalues_dist(
     deterministic hash index ``pmod(xxhash64(id, perm, slot, seed),
     n-1)`` shifted past the point's own position (exact self-exclusion),
     and drawn z-values arrive through an integer equi-join against the
-    indexed z-table instead of a broadcast pool. perm-lag, tail counts,
-    and p_sim are plain hash aggregates — the whole plan is codegen,
+    indexed z-table instead of a broadcast *numpy* pool. While the
+    indexed table fits ``BCAST_POOL_CAP`` the equi-join side is
+    broadcast (map-side lookup — the draw rows never shuffle for it and
+    the k-slot partial average collapses in place); beyond the cap the
+    identical plan runs as a shuffle join. perm-lag, tail counts, and
+    p_sim are plain hash aggregates — the whole plan is codegen,
     shuffles keyed on small ints.
 
     Deviation from esda, documented: slots within one permutation draw
@@ -206,10 +219,17 @@ def lisa_permutation_pvalues_dist(
     n = idx.count()
     zpool = idx.select(F.col("_pos").alias("_draw"), F.col("z").alias("_zj"))
 
+    # One fused explode over perm×slot (hash inputs — int _perm, int
+    # _slot — are bit-identical to the former nested explodes, verified
+    # by stream comparison), so the n·permutations·k rows are generated
+    # in a single codegen'd pass.
     draws = (
         idx.select("id", "_pos")
-        .withColumn("_perm", F.explode(F.sequence(F.lit(0), F.lit(permutations - 1))))
-        .withColumn("_slot", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .withColumn(
+            "_ps", F.explode(F.sequence(F.lit(0), F.lit(permutations * k - 1)))
+        )
+        .withColumn("_perm", (F.col("_ps") / F.lit(k)).cast("int"))
+        .withColumn("_slot", F.col("_ps") % F.lit(k))
         .withColumn(
             "_draw",
             F.pmod(
@@ -222,8 +242,9 @@ def lisa_permutation_pvalues_dist(
         .withColumn("_draw", F.col("_draw") + (F.col("_draw") >= F.col("_pos")).cast("bigint"))
         .select("id", "_perm", "_draw")
     )
+    lookup = F.broadcast(zpool) if n <= BCAST_POOL_CAP else zpool
     perm_lag = (
-        draws.join(zpool, "_draw")
+        draws.join(lookup, "_draw")
         .groupBy("id", "_perm")
         .agg(F.avg("_zj").alias("_plag"))
     )
@@ -232,7 +253,7 @@ def lisa_permutation_pvalues_dist(
         (F.col("z") / F.lit(m2)).alias("_zm"),
     )
     tails = (
-        perm_lag.join(obs, "id")
+        perm_lag.join(F.broadcast(obs) if n <= BCAST_POOL_CAP else obs, "id")
         .withColumn("_perm_i", F.col("_zm") * F.col("_plag"))
         .groupBy("id")
         .agg(

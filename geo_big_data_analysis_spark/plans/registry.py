@@ -7029,16 +7029,23 @@ def q_lisa_perm_band_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_b = lisa_permutation_pvalues(lisa, k=5, permutations=999, seed=42)
     p_d = lisa_permutation_pvalues_dist(lisa, k=5, permutations=999, seed=42)
 
-    def stats(p):
-        r = p.agg(
+    # Both legs' summary stats in ONE action: tag + union lets Spark
+    # schedule the broadcast-pool and distributed branches in the same
+    # job instead of two serial collects.
+    both = (
+        p_b.withColumn("_leg", F.lit("b"))
+        .unionByName(p_d.withColumn("_leg", F.lit("d")))
+        .groupBy("_leg")
+        .agg(
             F.count(F.lit(1)).alias("n"),
             F.avg("p_sim").alias("mean_p"),
             F.avg((F.col("p_sim") <= 0.05).cast("double")).alias("sig_share"),
             F.sum(((F.col("p_sim") > 0) & (F.col("p_sim") <= 1)).cast("bigint")).alias("ok"),
-        ).collect()[0]
-        return r
-
-    sb, sd = stats(p_b), stats(p_d)
+        )
+        .collect()
+    )
+    legs = {r["_leg"]: r for r in both}
+    sb, sd = legs["b"], legs["d"]
     return spark.createDataFrame(
         [
             ("dist_covers_all_points", bool(sd["n"] == sb["n"]), int(sd["n"])),
