@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from .sentiment_lexicon_ext import EXTENDED_VALENCES_2
 from .sentiment_lexicon_ext3 import EXTENDED_VALENCES_3
+from .sentiment_lexicon_ext4 import EXTENDED_VALENCES_4
 from .text import clean_text, tokens
 
 # word -> (polarity, subjectivity); valences follow common sentiment
@@ -248,9 +249,10 @@ _EXTENDED_VALENCES: dict[str, tuple[float, float]] = {
 }
 
 PATTERN_LEXICON: dict[str, tuple[float, float, float]] = {
-    # tier 3 then tier 2 (checked-in data files, 952 + 940 entries)
-    # merge FIRST — the curated tier-1 extension and the
+    # tier 4, then 3, then 2 (checked-in data files: 923 + 952 + 940
+    # entries) merge FIRST — the curated tier-1 extension and the
     # TextBlob-pinned parity tier always win on overlap
+    **{w: (p, s, 1.0) for w, (p, s) in EXTENDED_VALENCES_4.items()},
     **{w: (p, s, 1.0) for w, (p, s) in EXTENDED_VALENCES_3.items()},
     **{w: (p, s, 1.0) for w, (p, s) in EXTENDED_VALENCES_2.items()},
     **{w: (p, s, 1.0) for w, (p, s) in _EXTENDED_VALENCES.items()},

@@ -5021,6 +5021,102 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+def q_webp_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WebP-lossless round-trip (the VP8L codec `sources/webp.py`
+    — RFC 9649 §4 — continuing the PNG/JPEG/BMP image-codec family): a
+    deterministic 16×16 RGB grid per probe doc —
+    r(y, x) = (doc_id·17 + y·7 + x·3) mod 256,
+    g(y, x) = (doc_id·31 + y·16 + x·7) mod 256,
+    b(y, x) = (doc_id·13 + y·5 + x·11) mod 256 —
+    is ENCODED to a RIFF/WEBP VP8L bitstream (canonical prefix codes
+    built per channel by package-merge) and DECODED back through the
+    production path `multimodal.decode_media(payload, "image")` inside
+    one Arrow-batched mapInPandas; equality is asserted per image and
+    the decoded pixels' integer sums/extrema aggregate per source.
+
+    The oracle never sees a WebP: it recomputes the statistics from the
+    grid's closed-form arithmetic — a hash match proves the prefix-code
+    round-trip lossless cross-engine. Probe set doc_id % 59 = 0
+    (bounded per-image Python, the `png_roundtrip_stats` pattern)."""
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 59 == 0).select(
+        "doc_id", "source"
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from ..sources.multimodal import decode_media
+        from ..sources.webp import write_webp
+
+        for pdf in batches:
+            out = []
+            for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+                d = int(doc_id)
+                y, x = np.mgrid[0:16, 0:16]
+                img = np.stack(
+                    [
+                        (d * 17 + y * 7 + x * 3) % 256,
+                        (d * 31 + y * 16 + x * 7) % 256,
+                        (d * 13 + y * 5 + x * 11) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                px = decode_media(write_webp(img), "image")
+                if not np.array_equal(px, img):  # codec must be lossless
+                    raise ValueError(f"WebP round-trip corrupted doc {d}")
+                out.append(
+                    (
+                        d,
+                        source,
+                        int(px.astype(np.int64).sum()),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "source", "px_sum", "px_min", "px_max"]
+            )
+
+    per_doc = docs.mapInPandas(
+        gen, "doc_id bigint, source string, px_sum bigint, px_min int, px_max int"
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(
+                F.sum("px_sum") / (F.count(F.lit(1)) * 768), 6
+            ).alias("avg_px_mean"),
+            F.min("px_min").alias("min_px"),
+            F.max("px_max").alias("max_px"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_WEBP_ROUNDTRIP = """
+WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 59 = 0),
+px AS (
+  SELECT d.doc_id, d.source, ch.v AS px
+  FROM d, range(16) y, range(16) x,
+       LATERAL (VALUES ((d.doc_id * 17 + y.range * 7 + x.range * 3) % 256),
+                       ((d.doc_id * 31 + y.range * 16 + x.range * 7) % 256),
+                       ((d.doc_id * 13 + y.range * 5 + x.range * 11) % 256)) ch(v)
+),
+per_doc AS (
+  SELECT doc_id, source, sum(px)::BIGINT AS px_sum,
+         min(px) AS mn, max(px) AS mx
+  FROM px GROUP BY 1, 2
+)
+SELECT source, count(*)::BIGINT AS n_images,
+       round(sum(px_sum)::DOUBLE / (count(*) * 768), 6) AS avg_px_mean,
+       min(mn)::INT AS min_px, max(mx)::INT AS max_px
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 def q_mp3_frame_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MPEG-audio metadata walk (`sources/mp3.py`, ISO/IEC
     11172-3 §2.4.1): per probe doc a spec-valid Layer III stream of 6
@@ -17935,6 +18031,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "flac_roundtrip_stats": (q_flac_roundtrip_stats, _SQL_FLAC_ROUNDTRIP),
     "mp4_sample_manifest": (q_mp4_sample_manifest, _SQL_MP4_MANIFEST),
     "mjpeg_mp4_frame_stats": (q_mjpeg_mp4_frame_stats, _SQL_MJPEG_MP4),
+    "webp_roundtrip_stats": (q_webp_roundtrip_stats, _SQL_WEBP_ROUNDTRIP),
     "mp3_frame_census": (q_mp3_frame_census, _SQL_MP3_CENSUS),
     "wav_roundtrip_stats": (q_wav_roundtrip_stats, _SQL_WAV_ROUNDTRIP),
     "gif_roundtrip_stats": (q_gif_roundtrip_stats, _SQL_GIF_ROUNDTRIP),

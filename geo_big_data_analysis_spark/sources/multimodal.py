@@ -4,8 +4,9 @@ A 100 TB training-data pipeline carries images/audio/video as opaque
 ``binary`` columns with typed metadata, decoding only inside Arrow
 batches. This module implements that plumbing for real — schema
 convention, mapInPandas batch shape, deterministic feature extraction.
-The IMAGE path is real for PNG (incl. Adam7), baseline JPEG, and BMP
-(`sources/png.py` / `jpeg.py` / `bmp.py`); AUDIO is real for
+The IMAGE path is real for PNG (incl. Adam7), baseline JPEG, BMP, and
+lossless WebP/VP8L (`sources/png.py` / `jpeg.py` / `bmp.py` /
+`webp.py`); AUDIO is real for
 PCM/float/G.711 WAV and compressed FLAC (`sources/wav.py` /
 `flac.py`); VIDEO is real at the pixel level for animated GIF
 (`sources/gif.py`) AND for MJPEG-in-MP4 (sample slicing via
@@ -15,7 +16,7 @@ sample-table parse + re-mux, the layer a curation job actually
 touches. MP3 streams get a real frame-header walk (`sources/mp3.py`,
 duration/bitrate metadata without audio decode). ``resize_image``
 does a true decode→resample→re-encode round-trip. Codec *pixel*
-decode beyond these (H.264, WebP, MP3 audio…) raises
+decode beyond these (H.264, lossy WebP, MP3 audio…) raises
 NotImplementedError naming the swap-in point, and ``FAKE_DECODE``
 substitutes a deterministic byte-level "decode" so those stages stay
 testable without the libraries.
@@ -83,6 +84,7 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
         from .bmp import is_bmp, read_bmp
         from .jpeg import is_jpeg, read_jpeg
         from .png import is_png, read_png
+        from .webp import is_webp, read_webp
 
         if is_png(payload):
             return read_png(payload)
@@ -90,10 +92,13 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
             return read_jpeg(payload)
         if is_bmp(payload):
             return read_bmp(payload)
+        if is_webp(payload):
+            return read_webp(payload)
         raise NotImplementedError(
-            "non-PNG/JPEG/BMP image payload: install pillow for WebP/... "
-            "(PNG incl. Adam7, baseline JPEG, and BMP decode natively via "
-            "sources/png.py, sources/jpeg.py, sources/bmp.py)"
+            "non-PNG/JPEG/BMP/WebP-lossless image payload: install pillow "
+            "for lossy WebP/AVIF/... (PNG incl. Adam7, baseline JPEG, BMP, "
+            "and VP8L WebP decode natively via sources/png.py, jpeg.py, "
+            "bmp.py, webp.py)"
         )
     if media_type == "audio":
         from .flac import is_flac, read_flac

@@ -22,6 +22,9 @@ from geo_big_data_analysis_spark.functions.sentiment_lexicon_ext import (
 from geo_big_data_analysis_spark.functions.sentiment_lexicon_ext3 import (
     EXTENDED_VALENCES_3,
 )
+from geo_big_data_analysis_spark.functions.sentiment_lexicon_ext4 import (
+    EXTENDED_VALENCES_4,
+)
 
 #: words the TextBlob-pinned parity phrases use as unknown sentinels
 _PARITY_SENTINELS = {"the", "weather", "report", "arrived", "and", "food", "staff"}
@@ -36,10 +39,12 @@ def _lab4_template_vocab() -> set[str]:
     return vocab
 
 
-def test_lexicon_size_at_least_2000():
-    assert len(PATTERN_LEXICON) >= 2000
+def test_lexicon_size_at_pattern_en_scale():
+    # pattern-en's en-sentiment.xml carries ~2,900 single-word entries
+    assert len(PATTERN_LEXICON) >= 2900
     assert len(EXTENDED_VALENCES_2) >= 900
     assert len(EXTENDED_VALENCES_3) >= 900
+    assert len(EXTENDED_VALENCES_4) >= 900
 
 
 def test_tier3_adds_only_new_words():
@@ -52,15 +57,26 @@ def test_tier3_adds_only_new_words():
     assert not dead, sorted(dead)[:10]
 
 
+def test_tier4_adds_only_new_words():
+    earlier = (
+        set(LEXICON)
+        | set(_EXTENDED_VALENCES)
+        | set(EXTENDED_VALENCES_2)
+        | set(EXTENDED_VALENCES_3)
+    )
+    dead = set(EXTENDED_VALENCES_4) & earlier
+    assert not dead, sorted(dead)[:10]
+
+
 def test_words_are_sql_safe_lowercase_tokens():
     # embedded verbatim in SQL literals by the oracle generators
-    for tier in (EXTENDED_VALENCES_2, EXTENDED_VALENCES_3):
+    for tier in (EXTENDED_VALENCES_2, EXTENDED_VALENCES_3, EXTENDED_VALENCES_4):
         for w in tier:
             assert re.fullmatch(r"[a-z]+", w), w
 
 
 def test_value_ranges():
-    for tier in (EXTENDED_VALENCES_2, EXTENDED_VALENCES_3):
+    for tier in (EXTENDED_VALENCES_2, EXTENDED_VALENCES_3, EXTENDED_VALENCES_4):
         for w, (p, s) in tier.items():
             assert -1.0 <= p <= 1.0, (w, p)
             assert 0.0 <= s <= 1.0, (w, s)
@@ -75,7 +91,11 @@ def test_no_new_lab4_template_or_parity_words():
         (_lab4_template_vocab() | _PARITY_SENTINELS | set(NEGATIONS))
         - older_tiers
     )
-    clash = (set(EXTENDED_VALENCES_2) | set(EXTENDED_VALENCES_3)) & forbidden
+    clash = (
+        set(EXTENDED_VALENCES_2)
+        | set(EXTENDED_VALENCES_3)
+        | set(EXTENDED_VALENCES_4)
+    ) & forbidden
     assert not clash, sorted(clash)
 
 
