@@ -244,6 +244,7 @@ HEADLINE = [
     "ivfpq_index_build",
     "ivfpq_probe_stored",
     "lisa_perm_band_dist",
+    "webp_roundtrip_stats",
 ]
 
 

@@ -5597,7 +5597,10 @@ def q_dup_ngram_share_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # interpreted HOF lambdas, the single dominant cost here
         .localCheckpoint(eager=False)
     )
-    idx = sh.groupBy("sh").agg(F.count_distinct("doc_id").alias("df"))
+    # (doc_id, sh) pairs are unique by construction (array_distinct
+    # upstream), so document frequency is a plain count — no
+    # count_distinct dedup buffer needed
+    idx = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         sh.join(idx, "sh")
         .groupBy("doc_id", "source")

@@ -206,9 +206,10 @@ def resize_image(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
     rewritten to match — the metadata-consistency contract a real
     resizer must keep. Non-image rows pass through unchanged.
 
-    PNG payloads are resized FOR REAL: decoded through the pure-Python
-    reader (`sources/png.py`), nearest-neighbor-resampled on the true
-    pixel grid (all channels), and re-encoded as PNG — a full
+    PNG and lossless-WebP payloads are resized FOR REAL: decoded
+    through the pure-Python readers (`sources/png.py` /
+    `sources/webp.py`), nearest-neighbor-resampled on the true pixel
+    grid (all channels), and re-encoded in their own format — a full
     decode→transform→encode round-trip with no image library. Other
     payloads fall back to the deterministic byte-grid resample
     (row-major width×height view, trimmed/padded to a full grid) so the
@@ -218,6 +219,7 @@ def resize_image(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .png import is_png, read_png, write_png
+        from .webp import is_webp, read_webp, write_webp
 
         for pdf in batches:
             payloads, medias = [], []
@@ -234,6 +236,12 @@ def resize_image(df: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
                     ys = (np.arange(out_h) * h // out_h).astype(int)
                     xs = (np.arange(out_w) * w // out_w).astype(int)
                     payloads.append(write_png(px[np.ix_(ys, xs)]))
+                elif is_webp(p):
+                    px = read_webp(p)
+                    h, w = px.shape[0], px.shape[1]
+                    ys = (np.arange(out_h) * h // out_h).astype(int)
+                    xs = (np.arange(out_w) * w // out_w).astype(int)
+                    payloads.append(write_webp(px[np.ix_(ys, xs)]))
                 elif m["width"] and m["height"]:
                     w, h = int(m["width"]), int(m["height"])
                     raw = np.frombuffer(p, dtype=np.uint8)

@@ -111,6 +111,8 @@ class _BitWriter:
         self.bitpos = 0
 
     def write(self, value: int, n: int) -> None:
+        if not 0 <= value < (1 << n):
+            raise ValueError(f"value {value} does not fit in {n} bits")
         for i in range(n):
             if self.bitpos == 0:
                 self.bytes.append(0)
@@ -234,6 +236,8 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> list[int]:
             sym1 = br.read(8)
             if sym0 >= alphabet_size or sym1 >= alphabet_size:
                 raise ValueError("simple-code symbol out of range")
+            if sym1 == sym0:
+                raise ValueError("simple code repeats a symbol")
             lengths[sym0] = 1
             lengths[sym1] = 1
         else:

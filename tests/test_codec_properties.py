@@ -228,3 +228,32 @@ def test_ima_adpcm_unit_slope_exact(seed, n, n_ch, start):
     assert rate == 8000
     assert dec.shape == sig.shape
     assert np.array_equal(dec, sig)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    channels=st.sampled_from([3, 4]),
+    palette_like=st.booleans(),
+)
+def test_webp_roundtrip_lossless(seed, h, w, channels, palette_like):
+    """VP8L encode/decode round-trips exactly for arbitrary RGB/RGBA
+    content; palette_like draws from a 4-value alphabet to exercise the
+    simple-prefix-code (1-2 symbol) encoder paths."""
+    from geo_big_data_analysis_spark.sources.webp import read_webp, write_webp
+
+    rng = np.random.RandomState(seed)
+    if palette_like:
+        img = np.asarray([0, 85, 170, 255], dtype=np.uint8)[
+            rng.randint(0, 4, (h, w, channels))
+        ]
+    else:
+        img = rng.randint(0, 256, (h, w, channels)).astype(np.uint8)
+    out = read_webp(write_webp(img))
+    want = img
+    if channels == 4 and (img[:, :, 3] == 255).all():
+        want = img[:, :, :3]  # opaque alpha collapses to RGB by contract
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, want)

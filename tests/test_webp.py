@@ -435,6 +435,36 @@ def test_meta_prefix_two_groups():
     assert list(out[0, :, 0]) == [1, 1, 1, 1, 3, 3, 3, 3]
 
 
+def test_decode_media_routes_webp():
+    from geo_big_data_analysis_spark.sources.multimodal import decode_media
+
+    img = _rng(21).integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    assert np.array_equal(decode_media(write_webp(img), "image"), img)
+
+
+def test_resize_image_webp_roundtrip(spark):
+    """WebP payloads resize on the true pixel grid and re-encode as
+    lossless WebP; metadata follows (the PNG resize contract)."""
+    from geo_big_data_analysis_spark.sources.multimodal import resize_image
+
+    base = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    df = spark.createDataFrame(
+        [(1, bytearray(write_webp(base)))], "item_id bigint, payload binary"
+    ).selectExpr(
+        "item_id",
+        "payload",
+        "named_struct('media_type', 'image', 'width', 8, 'height', 8,"
+        " 'sample_rate', CAST(NULL AS INT), 'n_frames', CAST(NULL AS INT))"
+        " AS media",
+    )
+    out = resize_image(df, out_w=4, out_h=2).collect()[0]
+    assert out["media"]["width"] == 4 and out["media"]["height"] == 2
+    got = read_webp(bytes(out["payload"]))
+    ys = (np.arange(2) * 8 // 2).astype(int)
+    xs = (np.arange(4) * 8 // 4).astype(int)
+    assert np.array_equal(got, base[np.ix_(ys, xs)])
+
+
 def test_truncated_stream_raises():
     img = _rng(11).integers(0, 256, (8, 8, 3), dtype=np.uint8)
     enc = write_webp(img)
