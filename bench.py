@@ -245,6 +245,8 @@ HEADLINE = [
     "ivfpq_probe_stored",
     "lisa_perm_band_dist",
     "webp_roundtrip_stats",
+    "minhash_index_build",
+    "near_dup_probe_stored",
 ]
 
 
@@ -278,20 +280,41 @@ def main() -> None:
     # marker.
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
 
-    # Code-independent CPU calibration marker: a fixed 1200x1200 numpy
-    # matmul (median of 5). The SAME code on the SAME data can time
-    # 1.3x apart round-to-round purely from host CPU sharing (seen
-    # r3 judge-vs-builder AND r4 late-vs-early); this marker lets a
-    # cross-round comparison normalize machine speed out.
+    # Code-independent CPU calibration markers. The SAME code on the
+    # SAME data can time 1.3x apart round-to-round purely from host CPU
+    # sharing (seen r3 judge-vs-builder AND r4 late-vs-early); these
+    # let a cross-round comparison normalize machine speed out.
+    #   cpu_marker_sec    — 1200x1200 numpy matmul: aggregate BLAS
+    #     throughput. Two warmup runs are DISCARDED (thread-pool spinup
+    #     made the r5 first-session record's median 10x its steady
+    #     state) and the median of the next 5 is kept; still sensitive
+    #     to concurrent core usage by design (it measures what's left
+    #     for parallel work).
+    #   cpu_marker_st_sec — single-thread pure-Python loop under
+    #     perf_counter: immune to BLAS threading and far less sensitive
+    #     to sibling load; the stabler normalizer for benchcompare.
     import numpy as _np
 
     _a = _np.ones((1200, 1200))
+    for _ in range(2):
+        _a @ _a  # BLAS/thread-pool warmup, discarded
     _cal = []
     for _ in range(5):
         _t0 = time.time()
         _a @ _a
         _cal.append(time.time() - _t0)
     cpu_marker = round(statistics.median(_cal), 4)
+
+    def _st_loop() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(2_000_000):
+            s += i * i
+        _ = s
+        return time.perf_counter() - t0
+
+    _st_loop()  # bytecode/alloc warmup, discarded
+    cpu_marker_st = round(statistics.median(_st_loop() for _ in range(5)), 4)
 
     load_before = os.getloadavg()
     times: dict[str, float] = {}
@@ -333,6 +356,7 @@ def main() -> None:
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],
                 "cpu_marker_sec": cpu_marker,
+                "cpu_marker_st_sec": cpu_marker_st,
                 "sf": sf,
                 "n_queries": len(times),
             },
@@ -350,6 +374,7 @@ def main() -> None:
                 "iters": iters,
                 "median_sec": round(sorted(times.values())[len(times) // 2], 3),
                 "cpu_marker_sec": cpu_marker,
+                "cpu_marker_st_sec": cpu_marker_st,
                 "slowest": {k: v for k, v in slowest},
                 "detail": "BENCH_DETAIL.json",
                 "queries": {"_total": total},

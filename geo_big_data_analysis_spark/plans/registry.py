@@ -1351,6 +1351,236 @@ FROM flagged GROUP BY bucket ORDER BY bucket
 )
 
 
+_MH_IDX_HASHES, _MH_IDX_BANDS, _MH_IDX_MOD, _MH_IDX_TAU = 16, 8, 10, 0.3
+
+
+def _mh_probe_shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, h) hashed 2-gram shingle rows with the index's
+    exact cross-engine hash (`sources/ann_index.shingle_hash_expr`)."""
+    from ..sources.ann_index import shingle_hash_expr
+
+    toks = docs.withColumn(
+        "_toks", F.expr("filter(split(text, ' '), x -> x <> '')")
+    ).filter(F.size("_toks") >= 2)
+    return toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(_toks) - 2),"
+                " i -> concat_ws(' ', _toks[i], _toks[i + 1])))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "source", F.expr(shingle_hash_expr()).alias("h"))
+
+
+def q_minhash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP INDEX AS ARTIFACT — the MinHash-LSH twin of
+    `ivfpq_index_build`: sketch the BASE corpus split (doc_id % 10 ≠ 0,
+    the already-curated side) ONCE and persist it — band-bucket table
+    (doc_id, band, m0, m1) + hashed shingle rows + meta.json
+    (`sources/ann_index.build_minhash_index`, fingerprint-keyed cache).
+    The returned manifest is computed FROM THE STORED ARTIFACT (read
+    back off disk): per band, the row count, distinct-bucket count, and
+    order-free integer sums over the two row-min columns. The oracle
+    replays shingling, the md5-prefix hash, and all 16 permutations in
+    pure SQL — a hash match proves the persisted sketch bit-equal to a
+    from-scratch build. 100 TB shape: sketching is one pass + one
+    groupBy; every later ingest batch probes this table instead of
+    re-sketching the corpus."""
+    from ..sources.ann_index import ensure_minhash_index
+
+    bands, _sh, _meta = ensure_minhash_index(
+        spark, sf_dir, num_hashes=_MH_IDX_HASHES, bands=_MH_IDX_BANDS,
+        split_mod=_MH_IDX_MOD,
+    )
+    return (
+        bands.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("m0", "m1").alias("n_buckets"),
+            F.sum("m0").alias("sum_m0"),
+            F.sum("m1").alias("sum_m1"),
+        )
+        .orderBy("band")
+    )
+
+
+def q_near_dup_probe_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening against the STORED dedup index —
+    the build-once/probe-many shape a 100 TB ingest pipeline actually
+    runs: each NEW batch (the delta split, doc_id % 10 = 0) is sketched
+    with the index's own permutation family, candidates come from an
+    integer-tuple equi-join against the persisted band table (never
+    all-pairs, base corpus never re-sketched), and survivors are
+    exact-verified by hashed-shingle Jaccard against the persisted
+    shingle rows. Output: per delta-doc source, how much of the batch
+    duplicates the existing corpus.
+
+    The oracle never sees the artifact: it recomputes BOTH splits from
+    the documents table (same md5-prefix hash, same (a·h+b) mod P
+    integer permutations, same band-tuple rule, same τ) — a hash match
+    proves stored-probe ≡ recompute-from-scratch. avg_jaccard sums
+    6dp-quantized values in DECIMAL so reassociation can't flip the
+    rounding boundary."""
+    from ..sources.ann_index import ensure_minhash_index, minhash_sig_exprs
+
+    bands, base_sh, _meta = ensure_minhash_index(
+        spark, sf_dir, num_hashes=_MH_IDX_HASHES, bands=_MH_IDX_BANDS,
+        split_mod=_MH_IDX_MOD,
+    )
+    docs = _t(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % _MH_IDX_MOD == 0).select(
+        "doc_id", "source", "text"
+    )
+    dsh = _mh_probe_shingle_rows(delta).localCheckpoint(eager=False)
+    mins = ", ".join(minhash_sig_exprs(_MH_IDX_HASHES))
+    dsig = dsh.groupBy("doc_id").agg(
+        F.expr(f"array({mins})").alias("sig"),
+        F.first("source").alias("source"),
+        F.collect_set("h").alias("hs"),
+    )
+    dbands = dsig.select(
+        F.col("doc_id").alias("probe_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_MH_IDX_BANDS - 1}),"
+                " b -> struct(b AS band, sig[2 * b] AS m0, sig[2 * b + 1] AS m1))"
+            )
+        ).alias("_b"),
+    ).select("probe_id", "_b.band", "_b.m0", "_b.m1")
+    cand = (
+        dbands.join(bands, ["band", "m0", "m1"])
+        .select("probe_id", F.col("doc_id").alias("base_id"))
+        .distinct()
+    )
+    base_sets = (
+        base_sh.join(
+            cand.select(F.col("base_id").alias("doc_id")).distinct(), "doc_id"
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs_b"))
+    )
+    verified = (
+        cand.join(
+            dsig.select(
+                F.col("doc_id").alias("probe_id"), "source", "hs"
+            ),
+            "probe_id",
+        )
+        .join(base_sets.withColumnRenamed("doc_id", "base_id"), "base_id")
+        .withColumn("_i", F.size(F.array_intersect("hs", "hs_b")))
+        .withColumn(
+            "jr",
+            F.round(
+                F.col("_i") / (F.size("hs") + F.size("hs_b") - F.col("_i")), 6
+            ),
+        )
+        .filter(F.col("jr") >= _MH_IDX_TAU)
+    )
+    return (
+        verified.groupBy("source")
+        .agg(
+            F.count_distinct("probe_id").alias("n_matched_docs"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jr").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_jaccard"),
+            F.max("jr").alias("max_jaccard"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mh_idx_sql_parts() -> tuple[str, str]:
+    mins = ", ".join(
+        f"min((h * {(2654435761 * (j + 1)) % 2_147_483_647}"
+        f" + {40503 * (j + 1) % 2_147_483_647}) % 2147483647)"
+        for j in range(_MH_IDX_HASHES)
+    )
+    sh = """
+t{side} AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 10 {op} 0
+),
+sh{side} AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_distinct([array_to_string(toks[i:i+1], ' ')
+                                 for i in range(1, len(toks))])) AS s
+    FROM t{side} WHERE len(toks) >= 2
+  )
+)"""
+    return mins, sh
+
+
+_SQL_MINHASH_INDEX_BUILD = """
+WITH {base_ctes},
+sig AS (
+  SELECT doc_id, [{mins}] AS sig FROM shb GROUP BY doc_id
+),
+rows_ AS (
+  SELECT b.range AS band, sig[b.range * 2 + 1] AS m0, sig[b.range * 2 + 2] AS m1
+  FROM sig, range({bands}) b
+)
+SELECT band::INT AS band, count(*)::BIGINT AS n_rows,
+       count(DISTINCT (m0, m1))::BIGINT AS n_buckets,
+       sum(m0)::BIGINT AS sum_m0, sum(m1)::BIGINT AS sum_m1
+FROM rows_ GROUP BY band ORDER BY band
+""".format(
+    base_ctes=_mh_idx_sql_parts()[1].format(side="b", op="!="),
+    mins=_mh_idx_sql_parts()[0],
+    bands=_MH_IDX_BANDS,
+)
+
+
+_SQL_NEAR_DUP_PROBE = """
+WITH {base_ctes},
+{delta_ctes},
+sigb AS (
+  SELECT doc_id, [{mins}] AS sig, list_distinct(list(h)) AS hs
+  FROM shb GROUP BY doc_id
+),
+sigd AS (
+  SELECT doc_id, any_value(source) AS source, [{mins}] AS sig,
+         list_distinct(list(h)) AS hs
+  FROM shd GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT d.doc_id AS probe_id, b.doc_id AS base_id
+  FROM sigd d, sigb b, range({bands}) r
+  WHERE d.sig[r.range * 2 + 1] = b.sig[r.range * 2 + 1]
+    AND d.sig[r.range * 2 + 2] = b.sig[r.range * 2 + 2]
+),
+verified AS (
+  SELECT d.source,
+         c.probe_id,
+         round(len(list_intersect(d.hs, b.hs))::DOUBLE
+               / (len(d.hs) + len(b.hs) - len(list_intersect(d.hs, b.hs))),
+               6) AS jr
+  FROM cand c
+  JOIN sigd d ON d.doc_id = c.probe_id
+  JOIN sigb b ON b.doc_id = c.base_id
+)
+SELECT source, count(DISTINCT probe_id)::BIGINT AS n_matched_docs,
+       count(*)::BIGINT AS n_pairs,
+       round(sum(jr::DECIMAL(20,10))::DOUBLE / count(*), 6) AS avg_jaccard,
+       max(jr) AS max_jaccard
+FROM verified WHERE jr >= {tau}
+GROUP BY source ORDER BY source
+""".format(
+    base_ctes=_mh_idx_sql_parts()[1].format(side="b", op="!="),
+    delta_ctes=_mh_idx_sql_parts()[1].format(side="d", op="=").lstrip(",\n"),
+    mins=_mh_idx_sql_parts()[0],
+    bands=_MH_IDX_BANDS,
+    tau=_MH_IDX_TAU,
+)
+
+
 def q_near_dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster census: MinHash-LSH near-dup pairs (Jaccard ≥
     0.8) grouped into duplicate clusters via connected components
@@ -17972,6 +18202,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "exact_dedup_docs": (q_exact_dedup_docs, _SQL_DEDUP),
     "minhash_near_dup_docs": (q_minhash_near_dup_docs, _SQL_MINHASH_NEAR_DUP),
     "lsh_sensitivity_report": (q_lsh_sensitivity_report, _SQL_LSH_SENSITIVITY),
+    "minhash_index_build": (q_minhash_index_build, _SQL_MINHASH_INDEX_BUILD),
+    "near_dup_probe_stored": (q_near_dup_probe_stored, _SQL_NEAR_DUP_PROBE),
     "near_dup_clusters_docs": (q_near_dup_clusters_docs, _SQL_NEAR_DUP_CLUSTERS),
     "training_corpus_pipeline": (q_training_corpus_pipeline, _SQL_CORPUS_PIPELINE),
     "simhash_docs": (q_simhash_docs, _sql_simhash()),

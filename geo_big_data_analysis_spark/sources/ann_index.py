@@ -128,6 +128,151 @@ def load_ivfpq_index(
     return codes, centers, meta["codebooks"], meta
 
 
+#: MinHash permutation modulus (2^31 − 1; keeps a·h + b inside int64)
+MINHASH_P = 2_147_483_647
+
+
+def _table_fingerprint(sf_dir: str, table: str) -> str:
+    """Size + mtime change-detector (the `_embeddings_fingerprint`
+    idiom) for any fixture table."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return f"{st.st_size}_{int(st.st_mtime)}"
+    total, mtime = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            st = os.stat(os.path.join(root, f))
+            total += st.st_size
+            mtime = max(mtime, int(st.st_mtime))
+    return f"{total}_{mtime}"
+
+
+def minhash_sig_exprs(num_hashes: int) -> list[str]:
+    """The cross-engine MinHash permutation family over the md5-prefix
+    shingle hash ``h``: min over pmod(A_j·h + B_j, P) with
+    A_j = 2654435761·(j+1) mod P, B_j = 40503·(j+1) mod P — the exact
+    integer arithmetic DuckDB replays bit-identically
+    (`lsh_sensitivity_report` idiom)."""
+    out = []
+    for j in range(num_hashes):
+        a = (2654435761 * (j + 1)) % MINHASH_P
+        b = (40503 * (j + 1)) % MINHASH_P
+        out.append(f"min(pmod(h * {a}L + {b}L, {MINHASH_P}L))")
+    return out
+
+
+def shingle_hash_expr() -> str:
+    """2-gram word-shingle rows hashed to the md5-prefix bigint (the
+    cross-engine `simhash_docs` idiom)."""
+    return (
+        "cast(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+        f" % {MINHASH_P}"
+    )
+
+
+def build_minhash_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    fingerprint: str = "",
+) -> dict:
+    """Sketch + persist the dedup index for the BASE corpus side:
+
+    - ``bands/``    parquet (doc_id, band, m0, m1) — the LSH bucket
+      table; candidate generation is an integer-tuple equi-join
+    - ``shingles/`` parquet (doc_id, h) — the hashed shingle rows the
+      exact-Jaccard verify stage reads (8-byte keys, never raw text)
+    - ``meta.json`` params + fingerprint
+
+    ``docs`` must carry (doc_id, text). rows_per_band is fixed at 2
+    (num_hashes = 2·bands), the corpus-dedup configuration the
+    sensitivity report grades."""
+    if num_hashes != 2 * bands:
+        raise ValueError("minhash index expects num_hashes == 2 * bands")
+    toks = docs.withColumn(
+        "_toks", F.expr("filter(split(text, ' '), x -> x <> '')")
+    ).filter(F.size("_toks") >= 2)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(_toks) - 2),"
+                " i -> concat_ws(' ', _toks[i], _toks[i + 1])))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.expr(shingle_hash_expr()).alias("h"))
+    sh.write.mode("overwrite").parquet(os.path.join(index_dir, "shingles"))
+    mins = ", ".join(minhash_sig_exprs(num_hashes))
+    sig = sh.groupBy("doc_id").agg(F.expr(f"array({mins})").alias("sig"))
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                " b -> struct(b AS band, sig[2 * b] AS m0, sig[2 * b + 1] AS m1))"
+            )
+        ).alias("_b"),
+    ).select("doc_id", "_b.band", "_b.m0", "_b.m1")
+    band_rows.write.mode("overwrite").parquet(os.path.join(index_dir, "bands"))
+    meta = {
+        "kind": "minhash_lsh",
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "rows_per_band": 2,
+        "shingle_n": 2,
+        "fingerprint": fingerprint,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_minhash_index(
+    spark: SparkSession, index_dir: str
+) -> tuple[DataFrame, DataFrame, dict]:
+    """(bands_df, shingles_df, meta) read back from the artifact."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    bands = spark.read.parquet(os.path.join(index_dir, "bands"))
+    shingles = spark.read.parquet(os.path.join(index_dir, "shingles"))
+    return bands, shingles, meta
+
+
+def ensure_minhash_index(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    split_mod: int,
+    base_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Load the stored dedup index over the BASE split of ``sf_dir``'s
+    documents (doc_id % split_mod != 0 — the corpus already curated),
+    building it if absent or stale. Same fingerprint-keyed cache
+    convention as `ensure_ivfpq_index`."""
+    from ..plans.registry import _t  # late import; avoids a cycle at module load
+
+    fp = _table_fingerprint(sf_dir, "documents")
+    tag = f"minhash_h{num_hashes}_b{bands}_mod{split_mod}_{fp}"
+    root = base_dir or os.path.join("spark-warehouse", "ann_index")
+    index_dir = os.path.join(root, tag)
+    meta_path = os.path.join(index_dir, "meta.json")
+    if not os.path.exists(meta_path):
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % split_mod != 0
+        ).select("doc_id", "text")
+        build_minhash_index(
+            spark, docs, index_dir, num_hashes=num_hashes, bands=bands,
+            fingerprint=fp,
+        )
+    return load_minhash_index(spark, index_dir)
+
+
 def ensure_ivfpq_index(
     spark: SparkSession,
     sf_dir: str,

@@ -110,3 +110,82 @@ def test_fingerprint_tracks_file_change(tmp_path):
     p.write_bytes(b"b" * 11)
     f2 = _embeddings_fingerprint(str(tmp_path))
     assert f1 != f2
+
+
+# ---------------------------------------------------------------------
+# MinHash-LSH dedup index (the build-once/probe-many dedup twin)
+
+MH = dict(num_hashes=16, bands=8)
+
+
+def test_minhash_build_load_roundtrip(spark, sf_dir, tmp_path_factory):
+    from geo_big_data_analysis_spark.sources.ann_index import (
+        build_minhash_index,
+        load_minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    ).select("doc_id", "text")
+    d = str(tmp_path_factory.mktemp("mh"))
+    meta = build_minhash_index(spark, docs, d, fingerprint="fp0", **MH)
+    bands, sh, meta2 = load_minhash_index(spark, d)
+    assert meta2 == meta and meta2["rows_per_band"] == 2
+    n_docs = docs.withColumn(
+        "_t", F.expr("filter(split(text, ' '), x -> x <> '')")
+    ).filter(F.size("_t") >= 2).count()
+    # exactly bands rows per sketchable doc
+    assert bands.count() == n_docs * MH["bands"]
+    assert bands.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0] == MH["bands"]
+    # shingle rows are distinct per doc and hash into [0, P)
+    P = 2_147_483_647
+    r = sh.agg(F.min("h"), F.max("h"), F.count(F.lit(1)),
+               F.count_distinct("doc_id", "h")).collect()[0]
+    assert 0 <= r[0] and r[1] < P and r[2] == r[3]
+
+
+def test_minhash_num_hashes_band_contract(spark, sf_dir, tmp_path_factory):
+    from geo_big_data_analysis_spark.sources.ann_index import build_minhash_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").limit(5)
+    with pytest.raises(ValueError):
+        build_minhash_index(
+            spark, docs, str(tmp_path_factory.mktemp("mhbad")),
+            num_hashes=16, bands=4,
+        )
+
+
+def test_minhash_ensure_caches(spark, sf_dir, tmp_path_factory):
+    from geo_big_data_analysis_spark.sources.ann_index import ensure_minhash_index
+
+    root = str(tmp_path_factory.mktemp("mh_root"))
+    b1, s1, m1 = ensure_minhash_index(
+        spark, sf_dir, split_mod=10, base_dir=root, **MH
+    )
+    dirs1 = set(os.listdir(root))
+    assert len(dirs1) == 1
+    _b2, _s2, m2 = ensure_minhash_index(
+        spark, sf_dir, split_mod=10, base_dir=root, **MH
+    )
+    assert set(os.listdir(root)) == dirs1 and m2 == m1
+    # a different split keys a different artifact
+    ensure_minhash_index(spark, sf_dir, split_mod=7, base_dir=root, **MH)
+    assert len(os.listdir(root)) == 2
+
+
+def test_minhash_sig_exprs_cross_engine(spark):
+    """The Spark signature arithmetic equals a direct integer replay
+    (the DuckDB oracle's formula) on a hand-built shingle-hash set."""
+    from geo_big_data_analysis_spark.sources.ann_index import (
+        MINHASH_P,
+        minhash_sig_exprs,
+    )
+
+    hs = [17, 9_999_991, 2_000_000_000, 12345]
+    df = spark.createDataFrame([(1, h) for h in hs], "doc_id int, h long")
+    mins = ", ".join(minhash_sig_exprs(4))
+    got = df.groupBy("doc_id").agg(F.expr(f"array({mins})").alias("sig")).collect()[0]["sig"]
+    for j in range(4):
+        a = (2654435761 * (j + 1)) % MINHASH_P
+        b = (40503 * (j + 1)) % MINHASH_P
+        assert got[j] == min((a * h + b) % MINHASH_P for h in hs)

@@ -54,15 +54,22 @@ def main() -> int:
         f"new total {tn:.1f}s  ratio {tn / to:.3f}x"
     )
     # Machine-speed normalization (VERDICT r4 "What's wrong" #1): when
-    # both records carry the code-independent cpu marker (fixed numpy
-    # matmul median), divide host speed out of the ratio. The same code
-    # has measured 1.3-1.8x apart across runs purely from host CPU
-    # sharing; the normalized ratio is the code-attributable part.
-    mo, mn = old.get("cpu_marker_sec"), new.get("cpu_marker_sec")
+    # both records carry a code-independent cpu marker, divide host
+    # speed out of the ratio. The same code has measured 1.3-1.8x apart
+    # across runs purely from host CPU sharing; the normalized ratio is
+    # the code-attributable part. The single-thread marker
+    # (cpu_marker_st_sec, r5 second session) is preferred — the matmul
+    # marker measures LEFTOVER parallel BLAS throughput and swung 10x
+    # under concurrent load on identical hosts.
+    kind = "st"
+    mo, mn = old.get("cpu_marker_st_sec"), new.get("cpu_marker_st_sec")
+    if not (mo and mn):
+        kind = "matmul"
+        mo, mn = old.get("cpu_marker_sec"), new.get("cpu_marker_sec")
     if mo and mn:
         norm = (tn / to) * (float(mo) / float(mn))
         print(
-            f"cpu markers: old {mo}s new {mn}s (host speed ratio "
+            f"cpu markers ({kind}): old {mo}s new {mn}s (host speed ratio "
             f"{float(mn) / float(mo):.2f}x) -> marker-normalized ratio {norm:.3f}x"
         )
     else:
