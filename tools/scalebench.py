@@ -80,6 +80,11 @@ SCALE_SET = [
     "pareto_user_share",
     # codec (bounded probe set by design — must stay ~linear in probes)
     "jpeg_roundtrip_stats",
+    # index-as-artifact (r5 second session): the stored-LSH incremental
+    # dedup probe — base corpus never re-sketched, delta ∝ n, candidate
+    # join against the persisted band table; the production ingest shape
+    "near_dup_probe_stored",
+    "minhash_index_build",
 ]
 
 #: FIXED-PARAM registry queries measured but NOT gated: their oracle
