@@ -1374,6 +1374,64 @@ def _mh_probe_shingle_rows(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "source", F.expr(shingle_hash_expr()).alias("h"))
 
 
+def _mh_probe_pairs(
+    delta: DataFrame, bands: DataFrame, base_sh: DataFrame
+) -> DataFrame:
+    """Verified near-dup pairs of a delta batch against the stored
+    index: (probe_id, source, base_id, jr) — sketch the batch with the
+    index's permutation family, candidates from the persisted band
+    table, exact hashed-shingle Jaccard ≥ τ. Shared by the batch query
+    and its foreachBatch streaming twin."""
+    from ..sources.ann_index import minhash_sig_exprs
+
+    dsh = _mh_probe_shingle_rows(delta).localCheckpoint(eager=False)
+    mins = ", ".join(minhash_sig_exprs(_MH_IDX_HASHES))
+    dsig = dsh.groupBy("doc_id").agg(
+        F.expr(f"array({mins})").alias("sig"),
+        F.first("source").alias("source"),
+        F.collect_set("h").alias("hs"),
+    )
+    dbands = dsig.select(
+        F.col("doc_id").alias("probe_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_MH_IDX_BANDS - 1}),"
+                " b -> struct(b AS band, sig[2 * b] AS m0, sig[2 * b + 1] AS m1))"
+            )
+        ).alias("_b"),
+    ).select("probe_id", "_b.band", "_b.m0", "_b.m1")
+    cand = (
+        dbands.join(bands, ["band", "m0", "m1"])
+        .select("probe_id", F.col("doc_id").alias("base_id"))
+        .distinct()
+    )
+    base_sets = (
+        base_sh.join(
+            cand.select(F.col("base_id").alias("doc_id")).distinct(), "doc_id"
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("hs_b"))
+    )
+    return (
+        cand.join(
+            dsig.select(
+                F.col("doc_id").alias("probe_id"), "source", "hs"
+            ),
+            "probe_id",
+        )
+        .join(base_sets.withColumnRenamed("doc_id", "base_id"), "base_id")
+        .withColumn("_i", F.size(F.array_intersect("hs", "hs_b")))
+        .withColumn(
+            "jr",
+            F.round(
+                F.col("_i") / (F.size("hs") + F.size("hs_b") - F.col("_i")), 6
+            ),
+        )
+        .filter(F.col("jr") >= _MH_IDX_TAU)
+        .select("probe_id", "source", "base_id", "jr")
+    )
+
+
 def q_minhash_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEDUP INDEX AS ARTIFACT — the MinHash-LSH twin of
     `ivfpq_index_build`: sketch the BASE corpus split (doc_id % 10 ≠ 0,
@@ -1433,53 +1491,39 @@ def q_near_dup_probe_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(F.col("doc_id") % _MH_IDX_MOD == 0).select(
         "doc_id", "source", "text"
     )
-    dsh = _mh_probe_shingle_rows(delta).localCheckpoint(eager=False)
-    mins = ", ".join(minhash_sig_exprs(_MH_IDX_HASHES))
-    dsig = dsh.groupBy("doc_id").agg(
-        F.expr(f"array({mins})").alias("sig"),
-        F.first("source").alias("source"),
-        F.collect_set("h").alias("hs"),
-    )
-    dbands = dsig.select(
-        F.col("doc_id").alias("probe_id"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_MH_IDX_BANDS - 1}),"
-                " b -> struct(b AS band, sig[2 * b] AS m0, sig[2 * b + 1] AS m1))"
-            )
-        ).alias("_b"),
-    ).select("probe_id", "_b.band", "_b.m0", "_b.m1")
-    cand = (
-        dbands.join(bands, ["band", "m0", "m1"])
-        .select("probe_id", F.col("doc_id").alias("base_id"))
-        .distinct()
-    )
-    base_sets = (
-        base_sh.join(
-            cand.select(F.col("base_id").alias("doc_id")).distinct(), "doc_id"
-        )
-        .groupBy("doc_id")
-        .agg(F.collect_set("h").alias("hs_b"))
-    )
-    verified = (
-        cand.join(
-            dsig.select(
-                F.col("doc_id").alias("probe_id"), "source", "hs"
-            ),
-            "probe_id",
-        )
-        .join(base_sets.withColumnRenamed("doc_id", "base_id"), "base_id")
-        .withColumn("_i", F.size(F.array_intersect("hs", "hs_b")))
-        .withColumn(
-            "jr",
-            F.round(
-                F.col("_i") / (F.size("hs") + F.size("hs_b") - F.col("_i")), 6
-            ),
-        )
-        .filter(F.col("jr") >= _MH_IDX_TAU)
-    )
+    verified = _mh_probe_pairs(delta, bands, base_sh)
     return (
         verified.groupBy("source")
+        .agg(
+            F.count_distinct("probe_id").alias("n_matched_docs"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jr").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_jaccard"),
+            F.max("jr").alias("max_jaccard"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_streaming_near_dup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 + index-as-artifact — CONTINUOUS ingest screening: the
+    document stream's delta split drains through ``foreachBatch``
+    (`streaming/ingest.near_dup_probe_stream`); every micro-batch runs
+    the stored-index probe (`_mh_probe_pairs` — the exact batch
+    pipeline) and appends verified pairs to a parquet sink, base corpus
+    never re-sketched, driver never touching pair rows. availableNow
+    drain ⇒ the sink re-aggregates to the batch answer, so
+    `near_dup_probe_stored`'s DuckDB oracle applies verbatim."""
+    from ..streaming.ingest import near_dup_probe_stream
+    from ..streaming.windows import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark):
+        pairs = near_dup_probe_stream(spark, sf_dir, split_mod=_MH_IDX_MOD)
+    return (
+        pairs.groupBy("source")
         .agg(
             F.count_distinct("probe_id").alias("n_matched_docs"),
             F.count(F.lit(1)).alias("n_pairs"),
@@ -18204,6 +18248,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lsh_sensitivity_report": (q_lsh_sensitivity_report, _SQL_LSH_SENSITIVITY),
     "minhash_index_build": (q_minhash_index_build, _SQL_MINHASH_INDEX_BUILD),
     "near_dup_probe_stored": (q_near_dup_probe_stored, _SQL_NEAR_DUP_PROBE),
+    "streaming_near_dup_probe": (q_streaming_near_dup_probe, _SQL_NEAR_DUP_PROBE),
     "near_dup_clusters_docs": (q_near_dup_clusters_docs, _SQL_NEAR_DUP_CLUSTERS),
     "training_corpus_pipeline": (q_training_corpus_pipeline, _SQL_CORPUS_PIPELINE),
     "simhash_docs": (q_simhash_docs, _sql_simhash()),

@@ -189,3 +189,37 @@ def test_minhash_sig_exprs_cross_engine(spark):
         a = (2654435761 * (j + 1)) % MINHASH_P
         b = (40503 * (j + 1)) % MINHASH_P
         assert got[j] == min((a * h + b) % MINHASH_P for h in hs)
+
+
+def test_streaming_probe_pairs_equal_batch(spark, sf_dir, tmp_path_factory):
+    """The foreachBatch streaming screen's pair-level sink equals the
+    batch probe's pair set exactly (availableNow drain over one fixture
+    file — the batch-twin contract at row granularity, stronger than
+    the aggregated registry comparison)."""
+    from geo_big_data_analysis_spark.plans.registry import (
+        _MH_IDX_BANDS,
+        _MH_IDX_HASHES,
+        _MH_IDX_MOD,
+        _mh_probe_pairs,
+    )
+    from geo_big_data_analysis_spark.sources.ann_index import ensure_minhash_index
+    from geo_big_data_analysis_spark.streaming.ingest import near_dup_probe_stream
+
+    bands, base_sh, _ = ensure_minhash_index(
+        spark, sf_dir, num_hashes=_MH_IDX_HASHES, bands=_MH_IDX_BANDS,
+        split_mod=_MH_IDX_MOD,
+    )
+    delta = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _MH_IDX_MOD == 0
+    ).select("doc_id", "source", "text")
+    batch = {
+        tuple(r)
+        for r in _mh_probe_pairs(delta, bands, base_sh).collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in near_dup_probe_stream(spark, sf_dir, split_mod=_MH_IDX_MOD)
+        .select("probe_id", "source", "base_id", "jr")
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 0
