@@ -27,6 +27,7 @@ mapInPandas, seeded per point id for determinism.
 from __future__ import annotations
 
 import math
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -94,13 +95,19 @@ def local_morans_i(
 Z_POOL_CAP = 1_000_000
 
 #: In the distributed exact-pool path, the indexed z-table is sent as a
-#: broadcast-join side (executor-resident, ~16 B/row — ≤ 128 MB at the
-#: cap) while it fits, so the n·permutations·k draw rows never shuffle
-#: for the lookup: the join is map-side and the partial aggregate
-#: collapses k slots per (id, perm) in place before the only shuffle.
-#: Past the cap the same plan degrades to a shuffle hash join — the
-#: asymptotic shape; nothing else changes.
-BCAST_POOL_CAP = 8_000_000
+#: broadcast-join side while it fits, so the n·permutations·k draw rows
+#: never shuffle for the lookup: the join is map-side and the partial
+#: aggregate collapses k slots per (id, perm) in place before the only
+#: shuffle. Past the cap the same plan degrades to a shuffle hash join —
+#: the asymptotic shape; nothing else changes.
+#:
+#: Cap sizing (ADVICE r5): the broadcast is NOT ~16 B/row — Spark
+#: materializes UnsafeRows plus a LongHashedRelation on the driver and
+#: every executor, ≈3–5× the raw two-column payload, so budget ~80 B/row.
+#: 2M rows → ≈160 MB resident, safe on a default 2g driver while still
+#: covering every test/bench scale (sf1 ≈ 10⁶ points). Overridable for
+#: clusters with bigger drivers.
+BCAST_POOL_CAP = int(os.environ.get("GBDA_LISA_BCAST_POOL_CAP", 2_000_000))
 
 
 def lisa_permutation_pvalues(

@@ -148,6 +148,15 @@ def _canonical_table(lengths: list[int]) -> tuple[dict[tuple[int, int], int], in
         if ln:
             table[(ln, next_code[ln])] = sym
             next_code[ln] += 1
+    if len(table) > 1:
+        # Kraft completeness: a multi-symbol canonical code must satisfy
+        # sum(2^-len) == 1 exactly; over- or under-subscribed length sets
+        # would otherwise misdecode silently (ADVICE r5).
+        kraft = sum(1 << (max_len - ln) for ln in lengths if ln)
+        if kraft != (1 << max_len):
+            raise ValueError(
+                f"invalid prefix code: Kraft sum {kraft}/{1 << max_len}"
+            )
     return table, max_len
 
 
@@ -251,9 +260,16 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> list[int]:
         cl_lengths[_CL_ORDER[i]] = br.read(3)
     if not any(cl_lengths):
         raise ValueError("empty code-length code")
-    cl_table, cl_max = _canonical_table(cl_lengths)
     cl_degenerate = sum(1 for x in cl_lengths if x) == 1
-    cl_only = cl_lengths.index(1) if cl_degenerate else -1
+    if cl_degenerate:
+        # The single used symbol may have any declared length (not
+        # necessarily 1); it decodes with zero bits (ADVICE r5).
+        cl_only = next(i for i, x in enumerate(cl_lengths) if x)
+        cl_table: dict[tuple[int, int], int] = {}
+        cl_max = 0
+    else:
+        cl_only = -1
+        cl_table, cl_max = _canonical_table(cl_lengths)
 
     if br.read(1):  # use max_symbol short-circuit
         length_nbits = 2 + 2 * br.read(3)
@@ -539,8 +555,12 @@ def _inverse_predictor(img: np.ndarray, modes: np.ndarray, size_bits: int) -> np
                 elif mode == 12:
                     pred = np.clip(L + T - TL, 0, 255)
                 elif mode == 13:
+                    # ClampAddSubtractHalf (RFC 9649 §4.4.1): the /2 is C
+                    # integer division truncating toward ZERO, not floor —
+                    # for odd negative (ave - TL) they differ by one.
                     ave = _avg2(L, T)
-                    pred = np.clip(ave + (ave - TL) // 2, 0, 255)
+                    d = ave - TL
+                    pred = np.clip(ave + np.sign(d) * (np.abs(d) // 2), 0, 255)
                 else:
                     raise ValueError(f"invalid predictor mode {mode}")
             out[y, x] = (out[y, x] + pred) & 0xFF

@@ -68,6 +68,14 @@ def near_dup_probe_stream(
         .filter(F.col("doc_id") % split_mod == 0)
         .select("doc_id", "source", "text")
     )
+    # Seed the sink with an empty pair-schema write so a drain that
+    # yields zero micro-batches (no matching files) still leaves a
+    # readable parquet directory instead of an AnalysisException
+    # (ADVICE r5).
+    empty = spark.createDataFrame(
+        [], "probe_id bigint, source string, base_id bigint, jr double"
+    )
+    empty.write.mode("append").parquet(sink)
 
     def screen(batch_df: DataFrame, _batch_id: int) -> None:
         pairs = _mh_probe_pairs(batch_df, bands, base_sh)

@@ -112,6 +112,29 @@ def test_fingerprint_tracks_file_change(tmp_path):
     assert f1 != f2
 
 
+def test_fingerprint_tracks_content_at_same_size_and_mtime(tmp_path):
+    """Regenerating a fixture within the same second at identical byte
+    size must still change the fingerprint — the parquet-footer digest
+    carries column stats, which differ when values differ (ADVICE r5)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "embeddings.parquet"
+
+    def write(vals):
+        pq.write_table(pa.table(pd.DataFrame({"v": vals})), p)
+        os.utime(p, (1_700_000_000, 1_700_000_000))  # pin mtime
+
+    write([1, 2, 3])
+    f1 = _embeddings_fingerprint(str(tmp_path))
+    size1 = os.stat(p).st_size
+    write([1, 2, 4])  # same shape/types → same byte size, new stats
+    f2 = _embeddings_fingerprint(str(tmp_path))
+    assert os.stat(p).st_size == size1  # the trap the digest closes
+    assert f1 != f2
+
+
 # ---------------------------------------------------------------------
 # MinHash-LSH dedup index (the build-once/probe-many dedup twin)
 

@@ -319,6 +319,168 @@ def test_predictor_transform_mode_T():
     assert out[0, 0, 0] == 0  # red stays 0 everywhere
 
 
+def _channel_code(bw, syms, alphabet):
+    """Write a prefix code for one channel's symbol multiset; return
+    sym → (code, nbits). Multi-symbol codes are built COMPLETE (Kraft
+    sum 1) with lengths L-1/L — the decoder rejects incomplete codes."""
+    from geo_big_data_analysis_spark.sources.webp import _canonical_codes
+
+    used = sorted(set(syms))
+    if len(used) == 1:
+        _simple1(bw, used[0])
+        return {used[0]: (0, 0)}
+    lengths = [0] * alphabet
+    nbits = max(1, (len(used) - 1).bit_length())
+    short = (1 << nbits) - len(used)  # symbols promoted to nbits-1
+    for i, s in enumerate(used):
+        lengths[s] = (nbits - 1) if i < short else nbits
+    _write_prefix_code(bw, lengths)
+    return _canonical_codes(lengths)
+
+
+def _ref_predict(mode, L, T, TL, TR):
+    """RFC 9649 §4.4.1 predictor arithmetic, written from the spec
+    (channel vectors are [a, r, g, b] ints). Independent of webp.py."""
+    def avg(a, b):
+        return [(x + y) // 2 for x, y in zip(a, b)]
+
+    if mode == 0:
+        return [255, 0, 0, 0]
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return avg(avg(L, TR), T)
+    if mode == 6:
+        return avg(L, TL)
+    if mode == 7:
+        return avg(L, T)
+    if mode == 8:
+        return avg(TL, T)
+    if mode == 9:
+        return avg(T, TR)
+    if mode == 10:
+        return avg(avg(L, TL), avg(T, TR))
+    if mode == 11:  # Select
+        p = [l + t - tl for l, t, tl in zip(L, T, TL)]
+        pl = sum(abs(pc - lc) for pc, lc in zip(p, L))
+        pt = sum(abs(pc - tc) for pc, tc in zip(p, T))
+        return L if pl < pt else T
+    if mode == 12:  # ClampAddSubtractFull
+        return [min(255, max(0, l + t - tl)) for l, t, tl in zip(L, T, TL)]
+    # 13: ClampAddSubtractHalf — C division truncates toward zero
+    out = []
+    for l, t, tl in zip(L, T, TL):
+        ave = (l + t) // 2
+        d = ave - tl
+        half = (abs(d) // 2) * (1 if d >= 0 else -1)
+        out.append(min(255, max(0, ave + half)))
+    return out
+
+
+@pytest.mark.parametrize("mode", list(range(14)))
+def test_predictor_all_modes(mode):
+    """3x2 image, one predictor block, every mode 0-13. First four pixels
+    pin L/T/TL/TR; (1,1) and (1,2) carry zero residuals so their decoded
+    values ARE the predictions (TR of (1,2) wraps to row-leftmost).
+    Values chosen so mode 13 hits ave < TL with odd delta (red: ave 10,
+    TL 13 → spec 9, floor-division bug gives 8; blue: ave 147, TL 200 →
+    spec 121, bug gives 120)."""
+    # decoded targets, channel order [a, r, g, b]
+    V00 = [255, 13, 13, 200]  # TL of (1,1)
+    V01 = [255, 10, 50, 40]   # T  of (1,1)
+    V02 = [255, 77, 30, 8]    # TR of (1,1)
+    V10 = [255, 10, 20, 255]  # L  of (1,1)
+    # residuals from the spec's scan-order rules: (0,0) pred black,
+    # first row pred L, first col pred T
+    res = [
+        [(v - p) & 0xFF for v, p in zip(V00, [255, 0, 0, 0])],
+        [(v - p) & 0xFF for v, p in zip(V01, V00)],
+        [(v - p) & 0xFF for v, p in zip(V02, V01)],
+        [(v - p) & 0xFF for v, p in zip(V10, V00)],
+        [0, 0, 0, 0],
+        [0, 0, 0, 0],
+    ]
+    bw = _BitWriter()
+    _header(bw, 3, 2)
+    bw.write(1, 1)
+    bw.write(0, 2)  # predictor transform
+    bw.write(0, 3)  # size_bits = 2 → 4-px blocks → 1x1 mode image
+    _entropy_coded_constant(bw, (255, 0, mode, 0))
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    greens = _channel_code(bw, [r[2] for r in res], 280)
+    reds = _channel_code(bw, [r[1] for r in res], 256)
+    blues = _channel_code(bw, [r[3] for r in res], 256)
+    alphas = _channel_code(bw, [r[0] for r in res], 256)
+    _simple1(bw, 0)  # distance (unused)
+    for r in res:
+        bw.write_code(*greens[r[2]])
+        bw.write_code(*reds[r[1]])
+        bw.write_code(*blues[r[3]])
+        bw.write_code(*alphas[r[0]])
+    out = read_webp(_container(bw))
+    assert out.shape == (2, 3, 3)
+    P11 = _ref_predict(mode, V10, V01, V00, V02)
+    # (1,2): L = P11, T = V02, TL = V01, TR wraps to row-leftmost = V10
+    P12 = _ref_predict(mode, P11, V02, V01, V10)
+    want = np.array(
+        [[V00[1:] if c == 0 else (V01[1:] if c == 1 else V02[1:])
+          for c in range(3)],
+         [V10[1:], P11[1:], P12[1:]]],
+        dtype=np.uint8,
+    )[:, :, [0, 1, 2]]  # [r, g, b] slices already in RGB order
+    assert np.array_equal(out, want), f"mode {mode}: {out} != {want}"
+
+
+def test_kraft_incomplete_code_raises():
+    """An under-subscribed multi-symbol length set must raise, not
+    misdecode (three symbols all at length 2 leaves a dangling code)."""
+    from geo_big_data_analysis_spark.sources.webp import _canonical_table
+
+    lengths = [0] * 16
+    lengths[1] = lengths[2] = lengths[3] = 2
+    with pytest.raises(ValueError, match="Kraft"):
+        _canonical_table(lengths)
+    lengths[4] = 2  # complete
+    table, _ = _canonical_table(lengths)
+    assert len(table) == 4
+    lengths[5] = 2  # over-subscribed
+    with pytest.raises(ValueError, match="Kraft"):
+        _canonical_table(lengths)
+
+
+def test_degenerate_cl_code_with_length_gt_one():
+    """A code-length code declaring exactly ONE used CL symbol whose
+    declared length is > 1 is degenerate (zero-bit reads). The old code
+    did cl_lengths.index(1) and crashed with an accidental
+    'ValueError: 1 is not in list' (ADVICE r5). Stream: CL symbol 8 at
+    CL length 3 is the only declared entry (_CL_ORDER slot 11), so every
+    zero-bit read yields literal length 8 for the first max_symbol
+    entries."""
+    from geo_big_data_analysis_spark.sources.webp import (
+        _BitReader,
+        _read_prefix_code,
+    )
+
+    bw = _BitWriter()
+    bw.write(0, 1)  # not simple
+    bw.write(8, 4)  # num_cl = 12 → order slots 17,18,0,1,2,3,4,5,16,6,7,8
+    for slot in range(12):
+        bw.write(3 if slot == 11 else 0, 3)  # only CL sym 8, CL len 3
+    bw.write(1, 1)  # max_symbol short-circuit on
+    bw.write(0, 3)  # length_nbits = 2
+    bw.write(2, 2)  # max_symbol = 2 + 2 = 4 → first 4 syms get len 8
+    lengths = _read_prefix_code(_BitReader(bytes(bw.bytes)), 280)
+    assert lengths[:4] == [8, 8, 8, 8] and not any(lengths[4:])
+
+
 def test_color_transform_delta():
     # 1x1 color transform with green_to_red = 64 (delta = (64*g)>>5),
     # residual green 32 → red delta = (64*32)>>5 = 64
