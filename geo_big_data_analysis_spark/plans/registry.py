@@ -5569,11 +5569,10 @@ def q_sentiment_pattern_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import sentiment as sn
 
     docs = _t(spark, sf_dir, "documents")
-    sc = sn.pattern_scores("text")
-    scored = docs.select(
+    scored = sn.with_pattern_scores(docs, "text").select(
         "doc_id",
-        F.round(sc["polarity"], 6).alias("pol"),
-        F.round(sc["subjectivity"], 6).alias("subj"),
+        F.round(F.col("_sc")["polarity"], 6).alias("pol"),
+        F.round(F.col("_sc")["subjectivity"], 6).alias("subj"),
     )
     return (
         scored.select(sn.sentiment_category(F.col("pol")).alias("category"), "pol", "subj")
@@ -5725,10 +5724,9 @@ def q_lab4_sentiment_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(b < 854, F.element_at(neg_a, (b % len(_LAB4_NEG_TPL)).cast("int") + 1))
         .otherwise(F.element_at(neu_a, (b % len(_LAB4_NEU_TPL)).cast("int") + 1))
     )
-    sc = sn.pattern_scores(text)
-    scored = docs.select(
-        F.round(sc["polarity"], 6).alias("pol"),
-        F.round(sc["subjectivity"], 6).alias("subj"),
+    scored = sn.with_pattern_scores(docs, text).select(
+        F.round(F.col("_sc")["polarity"], 6).alias("pol"),
+        F.round(F.col("_sc")["subjectivity"], 6).alias("subj"),
     )
     agg = scored.agg(
         F.count(F.lit(1)).alias("n"),

@@ -216,3 +216,52 @@ def test_pattern_fold_vs_independent_reimplementation(spark):
         gp, gs = got[i]
         assert abs(gp - ep) < 1e-9, (text, gp, ep)
         assert abs(gs - es) < 1e-9, (text, gs, es)
+
+
+# --- broadcast-borne lexicon (VERDICT r5 "wrong" #1) -----------------------
+
+def test_with_pattern_scores_matches_literal_path(spark):
+    """The 1-row broadcast-join lexicon must produce bit-identical
+    scores to the baked-literal path."""
+    from geo_big_data_analysis_spark.functions.sentiment import (
+        pattern_scores,
+        with_pattern_scores,
+    )
+
+    phrases = [
+        "very good", "not very good", "good food terrible staff",
+        "the weather report arrived", "", "not not good",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(phrases)], "id bigint, text string"
+    )
+    lit = {
+        r["id"]: (r["sc"]["polarity"], r["sc"]["subjectivity"])
+        for r in df.select("id", pattern_scores("text").alias("sc")).collect()
+    }
+    bc = {
+        r["id"]: (r["_sc"]["polarity"], r["_sc"]["subjectivity"])
+        for r in with_pattern_scores(df, "text").select("id", "_sc").collect()
+    }
+    assert lit == bc
+
+
+def test_broadcast_lexicon_plan_size_survives_tier_add(spark, monkeypatch):
+    """Plan size must be O(1) in lexicon size: adding 500 lexicon
+    entries must not grow the optimized plan (the r5 regression was
+    plan build/codegen cost scaling with the baked-in literal)."""
+    import geo_big_data_analysis_spark.functions.sentiment as sn
+
+    df = spark.createDataFrame([(1, "good")], "id bigint, text string")
+
+    def plan_text(d):
+        return d._jdf.queryExecution().optimizedPlan().toString()
+
+    p_base = plan_text(sn.with_pattern_scores(df, "text"))
+    grown = dict(sn.PATTERN_LEXICON)
+    for k in range(500):
+        grown[f"zzsyntheticword{k}"] = (0.1, 0.2, 1.0)
+    monkeypatch.setattr(sn, "PATTERN_LEXICON", grown)
+    p_grown = plan_text(sn.with_pattern_scores(df, "text"))
+    assert "zzsyntheticword" not in p_grown
+    assert len(p_grown) <= len(p_base) + 100

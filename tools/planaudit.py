@@ -76,6 +76,8 @@ ALLOWLIST_NLJ = {
     "l_diversity_audit": "1-row (l_min, fail, total) broadcast over the 5-row l histogram",
     "scc_mod": "1-row singleton-census broadcast over the 4-row non-singleton SCC table",
     "holt_trend_revenue": "1-row SSE broadcast over the ~80-row state table + 1-row sorted-series agg",
+    "sentiment_pattern_docs": "1-row bucketed-lexicon broadcast (plan stays O(1) in lexicon size)",
+    "lab4_sentiment_golden": "1-row bucketed-lexicon broadcast (plan stays O(1) in lexicon size)",
     "bm25_retrieval_docs": "1-row (N, avgdl) corpus-stats broadcast into the 3-term tf fact",
     "zonal_polygon_coverage": "1-row grand-totals broadcast (crossJoin(F.broadcast(totals))) for coverage shares",
     "kaplan_meier_users": "1-row observation-span broadcast clamping censoring at the corpus end",
