@@ -100,6 +100,53 @@ def equirect_xy_m(lat, lon, ref_lat: float):
     return x, y
 
 
+def web_mercator_xy(lat, lon) -> tuple:
+    """EPSG:3857 (web/spherical mercator) meters — the projection the
+    reference touches for basemap alignment (lab2 nb cell 20, json 600:
+    ``to_crs(epsg=3857)``). Closed-form on the WGS84 sphere radius:
+    x = R·λ, y = R·asinh(tan φ); two codegen'd expressions, no pyproj."""
+    x = F.radians(_c(lon)) * F.lit(WGS84_A)
+    y = F.asinh(F.tan(F.radians(_c(lat)))) * F.lit(WGS84_A)
+    return x, y
+
+
+def _asinh_sql(u: str) -> str:
+    """asinh spelled via ln (DuckDB has no asinh built-in); identical to
+    the closed form to double precision for the |u| ≤ tan(85°) range
+    web mercator ever sees."""
+    return f"ln(({u}) + sqrt(({u}) * ({u}) + 1.0))"
+
+
+def web_mercator_sql(lat_expr: str, lon_expr: str) -> tuple[str, str]:
+    """The same EPSG:3857 forward transform as ANSI-SQL strings (DuckDB
+    oracle twin of `web_mercator_xy`)."""
+    x = f"radians({lon_expr}) * {WGS84_A!r}"
+    y = f"{_asinh_sql(f'tan(radians({lat_expr}))')} * {WGS84_A!r}"
+    return x, y
+
+
+def slippy_tile(lat, lon, zoom: int) -> tuple:
+    """OSM slippy-map tile (tx, ty) at ``zoom`` — the standard
+    web-mercator tiling: tx = ⌊(λ+180)/360·2^z⌋,
+    ty = ⌊(1 − asinh(tan φ)/π)/2·2^z⌋."""
+    n = float(1 << zoom)
+    tx = F.floor((_c(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    ty = F.floor(
+        (F.lit(1.0) - F.asinh(F.tan(F.radians(_c(lat)))) / F.lit(math.pi))
+        / F.lit(2.0)
+        * F.lit(n)
+    )
+    return tx.cast("bigint"), ty.cast("bigint")
+
+
+def slippy_tile_sql(lat_expr: str, lon_expr: str, zoom: int) -> tuple[str, str]:
+    n = float(1 << zoom)
+    asinh = _asinh_sql(f"tan(radians({lat_expr}))")
+    tx = f"CAST(floor(({lon_expr} + 180.0) / 360.0 * {n!r}) AS BIGINT)"
+    ty = f"CAST(floor((1.0 - {asinh} / pi()) / 2.0 * {n!r}) AS BIGINT)"
+    return tx, ty
+
+
 # ---------------------------------------------------------------------------
 # Exact Transverse Mercator (UTM) — Karney (2011) Krüger series, order n⁶.
 # Replaces the reference's pyproj EPSG:32618 transform

