@@ -1625,6 +1625,92 @@ GROUP BY source ORDER BY source
 )
 
 
+def q_minhash_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL INDEX MAINTENANCE (VERDICT r5 "Next" #4) — the
+    dedup-index admission path: the delta split is screened against the
+    STORED index (`near_dup_probe_stored`'s probe), and the admitted
+    (non-duplicate) docs are sketched with the index's own permutation
+    family and APPENDED into a copy of the band + shingle tables — the
+    base corpus is never re-sketched
+    (`sources/ann_index.upsert_minhash_index`). The manifest is
+    computed FROM THE POST-UPSERT STORED ARTIFACT: per band, row/doc/
+    bucket counts and order-free integer sums over the two min columns.
+    The oracle replays base sketching, the probe (candidates + exact
+    Jaccard ≥ τ), the admission rule, AND the union sketch from the
+    documents table alone — a hash match proves
+    append ≡ from-scratch rebuild over base ∪ admitted. 100 TB shape:
+    per ingest batch, one stored-index probe + append-only parquet of
+    the batch's own sketch rows; nothing rescans the corpus."""
+    from ..sources.ann_index import ensure_minhash_upsert
+
+    bands, _sh, _meta = ensure_minhash_upsert(
+        spark, sf_dir, num_hashes=_MH_IDX_HASHES, bands=_MH_IDX_BANDS,
+        split_mod=_MH_IDX_MOD, tau_note=_MH_IDX_TAU,
+    )
+    return (
+        bands.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count_distinct("m0", "m1").alias("n_buckets"),
+            F.sum("m0").alias("sum_m0"),
+            F.sum("m1").alias("sum_m1"),
+        )
+        .orderBy("band")
+    )
+
+
+_SQL_MINHASH_INDEX_UPSERT = """
+WITH {base_ctes},
+{delta_ctes},
+sigb AS (
+  SELECT doc_id, [{mins}] AS sig, list_distinct(list(h)) AS hs
+  FROM shb GROUP BY doc_id
+),
+sigd AS (
+  SELECT doc_id, [{mins}] AS sig, list_distinct(list(h)) AS hs
+  FROM shd GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT d.doc_id AS probe_id, b.doc_id AS base_id
+  FROM sigd d, sigb b, range({bands}) r
+  WHERE d.sig[r.range * 2 + 1] = b.sig[r.range * 2 + 1]
+    AND d.sig[r.range * 2 + 2] = b.sig[r.range * 2 + 2]
+),
+matched AS (
+  SELECT DISTINCT c.probe_id
+  FROM cand c
+  JOIN sigd d ON d.doc_id = c.probe_id
+  JOIN sigb b ON b.doc_id = c.base_id
+  WHERE round(len(list_intersect(d.hs, b.hs))::DOUBLE
+              / (len(d.hs) + len(b.hs) - len(list_intersect(d.hs, b.hs))),
+              6) >= {tau}
+),
+unioned AS (
+  SELECT doc_id, sig FROM sigb
+  UNION ALL
+  SELECT doc_id, sig FROM sigd
+  WHERE doc_id NOT IN (SELECT probe_id FROM matched)
+),
+rows_ AS (
+  SELECT doc_id, b.range AS band,
+         sig[b.range * 2 + 1] AS m0, sig[b.range * 2 + 2] AS m1
+  FROM unioned, range({bands}) b
+)
+SELECT band::INT AS band, count(*)::BIGINT AS n_rows,
+       count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(DISTINCT (m0, m1))::BIGINT AS n_buckets,
+       sum(m0)::BIGINT AS sum_m0, sum(m1)::BIGINT AS sum_m1
+FROM rows_ GROUP BY band ORDER BY band
+""".format(
+    base_ctes=_mh_idx_sql_parts()[1].format(side="b", op="!="),
+    delta_ctes=_mh_idx_sql_parts()[1].format(side="d", op="=").lstrip(",\n"),
+    mins=_mh_idx_sql_parts()[0],
+    bands=_MH_IDX_BANDS,
+    tau=_MH_IDX_TAU,
+)
+
+
 def q_near_dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster census: MinHash-LSH near-dup pairs (Jaccard ≥
     0.8) grouped into duplicate clusters via connected components
@@ -2158,8 +2244,12 @@ def q_pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("block", "code")
 
 
-def _sql_pq_block_ctes(b: int) -> str:
-    """Per-block Lloyd replay CTEs over scaled-int sub-coordinates."""
+def _sql_pq_block_ctes(b: int, train_where: str = "", encode_split: bool = False) -> str:
+    """Per-block Lloyd replay CTEs over scaled-int sub-coordinates.
+    ``train_where`` restricts the TRAINING rows (e.g. the base split in
+    the upsert replay); with ``encode_split`` the code{b} CTE encodes
+    ALL rows (ke{b}) with the split-trained codebook instead of just
+    the training rows."""
     dsub = _PQ_DIM // _PQ_M
     dims = list(range(b * dsub, (b + 1) * dsub))
     int_cols = ", ".join(
@@ -2171,7 +2261,7 @@ def _sql_pq_block_ctes(b: int) -> str:
     )
     xcols = ", ".join(f"x{j}" for j in range(dsub))
     parts = [
-        f"kp{b} AS (SELECT vec_id AS id, {int_cols} FROM embeddings)",
+        f"kp{b} AS (SELECT vec_id AS id, {int_cols} FROM embeddings {train_where})",
         f"cb{b}_0 AS (SELECT (row_number() OVER (ORDER BY id) - 1)::INT AS cid, "
         + ", ".join(f"c{j}::DOUBLE AS x{j}" for j in range(dsub))
         + f" FROM (SELECT * FROM kp{b} ORDER BY id LIMIT {_PQ_K}))",
@@ -2199,12 +2289,15 @@ def _sql_pq_block_ctes(b: int) -> str:
             f" LEFT JOIN s{b}_{t} s USING (cid)"
             f" LEFT JOIN cb{b}_{t - 1} pc ON pc.cid = r.cid)"
         )
+    enc_src = f"ke{b}" if encode_split else f"kp{b}"
+    if encode_split:
+        parts.append(f"ke{b} AS (SELECT vec_id AS id, {int_cols} FROM embeddings)")
     parts.append(
         f"""code{b} AS (
   SELECT id, cid AS code FROM (
     SELECT p.id, c.cid,
            row_number() OVER (PARTITION BY p.id ORDER BY {dist} ASC, c.cid ASC) AS rk
-    FROM kp{b} p CROSS JOIN cb{b}_{_PQ_ITERS} c
+    FROM {enc_src} p CROSS JOIN cb{b}_{_PQ_ITERS} c
   ) WHERE rk = 1
 )"""
     )
@@ -2432,6 +2525,96 @@ percode AS (
   JOIN icells cl ON cl.vec_id = e.vec_id
 )
 SELECT cell, count(*)::BIGINT AS n_vecs, sum(ck)::BIGINT AS codes_checksum
+FROM percode GROUP BY cell ORDER BY cell
+"""
+
+
+_PQ_UPSERT_MOD = 10
+
+
+def q_ivfpq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL INDEX MAINTENANCE (VERDICT r5 "Next" #4) — the
+    vector-index admission path: the base split (vec_id % 10 ≠ 0) is
+    trained + encoded once and persisted; the delta split is then
+    encoded with the STORED codebooks and coarse centers (map-only, no
+    retrain) and appended to a copy of the code table, with a drift
+    counter in meta that flips ``retrain_due`` past 50% appended
+    (`sources/ann_index.upsert_ivfpq_index`). The manifest is computed
+    FROM THE POST-UPSERT STORED ARTIFACT: per coarse cell, total
+    vectors, how many arrived via upsert, and the order-free
+    Σ code_b·4^b checksum. The oracle replays base-split training +
+    whole-table encoding in pure SQL — a hash match proves
+    append-with-stored-codebooks ≡ from-scratch
+    encode-with-base-codebooks, i.e. admission is lossless. 100 TB
+    shape: ingest batches cost one map-side encode + an append; the
+    retrain trigger bounds quantization drift."""
+    from ..sources.ann_index import ensure_ivfpq_upsert
+
+    codes, _centers, _cbs, _meta = ensure_ivfpq_upsert(
+        spark, sf_dir, dim=_PQ_DIM, m=_PQ_M, k=_PQ_K,
+        iters=_PQ_ITERS, scale=_PQ_SCALE, split_mod=_PQ_UPSERT_MOD,
+    )
+    checksum = None
+    for b in range(_PQ_M):
+        term = F.col(f"code_{b}").cast("bigint") * F.lit(4 ** b).cast("bigint")
+        checksum = term if checksum is None else checksum + term
+    return (
+        codes.withColumn("_ck", checksum)
+        .withColumn(
+            "_new", (F.col("neighbor_id") % _PQ_UPSERT_MOD == 0).cast("bigint")
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("_new").alias("n_new"),
+            F.sum("_ck").alias("codes_checksum"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _sql_ivfpq_upsert() -> str:
+    blocks = ",\n".join(
+        _sql_pq_block_ctes(
+            b, train_where=f"WHERE vec_id % {_PQ_UPSERT_MOD} != 0",
+            encode_split=True,
+        )
+        for b in range(_PQ_M)
+    )
+    code_joins = "\n  ".join(
+        f"JOIN code{b} cd{b} ON cd{b}.id = e.vec_id" for b in range(_PQ_M)
+    )
+    ck = " + ".join(f"cd{b}.code * {4 ** b}" for b in range(_PQ_M))
+    return f"""
+WITH {blocks},
+iemb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+         WHERE vec_id % {_PQ_UPSERT_MOD} != 0),
+idims AS (SELECT unnest(range(1, len(v) + 1)) AS i, vec_id FROM iemb),
+icenters AS (
+  SELECT label AS cell, list(m ORDER BY i) AS c
+  FROM (
+    SELECT e.label, d.i, avg(e.v[d.i]) AS m
+    FROM iemb e JOIN idims d USING (vec_id)
+    GROUP BY e.label, d.i
+  ) GROUP BY label
+),
+aemb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+iscored AS (
+  SELECT e.vec_id, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cell ASC) AS rn
+  FROM aemb e CROSS JOIN icenters c
+),
+icells AS (SELECT vec_id, cell FROM iscored WHERE rn = 1),
+percode AS (
+  SELECT cl.cell, ({ck})::BIGINT AS ck,
+         (e.vec_id % {_PQ_UPSERT_MOD} = 0)::BIGINT AS is_new
+  FROM embeddings e
+  {code_joins}
+  JOIN icells cl ON cl.vec_id = e.vec_id
+)
+SELECT cell, count(*)::BIGINT AS n_vecs, sum(is_new)::BIGINT AS n_new,
+       sum(ck)::BIGINT AS codes_checksum
 FROM percode GROUP BY cell ORDER BY cell
 """
 
@@ -18490,6 +18673,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "minhash_near_dup_docs": (q_minhash_near_dup_docs, _SQL_MINHASH_NEAR_DUP),
     "lsh_sensitivity_report": (q_lsh_sensitivity_report, _SQL_LSH_SENSITIVITY),
     "minhash_index_build": (q_minhash_index_build, _SQL_MINHASH_INDEX_BUILD),
+    "minhash_index_upsert": (q_minhash_index_upsert, _SQL_MINHASH_INDEX_UPSERT),
     "near_dup_probe_stored": (q_near_dup_probe_stored, _SQL_NEAR_DUP_PROBE),
     "streaming_near_dup_probe": (q_streaming_near_dup_probe, _SQL_NEAR_DUP_PROBE),
     "near_dup_clusters_docs": (q_near_dup_clusters_docs, _SQL_NEAR_DUP_CLUSTERS),
@@ -18550,6 +18734,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "image_phash_near_dup": (q_image_phash_near_dup, _SQL_IMAGE_PHASH),
     "ivfpq_topk_embeddings": (q_ivfpq_topk_embeddings, _sql_ivfpq()),
     "ivfpq_index_build": (q_ivfpq_index_build, _sql_ivfpq_build()),
+    "ivfpq_index_upsert": (q_ivfpq_index_upsert, _sql_ivfpq_upsert()),
     "ivfpq_probe_stored": (q_ivfpq_probe_stored, _sql_ivfpq()),
     "flac_roundtrip_stats": (q_flac_roundtrip_stats, _SQL_FLAC_ROUNDTRIP),
     "mp4_sample_manifest": (q_mp4_sample_manifest, _SQL_MP4_MANIFEST),

@@ -246,3 +246,83 @@ def test_streaming_probe_pairs_equal_batch(spark, sf_dir, tmp_path_factory):
         .collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+# ---------------------------------------------------------------------
+# Incremental admission (upsert) — VERDICT r5 "Next" #4
+
+
+def test_minhash_upsert_rejects_dups_admits_novel(spark, tmp_path_factory):
+    """An exact duplicate of a base doc is screened out; a novel doc is
+    sketched with the stored permutation family and appended — the
+    post-upsert index equals a from-scratch build over base ∪ novel."""
+    from geo_big_data_analysis_spark.sources.ann_index import (
+        build_minhash_index,
+        load_minhash_index,
+        upsert_minhash_index,
+    )
+
+    base_docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+        ],
+        "doc_id bigint, text string",
+    )
+    base_dir = str(tmp_path_factory.mktemp("mh_up")) + "/base"
+    build_minhash_index(spark, base_docs, base_dir, fingerprint="fp", **MH)
+    delta = spark.createDataFrame(
+        [
+            (10, "w", "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (20, "w", "completely different sentence about spark plans here"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    out_dir = base_dir + "_up"
+    meta = upsert_minhash_index(spark, base_dir, delta, out_dir, tau_note=0.3)
+    assert meta["upsert"] == {
+        "n_delta": 2, "n_admitted": 1, "n_rejected": 1, "tau": 0.3,
+    }
+    bands, sh, _ = load_minhash_index(spark, out_dir)
+    ids = {r["doc_id"] for r in bands.select("doc_id").distinct().collect()}
+    assert ids == {1, 2, 20}
+    # append ≡ rebuild: compare against a from-scratch build over 1,2,20
+    rebuilt_dir = base_dir + "_rebuilt"
+    union_docs = base_docs.unionByName(
+        delta.filter("doc_id = 20").select("doc_id", "text")
+    )
+    build_minhash_index(spark, union_docs, rebuilt_dir, fingerprint="fp", **MH)
+    rb_bands, rb_sh, _ = load_minhash_index(spark, rebuilt_dir)
+    assert sorted(map(tuple, bands.collect())) == sorted(map(tuple, rb_bands.collect()))
+    assert sorted(map(tuple, sh.collect())) == sorted(map(tuple, rb_sh.collect()))
+
+
+def test_ivfpq_upsert_drift_counter(spark, sf_dir, tmp_path_factory):
+    """Appended vectors are encoded with the STORED codebooks; the
+    drift counter flips retrain_due past the ratio."""
+    from geo_big_data_analysis_spark.sources.ann_index import (
+        build_ivfpq_index,
+        load_ivfpq_index,
+        upsert_ivfpq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    base = emb.filter("vec_id % 4 != 0")
+    delta = emb.filter("vec_id % 4 = 0")  # ~1/3 of base → > 0.25 ratio
+    d = str(tmp_path_factory.mktemp("pq_up")) + "/base"
+    build_ivfpq_index(
+        spark, base, d, dim=64, m=8, k=4, iters=2, scale=1000, fingerprint="f",
+    )
+    out = d + "_up"
+    meta = upsert_ivfpq_index(spark, d, delta, out, retrain_ratio=0.25)
+    up = meta["upsert"]
+    assert up["n_base"] + up["n_appended"] == emb.count()
+    assert up["retrain_due"] is True and up["drift"] > 0.25
+    codes, centers, cbs, meta2 = load_ivfpq_index(spark, out)
+    assert codes.count() == emb.count()
+    assert meta2["n_vectors"] == emb.count()
+    # appended codes must equal a direct encode with the base codebooks
+    meta_no = upsert_ivfpq_index(spark, d, delta, d + "_up2", retrain_ratio=10.0)
+    assert meta_no["upsert"]["retrain_due"] is False
