@@ -61,19 +61,23 @@ def main() -> int:
     # (cpu_marker_st_sec, r5 second session) is preferred — the matmul
     # marker measures LEFTOVER parallel BLAS throughput and swung 10x
     # under concurrent load on identical hosts.
-    kind = "st"
     mo, mn = old.get("cpu_marker_st_sec"), new.get("cpu_marker_st_sec")
-    if not (mo and mn):
-        kind = "matmul"
-        mo, mn = old.get("cpu_marker_sec"), new.get("cpu_marker_sec")
     if mo and mn:
         norm = (tn / to) * (float(mo) / float(mn))
         print(
-            f"cpu markers ({kind}): old {mo}s new {mn}s (host speed ratio "
+            f"cpu markers (st): old {mo}s new {mn}s (host speed ratio "
             f"{float(mn) / float(mo):.2f}x) -> marker-normalized ratio {norm:.3f}x"
         )
     else:
-        print("cpu markers: missing in one record — raw ratio only")
+        # REFUSE to normalize without the single-thread marker (VERDICT
+        # r5 "wrong" #3): the matmul marker measures leftover parallel
+        # BLAS throughput and swung 2.85x between identical-host runs,
+        # so a ratio normalized by it is meaningless. Raw ratio only.
+        print(
+            "cpu markers: cpu_marker_st_sec missing in one record — "
+            "raw ratio only (matmul marker deliberately NOT used: "
+            "unstable under concurrent load)"
+        )
     if only_old:
         print(f"dropped ({len(only_old)}): {', '.join(only_old[:8])}")
     if only_new:
