@@ -119,6 +119,14 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
         if is_gif(payload):
             _pal, frames = read_gif(payload)
             return np.stack(frames)  # (n_frames, H, W) palette indices
+        from .h264 import is_annexb_h264, read_annexb_h264
+
+        if is_annexb_h264(payload):
+            # Annex-B H.264 elementary stream: bitstream/SPS/PPS/slice
+            # layers parse natively; I_PCM macroblocks decode to pixels
+            # (sources/h264.py); CAVLC residual MBs raise the named
+            # boundary error from inside the slice decoder.
+            return read_annexb_h264(payload)
         from .mp4 import extract_samples, is_mp4, read_mp4
 
         if is_mp4(payload):
@@ -142,10 +150,10 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
                 "always native via sources/mp4.py)"
             )
         raise NotImplementedError(
-            "non-GIF/MP4 video pixel decode: install av for raw H.264/"
-            "VP9/... elementary streams (animated GIF and MJPEG-in-MP4 "
-            "decode to pixels natively via sources/gif.py, sources/mp4.py "
-            "+ sources/jpeg.py)"
+            "unrecognized video payload: install av for VP9/AV1/... "
+            "(animated GIF, MJPEG-in-MP4, and Annex-B H.264 I_PCM "
+            "decode to pixels natively via sources/gif.py, sources/"
+            "mp4.py + sources/jpeg.py, and sources/h264.py)"
         )
     raise NotImplementedError(
         f"no codec for {media_type}: install av, or use FAKE_DECODE"

@@ -1,0 +1,214 @@
+"""sf1 cross-engine sweep (VERDICT r5 "Next" #1 — close the sf1
+verification gap).
+
+Runs (ideally) EVERY registry query at sf1 against its verification
+tier, hardest tier first:
+
+  ORACLE  — the standard selfcheck compare: full DuckDB replay of the
+            query over the same sf1 parquet, rows + columns + values.
+            The default for every query.
+  GOLDEN  — for queries whose DuckDB replay is super-linear in SQL at
+            sf1 (LSH/minhash/tokenizer-training pipelines; the Spark
+            side is linear, the *oracle* is not): a committed value-
+            matrix hash computed ONCE from the sf0.01-proven pipeline
+            (``--collect-goldens``). A golden is a regression pin, not
+            an independent proof — the output labels it ``PASSg``.
+            Every goldened query remains fully oracle-checked at
+            sf0.01/sf0.001 in the main suite.
+
+Both engines run under a watchdog (default 300 s/side): a Spark side
+that exceeds it is cancelled via cancelAllJobs, a DuckDB side via
+connection.interrupt() — so one super-linear oracle can't wedge the
+sweep; it surfaces as ORACLE_TIMEOUT and gets triaged into GOLDEN.
+
+Usage:
+  python tools/sf1check.py [sf_dir]                # full sweep
+  python tools/sf1check.py [sf_dir] name...        # subset
+  python tools/sf1check.py --collect-goldens [sf_dir] name...
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from geo_big_data_analysis_spark.plans.registry import REGISTRY  # noqa: E402
+from geo_big_data_analysis_spark.session import TPCH_TABLES, get_spark  # noqa: E402
+
+TIMEOUT_S = int(os.environ.get("SF1CHECK_TIMEOUT_S", "300"))
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "SF1_GOLDENS.json")
+
+
+def _load_goldens() -> dict[str, str]:
+    if os.path.exists(GOLDEN_PATH):
+        with open(GOLDEN_PATH) as f:
+            return json.load(f)
+    return {}
+
+
+def _value_matrix_hash(df) -> str:
+    """Deterministic hash of the (column-name-sorted, row-sorted) value
+    matrix — registry queries quantize their float outputs, so repr is
+    stable across partitionings and runs."""
+    cols = sorted(df.columns)
+    a = df[cols].sort_values(cols).reset_index(drop=True)
+    h = hashlib.md5()
+    h.update(("|".join(cols)).encode())
+    for row in a.itertuples(index=False):
+        h.update(repr(tuple(row)).encode())
+    return h.hexdigest()
+
+
+def _compare(sdf, odf) -> list[str]:
+    """selfcheck's compare semantics: rowcount, columns, then exact
+    values (float NaN-aware)."""
+    msgs: list[str] = []
+    if len(sdf) != len(odf):
+        msgs.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
+    s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+    if s_cols != o_cols:
+        msgs.append(f"cols spark={s_cols} oracle={o_cols}")
+    if msgs:
+        return msgs
+    a = sdf[s_cols].sort_values(s_cols).reset_index(drop=True)
+    b = odf[o_cols].sort_values(o_cols).reset_index(drop=True)
+    n_bad, max_rel = 0, 0.0
+    for c in s_cols:
+        for x, y in zip(a[c].tolist(), b[c].tolist()):
+            if x is None and y is None:
+                continue
+            if isinstance(x, float) or isinstance(y, float):
+                if x is None or y is None or (math.isnan(x) != math.isnan(y)):
+                    n_bad += 1
+                    continue
+                if math.isnan(x):
+                    continue
+                if x != y:
+                    max_rel = max(max_rel, abs(x - y) / max(abs(x), abs(y), 1e-300))
+                    n_bad += 1
+            elif x != y:
+                n_bad += 1
+    if n_bad:
+        msgs.append(f"{n_bad} value mismatches (max_rel={max_rel:.2e})")
+    return msgs
+
+
+def _with_timeout(fn, cancel, timeout_s: float):
+    """Run fn(); fire cancel() from a watchdog thread at timeout.
+    Returns (result, timed_out, err)."""
+    fired = threading.Event()
+
+    def _cancel():
+        fired.set()
+        try:
+            cancel()
+        except Exception:  # noqa: BLE001 — cancel is best-effort
+            pass
+
+    t = threading.Timer(timeout_s, _cancel)
+    t.start()
+    try:
+        out = fn()
+        return out, fired.is_set(), None
+    except Exception as e:  # noqa: BLE001
+        return None, fired.is_set(), e
+    finally:
+        t.cancel()
+
+
+def run(sf_dir: str, only: list[str] | None = None) -> int:
+    spark = get_spark("sf1check")
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    goldens = _load_goldens()
+    failures = 0
+    n_pass = n_golden = n_rows_only = 0
+    for name, (fn, sql) in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf, s_to, s_err = _with_timeout(
+            lambda: fn(spark, sf_dir).toPandas(),
+            spark.sparkContext.cancelAllJobs,
+            TIMEOUT_S,
+        )
+        spark_s = time.time() - t0
+        if s_err is not None:
+            tag = "SPARK_TIMEOUT" if s_to else "FAIL"
+            print(f"{tag} {name}: spark: {str(s_err)[:200]} [{spark_s:.1f}s]")
+            failures += 1
+            continue
+        if name in goldens:
+            got = _value_matrix_hash(sdf)
+            if got == goldens[name]:
+                print(f"PASSg {name}: rows={len(sdf)} golden-hash [{spark_s:.1f}s]")
+                n_golden += 1
+            else:
+                print(f"FAIL {name}: golden hash {got} != {goldens[name]}")
+                failures += 1
+            continue
+        if sql is None:
+            print(f"ok?  {name}: rows={len(sdf)} (no oracle, rows-only) [{spark_s:.1f}s]")
+            n_rows_only += 1
+            continue
+        t1 = time.time()
+        odf, o_to, o_err = _with_timeout(
+            lambda: con.execute(sql).fetchdf(), con.interrupt, TIMEOUT_S
+        )
+        oracle_s = time.time() - t1
+        if o_err is not None:
+            tag = "ORACLE_TIMEOUT" if o_to else "FAIL"
+            print(f"{tag} {name}: duckdb: {str(o_err)[:200]} [{oracle_s:.1f}s]")
+            failures += 1
+            continue
+        msgs = _compare(sdf, odf)
+        if msgs:
+            print(f"FAIL {name}: {'; '.join(msgs)}")
+            failures += 1
+        else:
+            print(f"PASS {name}: rows={len(sdf)} [{spark_s:.1f}s+{oracle_s:.1f}s]")
+            n_pass += 1
+    print(
+        f"\n{n_pass} oracle-PASS, {n_golden} golden-PASS, "
+        f"{n_rows_only} rows-only, {failures} failures"
+    )
+    print("ALL GREEN" if failures == 0 else f"{failures} FAILURES")
+    return failures
+
+
+def collect_goldens(sf_dir: str, names: list[str]) -> None:
+    spark = get_spark("sf1check")
+    goldens = _load_goldens()
+    for name in names:
+        fn, _sql = REGISTRY[name]
+        sdf = fn(spark, sf_dir).toPandas()
+        goldens[name] = _value_matrix_hash(sdf)
+        print(f"golden {name}: rows={len(sdf)} hash={goldens[name]}")
+    with open(GOLDEN_PATH, "w") as f:
+        json.dump(dict(sorted(goldens.items())), f, indent=1)
+    print(f"wrote {len(goldens)} goldens to {GOLDEN_PATH}")
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    if args and args[0] == "--collect-goldens":
+        rest = args[1:]
+        sf_dir = rest[0] if rest and os.path.isdir(rest[0]) else "scaledata/sf1"
+        names = rest[1:] if rest and os.path.isdir(rest[0]) else rest
+        collect_goldens(sf_dir, names)
+        sys.exit(0)
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "scaledata/sf1"
+    only = args[1:] if args and os.path.isdir(args[0]) else args
+    sys.exit(1 if run(sf_dir, only or None) else 0)
