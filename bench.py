@@ -247,6 +247,12 @@ HEADLINE = [
     "webp_roundtrip_stats",
     "minhash_index_build",
     "near_dup_probe_stored",
+    # round 6
+    "geocode_places",
+    "web_mercator_tiles",
+    "h264_ipcm_roundtrip_stats",
+    "minhash_index_upsert",
+    "ivfpq_index_upsert",
 ]
 
 

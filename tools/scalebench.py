@@ -212,6 +212,31 @@ VARIANTS = {
 }
 
 
+#: Decade-2 set (VERDICT r5 "Next" #3): the index/dedup families get a
+#: second measured decade, sf1 → sf10, over scalegen fixtures
+#: (documents 500k, embeddings 200k, events 10M at sf10). Gated at the
+#: same FLAG_RATIO. distance_band_pairs is deliberately NOT here: its
+#: output is ∝ n² by fixture construction (fixed bbox → density grows
+#: with sf; 431M pairs at sf1 → ~43G at sf10), so a sf10 run would
+#: materialize tens of billions of rows to measure a ratio the
+#: work-normalized sf1 gate (0.83x sec/pair) already bounds.
+SF10_SET = [
+    "near_dup_probe_stored",
+    "minhash_index_build",
+    "minhash_index_upsert",
+    "ivfpq_index_build",
+    "ivfpq_index_upsert",
+    "ivfpq_probe_fixed_batch",
+    "srp_near_dup_scaled",
+    "ivf_topk_fixed_batch",
+    "hard_negative_fixed_batch",
+    "ngram_jaccard_capped",
+    "exact_dedup_docs",
+]
+
+SF10_DIR = "scaledata/sf10"
+
+
 def cpu_marker() -> float:
     import numpy as np
 
@@ -224,12 +249,82 @@ def cpu_marker() -> float:
     return round(statistics.median(runs), 4)
 
 
+def run_decade2(iters: int, out_path: str) -> int:
+    """sf1 → sf10 second decade for SF10_SET, merged into the existing
+    SCALING.json entries as sec_d2 / r_top2 / flagged2. Both points are
+    timed fresh in THIS session so the ratio is same-host-same-load."""
+    if not os.path.isdir(SF10_DIR):
+        print(f"missing {SF10_DIR} — run tools/scalegen.py 10 first")
+        return 2
+    spark = get_spark("scalebench-d2")
+    spark.range(10).count()
+
+    def resolve(name):
+        return VARIANTS[name] if name in VARIANTS else REGISTRY[name][0]
+
+    for name in SF10_SET:
+        try:
+            resolve(name)(spark, LADDER[0][1]).count()  # codegen warmup
+        except Exception as e:  # noqa: BLE001
+            print(f"WARMUP-FAIL {name}: {e}")
+    with open(out_path) as f:
+        record = json.load(f)
+    flags: list[str] = []
+    for name in SF10_SET:
+        fn = resolve(name)
+        sec: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for sf, d in [(1.0, "scaledata/sf1"), (10.0, SF10_DIR)]:
+            runs = []
+            n = -1
+            for _ in range(iters):
+                t0 = time.time()
+                n = fn(spark, d).count()
+                runs.append(time.time() - t0)
+            sec[str(sf)] = round(min(runs), 3)
+            rows[str(sf)] = int(n)
+        r_top2 = sec["10.0"] / max(sec["1.0"], 1e-9)
+        flagged = r_top2 > FLAG_RATIO
+        if flagged:
+            flags.append(name)
+        entry = record["queries"].setdefault(name, {})
+        entry["sec_d2"] = sec
+        entry["rows_d2"] = rows
+        entry["r_top2"] = round(r_top2, 2)
+        entry["flagged2"] = flagged
+        print(
+            f"{'FLAG' if flagged else 'ok  '} {name}: "
+            f"{sec['1.0']}s -> {sec['10.0']}s (r_top2 {r_top2:.1f}x)"
+        )
+    record["decade2"] = {
+        "ladder": [1.0, 10.0],
+        "set": SF10_SET,
+        "iters": iters,
+        "flags": flags,
+        "distance_band_pairs_excluded": (
+            "output ∝ n² by fixture construction (fixed bbox); sf1 "
+            "work-normalized gate (sec/pair 0.83x) bounds it"
+        ),
+    }
+    record["flags"] = sorted(
+        set(record.get("flags", []))
+        | {n for n, q in record["queries"].items() if q.get("flagged2")}
+    )
+    with open(out_path, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"\ndecade2: {len(flags)} flagged / {len(SF10_SET)} -> {out_path}")
+    return 1 if flags else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--out", default="SCALING.json")
     ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--decade2", action="store_true")
     args = ap.parse_args()
+    if args.decade2:
+        return run_decade2(args.iters, args.out)
     queries = args.queries or (
         SCALE_SET + list(VARIANTS) + list(FIXED_PARAM)
     )

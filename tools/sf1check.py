@@ -103,18 +103,25 @@ def _compare(sdf, odf) -> list[str]:
 
 
 def _with_timeout(fn, cancel, timeout_s: float):
-    """Run fn(); fire cancel() from a watchdog thread at timeout.
-    Returns (result, timed_out, err)."""
+    """Run fn(); fire cancel() from a watchdog thread at timeout —
+    REPEATEDLY (every 5 s) until fn returns, because iterative queries
+    (CC/SSSP driver loops) re-submit jobs after a one-shot
+    cancelAllJobs. Returns (result, timed_out, err)."""
     fired = threading.Event()
+    done = threading.Event()
 
-    def _cancel():
-        fired.set()
-        try:
-            cancel()
-        except Exception:  # noqa: BLE001 — cancel is best-effort
-            pass
+    def _watch():
+        if done.wait(timeout_s):
+            return
+        while not done.is_set():
+            fired.set()
+            try:
+                cancel()
+            except Exception:  # noqa: BLE001 — cancel is best-effort
+                pass
+            done.wait(5.0)
 
-    t = threading.Timer(timeout_s, _cancel)
+    t = threading.Thread(target=_watch, daemon=True)
     t.start()
     try:
         out = fn()
@@ -122,7 +129,7 @@ def _with_timeout(fn, cancel, timeout_s: float):
     except Exception as e:  # noqa: BLE001
         return None, fired.is_set(), e
     finally:
-        t.cancel()
+        done.set()
 
 
 def run(sf_dir: str, only: list[str] | None = None) -> int:
