@@ -11961,14 +11961,20 @@ def q_rolling_correlation_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("y"),
     )
     w = Window.orderBy("day").rowsBetween(-13, 0)
+    # x ≈ 1e10 cents/day at sf1 → x² ≈ 1e20 OVERFLOWS bigint (silent
+    # wrap under ANSI-off → sqrt(negative) → NaN; DuckDB promotes sum
+    # to int128 — the sf1 sweep caught exactly this). Run the squared
+    # moments in decimal(38,0): exact integers on both engines.
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     m = daily.select(
         "day",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("x").over(w).alias("sx"),
         F.sum("y").over(w).alias("sy"),
-        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(xd * xd).over(w).alias("sxx"),
+        F.sum(yd * yd).over(w).alias("syy"),
+        F.sum(xd * yd).over(w).alias("sxy"),
     ).filter(F.col("n") == 14)
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -12896,15 +12902,19 @@ def q_topk_with_ties_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines so tie groups are identical."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
+    # exact integer 1e-4-dollar units BEFORE aggregation: price and
+    # discount are 2dp, so cents·(100 − disc_pct) is an exact bigint —
+    # float-sum reassociation flipped a 2dp rounding boundary at sf1
+    # (one part, one cent — the sf1 sweep caught it)
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100).cast("bigint") - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
     rev = (
         li.join(F.broadcast(part.select("p_partkey", "p_brand")),
                 F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_partkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
-                2,
-            ).alias("revenue")
+            F.round(F.sum(rev_e4) / F.lit(10000.0), 2).alias("revenue")
         )
     )
     w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"))
@@ -12919,7 +12929,9 @@ def q_topk_with_ties_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TOPK_TIES = """
 WITH rev AS (
   SELECT p_brand, p_partkey,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         round(sum(round(l_extendedprice * 100)::BIGINT
+                   * (100 - round(l_discount * 100)::BIGINT)) / 10000.0,
+               2) AS revenue
   FROM lineitem JOIN part ON l_partkey = p_partkey
   GROUP BY 1, 2
 )

@@ -15,9 +15,12 @@ This module is that storage layer:
 - ``load_ivfpq_index(spark, index_dir)`` reads both back.
 - ``ensure_ivfpq_index(spark, sf_dir, ...)`` is the cache wrapper the
   registry uses: the artifact path is keyed by a fingerprint of the
-  embeddings parquet (size + mtime) and the index params, so a stale
-  index can never be probed after the fixture set regenerates — a new
-  fingerprint means a fresh build.
+  embeddings parquet (size + mtime + footer content digest) and the
+  index params, so a stale index can never be probed after the fixture
+  set regenerates — a new fingerprint means a fresh build.
+- ``upsert_ivfpq_index`` / ``upsert_minhash_index`` append delta
+  batches with the STORED codebooks/permutations (incremental
+  admission — see each docstring).
 
 The stored probe (`operators/similarity.ivfpq_probe`) hash-matches the
 retrain-inline path (`ivfpq_topk`) because every fitted artifact is
