@@ -54,12 +54,17 @@ def near_dup_probe_stream(
         spark, sf_dir, num_hashes=_MH_IDX_HASHES, bands=_MH_IDX_BANDS,
         split_mod=split_mod,
     )
-    # Deterministic per-config sink (a real ingest KEEPS this parquet —
-    # it is the output artifact); cleared up front so repeated drains
-    # don't accumulate stale pairs or checkpoints.
+    # Per-config sink (a real ingest KEEPS this parquet — it is the
+    # output artifact); cleared up front so repeated drains don't
+    # accumulate stale pairs or checkpoints. Suffixed with the session's
+    # application id: two engine instances sharing one warehouse (e.g.
+    # parallel verification suites) must not rmtree each other's
+    # in-flight checkpoints — a real multi-tenant ingest would own its
+    # sink lifecycle the same way.
     sink = os.path.join(
         "spark-warehouse",
-        f"near_dup_stream_mod{split_mod}_{_meta['fingerprint']}",
+        f"near_dup_stream_mod{split_mod}_{_meta['fingerprint']}"
+        f"_{spark.sparkContext.applicationId}",
     )
     shutil.rmtree(sink, ignore_errors=True)
     shutil.rmtree(sink + "_ckpt", ignore_errors=True)
