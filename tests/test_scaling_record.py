@@ -70,3 +70,29 @@ def test_scaling_rows_grow_with_data():
     # density-bound work units must have been recorded and grown
     w = rec["queries"]["distance_band_pairs"]["work"]
     assert w["1.0"] > w["0.1"] > w["0.01"] > 0
+
+
+def test_scaling_decade2_record():
+    """The index/dedup families carry a SECOND measured decade
+    (sf1 → sf10, VERDICT r5 "Next" #3): every SF10_SET query must have
+    sec_d2/r_top2 and none may flag. The record documents why
+    distance_band_pairs sits this decade out."""
+    import sys
+
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    from scalebench import SF10_SET
+
+    rec = _record()
+    d2 = rec.get("decade2")
+    assert d2, "SCALING.json lacks decade2 — run tools/scalebench.py --decade2"
+    assert d2["ladder"] == [1.0, 10.0]
+    assert set(d2["set"]) == set(SF10_SET)
+    # every sat-out query carries a written reason
+    for name, reason in d2["excluded"].items():
+        assert len(reason) > 40, name
+    assert d2["flags"] == [], f"decade-2 super-linear: {d2['flags']}"
+    for name in SF10_SET:
+        q = rec["queries"][name]
+        assert set(q["sec_d2"]) == {"1.0", "10.0"}, name
+        assert q["flagged2"] is False, name
+        assert q["r_top2"] > 0, name
