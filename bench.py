@@ -286,6 +286,28 @@ def main() -> None:
     # marker.
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
 
+    # Load guard (VERDICT r6 "What's wrong" #4: the r6 record started
+    # at loadavg 3.5/4.3/10 while the sf1 sweep drained and read as a
+    # phantom 1.39x regression). Wait — bounded — for the 1-minute
+    # loadavg to drop under the threshold; if it never quiets, proceed
+    # but TAINT the record loudly so no round compares against it.
+    load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOADMAX", "2.0"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOADWAIT", "300"))
+    wait_t0 = time.time()
+    while os.getloadavg()[0] > load_max and time.time() - wait_t0 < load_wait:
+        print(
+            f"# load {os.getloadavg()[0]:.2f} > {load_max} — waiting for quiet",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+    tainted_load = os.getloadavg()[0] > load_max
+    if tainted_load:
+        print(
+            f"# WARNING: starting under load {os.getloadavg()[0]:.2f} > "
+            f"{load_max} after {load_wait:.0f}s wait — record is TAINTED",
+            file=sys.stderr,
+        )
+
     # Code-independent CPU calibration markers. The SAME code on the
     # SAME data can time 1.3x apart round-to-round purely from host CPU
     # sharing (seen r3 judge-vs-builder AND r4 late-vs-early); these
@@ -363,6 +385,7 @@ def main() -> None:
                 "loadavg_after": [round(x, 2) for x in load_after],
                 "cpu_marker_sec": cpu_marker,
                 "cpu_marker_st_sec": cpu_marker_st,
+                "tainted_load": tainted_load,
                 "sf": sf,
                 "n_queries": len(times),
             },
@@ -381,6 +404,7 @@ def main() -> None:
                 "median_sec": round(sorted(times.values())[len(times) // 2], 3),
                 "cpu_marker_sec": cpu_marker,
                 "cpu_marker_st_sec": cpu_marker_st,
+                "tainted_load": tainted_load,
                 "slowest": {k: v for k, v in slowest},
                 "detail": "BENCH_DETAIL.json",
                 "queries": {"_total": total},

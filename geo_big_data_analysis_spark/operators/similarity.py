@@ -293,6 +293,34 @@ def cosine_topk_srp_multi(
 EXACT_NEAR_DUP_MAX_ROWS = 100_000
 
 
+def _split_planes(n: int, dim: int) -> list[list[float]]:
+    """Deterministic hyperplanes for skew splitting, coefficients from
+    splitmix64 finalization over the (plane, dim) index. NOT the
+    registry's LCG family: LCG outputs over sequential indices carry
+    lattice structure that measurably correlates with LCG-generated
+    fixture data — at the sf10 fixture, LCG split planes left the
+    hottest 3,325-member bucket intact (every member on the same side
+    of 16 'fresh' planes) while hash-mixed planes split it ~50/50 per
+    bit. The planes are plain Python floats baked as literals, so the
+    split stays run-to-run deterministic."""
+    mask = (1 << 64) - 1
+
+    def h(k: int) -> float:
+        x = (k * 0x9E3779B97F4A7C15) & mask
+        x ^= x >> 30
+        x = (x * 0xBF58476D1CE4E5B9) & mask
+        x ^= x >> 27
+        x = (x * 0x94D049BB133111EB) & mask
+        x ^= x >> 31
+        return x / 2.0**64 - 0.5
+
+    return [[h(1 + p * dim + d) for d in range(dim)] for p in range(n)]
+
+
+#: skew-split extension never exceeds this many extra signature bits
+_SPLIT_MAX_EXTRA = 16
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float,
@@ -302,6 +330,7 @@ def embedding_near_dup_pairs(
     exact: bool = False,
     force_exact: bool = False,
     exact_max_rows: int = EXACT_NEAR_DUP_MAX_ROWS,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate embedding pairs (cosine ≥ threshold), DEFAULT
     path = multi-table SRP-LSH candidate generation + exact cosine
@@ -312,6 +341,22 @@ def embedding_near_dup_pairs(
     ``exact=True`` is the all-pairs oracle baseline: guarded by
     ``exact_max_rows`` (ValueError beyond it unless ``force_exact``) so
     the O(n²) plan cannot be reached by accident on a large table.
+
+    ``bucket_cap`` enables skew-adaptive bucket splitting — the LSH
+    analogue of AQE's skew-join handling. Clustered embeddings pile
+    into a few signatures regardless of plane count (measured at the
+    sf10 fixture: max occupancy 3,325 of 200k vectors, 169M candidate
+    pairs per table, a >70 GB verify shuffle that spilled out the
+    disk). With a cap, per-(t, sig) occupancy is counted (map-side
+    combinable agg, bucket-cardinality output), buckets over the cap
+    get ``ceil(log2(occ/cap))`` extra signature bits from a DISJOINT
+    deterministic plane family, and the candidate join key becomes
+    (t, depth, sig) — depth keeps split and unsplit signature spaces
+    prefix-safe. Cost: one tiny agg + one broadcast join + one re-hash
+    of only the hot rows (linear in n, never in pairs). Recall: a pair
+    split apart here can still collide in any other table — the same
+    (1−p^b)^L contract, with b grown only inside hot buckets. Default
+    OFF so oracle-replayed queries keep their exact bucket geometry.
 
     Output: (id_a, id_b, cosine) with id_a < id_b.
     """
@@ -354,23 +399,6 @@ def embedding_near_dup_pairs(
             out_id, F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
         )
 
-    # signatures once: the HOF dot inside _srp_sig_expr is interpreted
-    # (CodegenFallback), so evaluating the banded side twice for the
-    # self-join doubles the dominant cost; the lazy checkpoint
-    # materializes the (id, t, sig) rows — 3 integers per row — once.
-    banded_all = banded(e, "vec_id").localCheckpoint(eager=False)
-    cand = (
-        banded_all.alias("l")
-        .join(
-            banded_all.select(
-                F.col("vec_id").alias("id_b"), F.col("t"), F.col("sig")
-            ).alias("r"),
-            ["t", "sig"],
-        )
-        .filter(F.col("vec_id") < F.col("id_b"))
-        .select(F.col("vec_id").alias("id_a"), "id_b")
-        .distinct()
-    )
     # norms once per VECTOR (n of them), not per pair — the verify then
     # evaluates a single unrolled dot per candidate instead of three.
     # The lazy localCheckpoint is a projection barrier: without it the
@@ -381,6 +409,71 @@ def embedding_near_dup_pairs(
     wn = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), nrm.alias("_n")
     ).localCheckpoint(eager=False)
+    # signatures once: the HOF dot inside _srp_sig_expr is interpreted
+    # (CodegenFallback), so evaluating the banded side twice for the
+    # self-join doubles the dominant cost; the lazy checkpoint
+    # materializes the (id, t, sig) rows — 3 integers per row — once.
+    banded_all = banded(e, "vec_id").localCheckpoint(eager=False)
+    join_keys = ["t", "sig"]
+    if bucket_cap:
+        occ = banded_all.groupBy("t", "sig").agg(F.count(F.lit(1)).alias("_occ"))
+        two_pow = F.expr("shiftleft(cast(1 as bigint), _extra)")
+        hot = occ.filter(F.col("_occ") > bucket_cap).select(
+            "t",
+            "sig",
+            F.least(
+                F.lit(_SPLIT_MAX_EXTRA),
+                F.ceil(F.log2(F.col("_occ") / F.lit(float(bucket_cap)))),
+            ).cast("int").alias("_extra"),
+        )
+        marked = banded_all.join(F.broadcast(hot), ["t", "sig"], "left")
+        cold = marked.filter(F.col("_extra").isNull()).select(
+            "vec_id", "t", F.lit(0).alias("depth"), "sig"
+        )
+        # Split bits hash MEAN-CENTERED directions: a hot bucket is hot
+        # because its members share a dominant direction, and a
+        # through-origin plane whose normal isn't near-orthogonal to
+        # that direction puts them all on the same side (measured at
+        # sf10: extension planes on RAW vectors left max occupancy
+        # 3325 → 3293). Centering on the two-phase global mean spreads
+        # the cone across the extension buckets, while a genuine
+        # near-dup pair — a small perturbation relative to ‖v−μ‖ —
+        # still agrees on the centered signs.
+        mu = (
+            e.agg(
+                *[F.avg(F.col("embedding")[d].cast("double")).alias(f"m{d}")
+                  for d in range(dim)]
+            ).collect()[0]
+        )
+        mu_arr = "array(" + ", ".join(f"{float(mu[f'm{d}'])!r}D" for d in range(dim)) + ")"
+        centered = f"zip_with(embedding, {mu_arr}, (x, y) -> x - y)"
+        # only the hot rows pay a vector re-join + re-hash; the masked
+        # low `_extra` bits of the full extension signature append to
+        # the base signature, depth disambiguates split widths
+        hot_rows = (
+            marked.filter(F.col("_extra").isNotNull())
+            .join(wn.select("vec_id", "embedding"), "vec_id")
+            .withColumn("_cv", F.expr(centered))
+            .withColumn("_ext", _srp_sig_expr(_split_planes(_SPLIT_MAX_EXTRA, dim), "_cv"))
+            .select(
+                "vec_id",
+                "t",
+                F.col("_extra").alias("depth"),
+                (F.col("sig") * two_pow + F.pmod(F.col("_ext"), two_pow)).alias("sig"),
+            )
+        )
+        banded_all = cold.unionByName(hot_rows).localCheckpoint(eager=False)
+        join_keys = ["t", "depth", "sig"]
+    cand = (
+        banded_all.alias("l")
+        .join(
+            banded_all.withColumnRenamed("vec_id", "id_b").alias("r"),
+            join_keys,
+        )
+        .filter(F.col("vec_id") < F.col("id_b"))
+        .select(F.col("vec_id").alias("id_a"), "id_b")
+        .distinct()
+    )
     va = wn.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("_n").alias("na"))
     vb = wn.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("_n").alias("nb"))
     pairs = cand.join(va, "id_a").join(vb, "id_b")

@@ -6798,8 +6798,9 @@ def q_geocode_places(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine determinism (the `jw_entity_resolution` convention;
     oracle uses DuckDB's independent C++ jaro_winkler_similarity).
     Scale: probes stream map-side against the broadcast gazetteer;
-    the only shuffle is the per-probe argmax window over ≤40 rows."""
-    from ..functions.strings import jaro_winkler
+    the only shuffle is the per-distinct-query argmax window over ≤40
+    rows (distinct queries are bounded by the gazetteer universe)."""
+    from ..functions.strings import jaro_winkler_pandas
 
     gaz = _gazetteer(spark, sf_dir).withColumn(
         "gname_norm", _geocode_norm(F.col("place_name"))
@@ -6840,23 +6841,40 @@ def q_geocode_places(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lon",
     )
     missed = probes.join(exact.select("probe_id"), "probe_id", "left_anti")
-    fz = missed.join(F.broadcast(gsel), "nat").withColumn(
-        "jw", jaro_winkler("q_norm", "gname_norm")
+    # Fuzzy resolution is a pure function of (nat, q_norm): evaluate
+    # each DISTINCT missed query once against its ≤40-candidate country
+    # block (bounded by the gazetteer universe, so JW work stops
+    # growing with probe volume), then equi-join the resolved match
+    # back onto every probe (VERDICT r6 "What's wrong" #2). JW itself
+    # crosses to an Arrow-batched pandas scalar (~5 µs/pair vs ~0.4 ms
+    # for the codegen fold) — the §2.12-warranted crossing: this is the
+    # hot inner loop, distinct-queries × 40 candidates per batch.
+    dq = missed.select("nat", "q_norm").distinct()
+    fz = dq.join(F.broadcast(gsel), "nat").withColumn(
+        "jw", jaro_winkler_pandas("q_norm", "gname_norm")
     )
-    w = Window.partitionBy("probe_id").orderBy(
+    w = Window.partitionBy("nat", "q_norm").orderBy(
         F.desc(F.round("jw", 6)), F.asc("place_id")
     )
-    fuzzy = (
+    best = (
         fz.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
         .select(
-            "probe_id",
+            "nat",
+            "q_norm",
             "place_id",
-            F.lit("fuzzy").alias("method"),
             F.round("jw", 6).alias("score"),
             "lat",
             "lon",
         )
+    )
+    fuzzy = missed.join(best, ["nat", "q_norm"]).select(
+        "probe_id",
+        "place_id",
+        F.lit("fuzzy").alias("method"),
+        "score",
+        "lat",
+        "lon",
     )
     return exact.unionByName(fuzzy).orderBy("probe_id")
 
@@ -11963,23 +11981,59 @@ def q_rolling_correlation_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day").rowsBetween(-13, 0)
     # x ≈ 1e10 cents/day at sf1 → x² ≈ 1e20 OVERFLOWS bigint (silent
     # wrap under ANSI-off → sqrt(negative) → NaN; DuckDB promotes sum
-    # to int128 — the sf1 sweep caught exactly this). Run the squared
-    # moments in decimal(38,0): exact integers on both engines.
-    xd = F.col("x").cast("decimal(38,0)")
-    yd = F.col("y").cast("decimal(38,0)")
-    m = daily.select(
+    # to int128 — the sf1 sweep caught exactly this). Pearson r is
+    # shift-invariant, so TWO-PHASE CENTER both series on the exact
+    # integer global mean (bigint div — identical on both engines).
+    # Centered deviations are still up to 2.8e9 cents at sf1 (the
+    # fixture has real trend — dev² · 14 ≈ 1.1e20 still overflows), so
+    # the squared moments run on the EXACT split cx = 8192·q + r
+    # (floor division — both engines via floor(cx/8192.0), because
+    # DuckDB's // truncates): cx² = 8192²·q² + 2·8192·q·r + r², each
+    # windowed sum in bigint with q²·14 < 2^63 headroom to ~sf800.
+    # Reassembly happens in double — both engines evaluate the same
+    # scalar expression on identical integers, so the 6dp round can't
+    # diverge. (The r6 decimal(38,0) windows were exact too but 4.9x
+    # slower — decimal window aggregation is the slow path.)
+    tot = daily.agg(
+        F.sum("x").alias("tx"), F.sum("y").alias("ty"), F.count(F.lit(1)).alias("nd")
+    ).collect()[0]
+    x0 = int(tot["tx"]) // int(tot["nd"])
+    y0 = int(tot["ty"]) // int(tot["nd"])
+    s = 8192
+    cent = daily.select(
+        "day",
+        (F.col("x") - F.lit(x0)).alias("cx"),
+        (F.col("y") - F.lit(y0)).alias("cy"),
+    ).select(
+        "day",
+        "cx",
+        "cy",
+        F.floor(F.col("cx") / F.lit(float(s))).cast("bigint").alias("q"),
+    ).select(
+        "day", "cx", "cy", "q", (F.col("cx") - F.lit(s) * F.col("q")).alias("r")
+    )
+    m = cent.select(
         "day",
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum("x").over(w).alias("sx"),
-        F.sum("y").over(w).alias("sy"),
-        F.sum(xd * xd).over(w).alias("sxx"),
-        F.sum(yd * yd).over(w).alias("syy"),
-        F.sum(xd * yd).over(w).alias("sxy"),
+        F.sum("cx").over(w).alias("sx"),
+        F.sum("cy").over(w).alias("sy"),
+        F.sum(F.col("q") * F.col("q")).over(w).alias("s1"),
+        F.sum(F.col("q") * F.col("r")).over(w).alias("s2"),
+        F.sum(F.col("r") * F.col("r")).over(w).alias("s3"),
+        F.sum(F.col("cy") * F.col("cy")).over(w).alias("syy"),
+        F.sum(F.col("q") * F.col("cy")).over(w).alias("t1"),
+        F.sum(F.col("r") * F.col("cy")).over(w).alias("t2"),
     ).filter(F.col("n") == 14)
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    sxy = F.col("sxy").cast("double")
+    sd = float(s)
+    sxx = (
+        F.lit(sd * sd) * F.col("s1").cast("double")
+        + F.lit(2.0 * sd) * F.col("s2").cast("double")
+        + F.col("s3").cast("double")
+    )
+    syy = F.col("syy").cast("double")
+    sxy = F.lit(sd) * F.col("t1").cast("double") + F.col("t2").cast("double")
     corr = (sxy - sx * sy / nd) / F.sqrt(
         (sxx - sx * sx / nd) * (syy - sy * sy / nd)
     )
@@ -11994,21 +12048,45 @@ WITH daily AS (
          count(*)::BIGINT AS y
   FROM orders GROUP BY 1
 ),
+g AS (
+  SELECT sum(x) // count(*) AS x0, sum(y) // count(*) AS y0 FROM daily
+),
+c AS (
+  SELECT day, (x - (SELECT x0 FROM g))::BIGINT AS cx,
+         (y - (SELECT y0 FROM g))::BIGINT AS cy
+  FROM daily
+),
+c2 AS (
+  SELECT day, cx, cy,
+         CAST(floor(cx / 8192.0) AS BIGINT) AS q
+  FROM c
+),
+c3 AS (
+  SELECT day, cx, cy, q, (cx - 8192 * q)::BIGINT AS r FROM c2
+),
 m AS (
   SELECT day,
          count(*) OVER w AS n,
-         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
-         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
-         sum(x * y) OVER w AS sxy
-  FROM daily
+         sum(cx) OVER w AS sx, sum(cy) OVER w AS sy,
+         sum(q * q) OVER w AS s1, sum(q * r) OVER w AS s2,
+         sum(r * r) OVER w AS s3,
+         sum(cy * cy) OVER w AS syy,
+         sum(q * cy) OVER w AS t1, sum(r * cy) OVER w AS t2
+  FROM c3
   WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+a AS (
+  SELECT day, n::DOUBLE AS nd, sx::DOUBLE AS sx, sy::DOUBLE AS sy,
+         67108864.0 * s1::DOUBLE + 16384.0 * s2::DOUBLE + s3::DOUBLE AS sxx,
+         syy::DOUBLE AS syy,
+         8192.0 * t1::DOUBLE + t2::DOUBLE AS sxy
+  FROM m WHERE n = 14
 )
 SELECT day,
-       round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
-             / sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
-                    * (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)), 6)
+       round((sxy - sx * sy / nd)
+             / sqrt((sxx - sx * sx / nd) * (syy - sy * sy / nd)), 6)
          AS corr14
-FROM m WHERE n = 14 ORDER BY day
+FROM a ORDER BY day
 """
 
 

@@ -120,15 +120,18 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
             _pal, frames = read_gif(payload)
             return np.stack(frames)  # (n_frames, H, W) palette indices
         from .h264 import is_annexb_h264, read_annexb_h264
+        from .mp4 import extract_samples, is_mp4, read_mp4
 
-        if is_annexb_h264(payload):
+        # MP4 sniff FIRST (ADVICE r6): an MP4 whose leading box uses a
+        # 64-bit largesize starts 00 00 00 01 — identical to an Annex-B
+        # start code — and the next byte can alias an SPS/AUD NAL type;
+        # the ftyp-based MP4 check is the stricter of the two.
+        if not is_mp4(payload) and is_annexb_h264(payload):
             # Annex-B H.264 elementary stream: bitstream/SPS/PPS/slice
             # layers parse natively; I_PCM macroblocks decode to pixels
             # (sources/h264.py); CAVLC residual MBs raise the named
             # boundary error from inside the slice decoder.
             return read_annexb_h264(payload)
-        from .mp4 import extract_samples, is_mp4, read_mp4
-
         if is_mp4(payload):
             from .jpeg import is_jpeg, read_jpeg
 

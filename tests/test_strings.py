@@ -57,3 +57,49 @@ def test_jw_null_propagates(spark):
         [("abc", None), (None, None)], "a string, b string"
     ).withColumn("jw", jaro_winkler("a", "b"))
     assert [r["jw"] for r in df.collect()] == [None, None]
+
+
+def test_jw_pandas_matches_expression_and_duckdb(spark):
+    """The Arrow-batched scalar (the geocode hot path) must agree with
+    BOTH the codegen expression and DuckDB's C++ implementation —
+    exactly, because the geocode oracle rounds it to 6dp and a 1-ulp
+    drift could flip a rank-1 tie."""
+    import random
+
+    from geo_big_data_analysis_spark.functions.strings import (
+        _jw_py,
+        jaro_winkler_pandas,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcdef "
+    words = [""] + [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 24)))
+        for _ in range(60)
+    ]
+    pairs = [(rng.choice(words), rng.choice(words)) for _ in range(300)]
+    df = (
+        spark.createDataFrame(pairs, "a string, b string")
+        .withColumn("jw_expr", jaro_winkler("a", "b"))
+        .withColumn("jw_pd", jaro_winkler_pandas("a", "b"))
+    )
+    con = duckdb.connect()
+    for r in df.collect():
+        assert r["jw_expr"] == r["jw_pd"], (r["a"], r["b"], r["jw_expr"], r["jw_pd"])
+        d = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [r["a"], r["b"]]
+        ).fetchone()[0]
+        assert abs(r["jw_pd"] - d) < 1e-12, (r["a"], r["b"], r["jw_pd"], d)
+    # scalar edge conventions match the expression's
+    assert _jw_py(None, "x") is None
+    assert _jw_py("", "") == 0.0
+    assert _jw_py("ab", "ba") == 0.0
+
+
+def test_jw_pandas_null_propagates(spark):
+    from geo_big_data_analysis_spark.functions.strings import jaro_winkler_pandas
+
+    df = spark.createDataFrame(
+        [("abc", None), (None, None)], "a string, b string"
+    ).withColumn("jw", jaro_winkler_pandas("a", "b"))
+    assert [r["jw"] for r in df.collect()] == [None, None]

@@ -122,9 +122,13 @@ WORK_NORMALIZED = {"distance_band_pairs": "n_pairs"}
 
 def _variant_srp_scaled(spark, sf_dir):
     """embedding_near_dup_pairs with the plane count scaling as
-    log2(n/64): constant ~64-vector buckets at any n, candidates ∝ n —
-    how SRP-LSH is actually provisioned at scale (the registry query
-    pins 4 planes so its DuckDB oracle can replay signatures)."""
+    log2(n/64) AND the skew-adaptive bucket cap on: clustered fixtures
+    pile into a few signatures regardless of plane count (sf10: max
+    occupancy 3,325 → 169M candidates/table → the verify shuffle
+    spilled out a 78 GB disk), so the production configuration splits
+    hot buckets with extra signature bits — candidates ∝ n·cap — the
+    way the registry query can't (it pins 4 planes so its DuckDB
+    oracle can replay signatures)."""
     import math
 
     from geo_big_data_analysis_spark.plans.registry import _srp_planes, _t
@@ -140,7 +144,9 @@ def _variant_srp_scaled(spark, sf_dir):
     n_planes = max(2, math.ceil(math.log2(max(n, 128) / 64)))
     flat = _srp_planes(4 * n_planes, 64)
     tables = [flat[t * n_planes : (t + 1) * n_planes] for t in range(4)]
-    return embedding_near_dup_pairs(emb, threshold=0.8, tables=tables)
+    return embedding_near_dup_pairs(
+        emb, threshold=0.8, tables=tables, bucket_cap=128
+    )
 
 
 def _variant_ivf_fixed_batch(spark, sf_dir):
@@ -328,6 +334,17 @@ def run_decade2(iters: int, out_path: str, only: list[str] | None = None) -> int
                 t0 = time.time()
                 n = fn(spark, d).count()
                 runs.append(time.time() - t0)
+                # drop the run's shuffle files NOW: sf10 shapes spill
+                # tens of GB per pass and the ContextCleaner only GCs
+                # them when the Python refs die — two un-GC'd passes
+                # filled the disk (r6 srp death)
+                import gc
+
+                gc.collect()
+                try:
+                    spark._jvm.System.gc()
+                except Exception:  # noqa: BLE001
+                    pass
             sec[str(sf)] = round(min(runs), 3)
             rows[str(sf)] = int(n)
         r_top2 = sec["10.0"] / max(sec["1.0"], 1e-9)
@@ -343,6 +360,34 @@ def run_decade2(iters: int, out_path: str, only: list[str] | None = None) -> int
             f"{'FLAG' if flagged else 'ok  '} {name}: "
             f"{sec['1.0']}s -> {sec['10.0']}s (r_top2 {r_top2:.1f}x)"
         )
+        if "sec" not in entry:
+            # backfill the decade-1 ladder (ADVICE r6): a decade-2 entry
+            # must never violate the decade-1 gate's full-ladder
+            # invariant. sf1 reuses the point just measured above.
+            sec1: dict[str, float] = {"1.0": sec["1.0"]}
+            rows1: dict[str, int] = {"1.0": rows["1.0"]}
+            for sf, d in LADDER[:2]:
+                runs = []
+                n = -1
+                for _ in range(iters):
+                    t0 = time.time()
+                    n = fn(spark, d).count()
+                    runs.append(time.time() - t0)
+                sec1[str(sf)] = round(min(runs), 3)
+                rows1[str(sf)] = int(n)
+            r_mid = sec1["0.1"] / max(sec1["0.01"], 1e-9)
+            r_top = sec1["1.0"] / max(sec1["0.1"], 1e-9)
+            entry["sec"] = sec1
+            entry["rows"] = rows1
+            entry["r_mid"] = round(r_mid, 2)
+            entry["r_top"] = round(r_top, 2)
+            entry["flagged"] = r_top > FLAG_RATIO
+            if entry["flagged"]:
+                flags.append(name)
+            print(
+                f"     backfilled decade-1: {sec1['0.01']}s -> "
+                f"{sec1['0.1']}s -> {sec1['1.0']}s (r_top {r_top:.1f}x)"
+            )
     prev_flags = set(record.get("decade2", {}).get("flags", []))
     record["decade2"] = {
         "ladder": [1.0, 10.0],
@@ -366,9 +411,12 @@ def run_decade2(iters: int, out_path: str, only: list[str] | None = None) -> int
             ),
         },
     }
+    # recompute from the current per-query fields (ADVICE r6: a monotone
+    # union keeps stale flags forever after a clearing re-run)
     record["flags"] = sorted(
-        set(record.get("flags", []))
-        | {n for n, q in record["queries"].items() if q.get("flagged2")}
+        n
+        for n, q in record["queries"].items()
+        if q.get("flagged") or q.get("flagged2")
     )
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1)
@@ -465,15 +513,23 @@ def main() -> int:
             f"(r_mid {r_mid:.1f}x, r_top {r_top:.1f}x) {detail}"
         )
 
-    if args.queries and os.path.exists(args.out):
-        # partial re-run: merge the refreshed entries into the existing
-        # record and recompute the flag list over the union
+    prev: dict = {}
+    if os.path.exists(args.out):
         with open(args.out) as f:
             prev = json.load(f)
-        merged = dict(prev.get("queries", {}))
-        merged.update(results)
-        results = merged
-        flags = sorted(n for n, q in results.items() if q.get("flagged"))
+    # merge refreshed decade-1 fields ONTO existing entries so the
+    # decade-2 fields (sec_d2/rows_d2/r_top2/flagged2) measured by
+    # --decade2 survive a decade-1 re-run; recompute flags from the
+    # current per-query fields (no monotone union — ADVICE r6)
+    merged = dict(prev.get("queries", {}))
+    for name, entry in results.items():
+        old = dict(merged.get(name, {}))
+        old.update(entry)
+        merged[name] = old
+    results = merged
+    flags = sorted(
+        n for n, q in results.items() if q.get("flagged") or q.get("flagged2")
+    )
     out = {
         "ladder": [sf for sf, _ in LADDER],
         "iters": args.iters,
@@ -483,6 +539,8 @@ def main() -> int:
         "flags": flags,
         "n_queries": len(results),
     }
+    if "decade2" in prev:
+        out["decade2"] = prev["decade2"]
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\n{len(flags)} flagged / {len(results)} queries -> {args.out}")

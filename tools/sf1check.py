@@ -105,15 +105,21 @@ def _compare(sdf, odf) -> list[str]:
 def _with_timeout(fn, cancel, timeout_s: float):
     """Run fn(); fire cancel() from a watchdog thread at timeout —
     REPEATEDLY (every 5 s) until fn returns, because iterative queries
-    (CC/SSSP driver loops) re-submit jobs after a one-shot
-    cancelAllJobs. Returns (result, timed_out, err)."""
+    (CC/SSSP driver loops) re-submit jobs after a one-shot cancel.
+    The done event is re-checked immediately before every cancel()
+    (ADVICE r6: a cancel landing up to 5 s after fn returned would hit
+    the NEXT query's jobs — with cancelAllJobs that produced spurious
+    FAILs; callers should also scope cancel to a job group).
+    Returns (result, timed_out, err)."""
     fired = threading.Event()
     done = threading.Event()
 
     def _watch():
         if done.wait(timeout_s):
             return
-        while not done.is_set():
+        while True:
+            if done.is_set():
+                return
             fired.set()
             try:
                 cancel()
@@ -146,9 +152,20 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+
+        def _run_grouped(fn=fn, name=name):
+            # scope every job this query submits to its own group so
+            # the watchdog can cancel THIS query without racing the
+            # next one (ADVICE r6)
+            spark.sparkContext.setJobGroup(name, f"sf1check:{name}", True)
+            try:
+                return fn(spark, sf_dir).toPandas()
+            finally:
+                spark.sparkContext.clearJobGroup()
+
         sdf, s_to, s_err = _with_timeout(
-            lambda: fn(spark, sf_dir).toPandas(),
-            spark.sparkContext.cancelAllJobs,
+            _run_grouped,
+            lambda name=name: spark.sparkContext.cancelJobGroup(name),
             TIMEOUT_S,
         )
         spark_s = time.time() - t0

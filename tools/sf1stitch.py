@@ -26,23 +26,37 @@ LINE = re.compile(
 )
 
 
+GREEN = ("PASS", "PASSg", "ok?")
+
+
 def main() -> int:
     out_path, logs = sys.argv[1], sys.argv[2:]
     best: dict[str, tuple[str, str]] = {}
     for log in logs:
+        # green-over-red precedence holds only WITHIN one log (a retry
+        # loop in the same sweep); across logs the LATER log genuinely
+        # wins, red included — otherwise a regression seen in a re-run
+        # is silently dropped and the stitched record still reads ALL
+        # GREEN (ADVICE r6).
+        this_log: dict[str, tuple[str, str]] = {}
         with open(log) as f:
             for line in f:
                 m = LINE.match(line.rstrip("\n"))
                 if m:
                     tag, name, rest = m.groups()
-                    prev = best.get(name)
-                    # later logs win; within one pass, a green result
-                    # supersedes an earlier red one and never vice versa
-                    if prev and prev[0] in ("PASS", "PASSg", "ok?") and tag not in (
-                        "PASS", "PASSg", "ok?"
-                    ):
+                    prev = this_log.get(name)
+                    if prev and prev[0] in GREEN and tag not in GREEN:
                         continue
-                    best[name] = (tag, rest)
+                    this_log[name] = (tag, rest)
+        for name, (tag, rest) in this_log.items():
+            prev = best.get(name)
+            if prev and prev[0] in GREEN and tag not in GREEN:
+                print(
+                    f"WARNING: {name} was {prev[0]} in an earlier log, "
+                    f"superseded by {tag} from {log}",
+                    file=sys.stderr,
+                )
+            best[name] = (tag, rest)
     lines = []
     n_green = n_bad = 0
     for name in REGISTRY:
