@@ -137,6 +137,15 @@ def test_sf1_full_record():
         green = oracle | golden | rows_only
         assert len(green) >= 150, f"{path}: only {len(green)} green"
         assert len(oracle) >= 120, f"{path}: only {len(oracle)} oracle-checked"
+        n = int(re.search(r"_r(\d+)\.txt$", path).group(1))
+        if n >= 7:
+            # r7+: a golden alone proves stability, not correctness —
+            # every PASSg row must also carry its linear invariant
+            # oracle (tools/sf1invariants.py; VERDICT r6 "Next" #4)
+            bare = set(
+                re.findall(r"^PASSg (\w+):(?!.*\+invariant)", text, re.MULTILINE)
+            )
+            assert not bare, f"{path}: PASSg without invariant: {sorted(bare)}"
         for name in (
             "exact_dedup_docs",
             "minhash_index_build",

@@ -48,6 +48,107 @@ TIMEOUT_S = int(os.environ.get("SF1CHECK_TIMEOUT_S", "300"))
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "SF1_GOLDENS.json")
 
 
+def _sql_hex_materialized() -> str:
+    """hex_density_events with the xy projection behind a MATERIALIZED
+    CTE: the committed oracle inlines the Karney UTM series into every
+    one of hex_cell's ~8 references, which is why it timed out at sf1
+    and got goldened — the SAME re-evaluation trap the Spark side fixed
+    with a repartition barrier. Identical math, linear, 1.6 s at sf1 —
+    upgrades the entry from PASSg to a real cross-engine PASS."""
+    from geo_big_data_analysis_spark.functions.geo import hex_cell_sql
+    from geo_big_data_analysis_spark.plans.registry import (
+        _DERIVED_POINTS_SQL,
+        _UTM_X_SQL,
+        _UTM_Y_SQL,
+    )
+
+    qs, rs = hex_cell_sql("_x", "_y", 1000.0)
+    return f"""
+WITH d AS ({_DERIVED_POINTS_SQL}),
+xy AS MATERIALIZED (SELECT {_UTM_X_SQL} AS _x, {_UTM_Y_SQL} AS _y FROM d),
+h AS (SELECT {qs} AS hex_q, {rs} AS hex_r FROM xy)
+SELECT hex_q, hex_r, count(*)::BIGINT AS n
+FROM h GROUP BY hex_q, hex_r HAVING count(*) >= 5
+ORDER BY n DESC, hex_q, hex_r
+"""
+
+
+_EMB_ANCHORS = 256
+
+
+def _emb_near_dup_sampled(spark, sf_dir):
+    """embedding_near_dup restricted to a FIXED anchor set (vec_id <
+    256): exact cosine for every (anchor, any) pair — O(anchors·n),
+    linear in the corpus, so BOTH engines replay it at sf1 (VERDICT r6
+    "Next" #4: the full exact anchor is O(n²) by definition and burned
+    1,620 s of sweep time). Same columns, same threshold, same rounding
+    as the registry query; the full-output golden is retired in favor
+    of this real cross-engine slice. Norms are computed once per
+    VECTOR behind a checkpoint barrier (the operator's exact-path
+    idiom) so each pair evaluates ONE unrolled dot, not three."""
+    from pyspark.sql import functions as F
+
+    from geo_big_data_analysis_spark.operators.similarity import _dot_sql
+    from geo_big_data_analysis_spark.plans.registry import _t
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    nrm = F.sqrt(F.expr(f"({_dot_sql('embedding', 'embedding', 64)})"))
+    wn = emb.select("vec_id", "embedding", nrm.alias("_n")).localCheckpoint(
+        eager=False
+    )
+    a = wn.filter(F.col("vec_id") < _EMB_ANCHORS).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("_n").alias("na"),
+    )
+    b = wn.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = F.expr(f"({_dot_sql('va', 'vb', 64)})") / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.45)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+_SQL_EMB_SAMPLED = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings
+),
+a AS (SELECT * FROM e WHERE vec_id < {_EMB_ANCHORS}),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v) / (a.n * b.n) AS cosine
+  FROM a, e b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.45
+"""
+
+#: name -> replacement oracle SQL (same query, tractable formulation)
+ORACLE_OVERRIDES = {
+    "hex_density_events": (_sql_hex_materialized, "materialized-CTE oracle"),
+}
+
+#: name -> (spark_fn, sql, note): the sweep runs a bounded-cost FORM of
+#: the query on both engines — a real cross-engine check of the same
+#: operator at sf1 where the registry form is O(n²) by definition
+SWEEP_OVERRIDES = {
+    "embedding_near_dup": (
+        _emb_near_dup_sampled,
+        _SQL_EMB_SAMPLED,
+        f"sampled-anchor form, vec_id<{_EMB_ANCHORS}",
+    ),
+}
+
+
 def _load_goldens() -> dict[str, str]:
     if os.path.exists(GOLDEN_PATH):
         with open(GOLDEN_PATH) as f:
@@ -146,11 +247,22 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     goldens = _load_goldens()
+    from sf1invariants import INVARIANTS
+
+    outputs: dict = {}
     failures = 0
     n_pass = n_golden = n_rows_only = 0
     for name, (fn, sql) in REGISTRY.items():
         if only and name not in only:
             continue
+        note = ""
+        if name in SWEEP_OVERRIDES:
+            fn, sql, note = SWEEP_OVERRIDES[name]
+            note = f" ({note})"
+        elif name in ORACLE_OVERRIDES:
+            mk, onote = ORACLE_OVERRIDES[name]
+            sql = mk()
+            note = f" ({onote})"
         t0 = time.time()
 
         def _run_grouped(fn=fn, name=name):
@@ -161,7 +273,8 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
             try:
                 return fn(spark, sf_dir).toPandas()
             finally:
-                spark.sparkContext.clearJobGroup()
+                # pyspark 4 has no clearJobGroup; reset the property
+                spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
 
         sdf, s_to, s_err = _with_timeout(
             _run_grouped,
@@ -176,12 +289,29 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
             continue
         if name in goldens:
             got = _value_matrix_hash(sdf)
-            if got == goldens[name]:
-                print(f"PASSg {name}: rows={len(sdf)} golden-hash [{spark_s:.1f}s]")
-                n_golden += 1
-            else:
+            if got != goldens[name]:
                 print(f"FAIL {name}: golden hash {got} != {goldens[name]}")
                 failures += 1
+                continue
+            inv = INVARIANTS.get(name)
+            if inv is not None:
+                t1 = time.time()
+                try:
+                    msgs = inv(spark, con, sf_dir, sdf, outputs)
+                except Exception as e:  # noqa: BLE001
+                    msgs = [f"invariant raised: {str(e)[:200]}"]
+                inv_s = time.time() - t1
+                if msgs:
+                    print(f"FAIL {name}: invariant: {'; '.join(msgs)}")
+                    failures += 1
+                    continue
+                print(
+                    f"PASSg {name}: rows={len(sdf)} golden-hash+invariant "
+                    f"[{spark_s:.1f}s+{inv_s:.1f}s]"
+                )
+            else:
+                print(f"PASSg {name}: rows={len(sdf)} golden-hash [{spark_s:.1f}s]")
+            n_golden += 1
             continue
         if sql is None:
             print(f"ok?  {name}: rows={len(sdf)} (no oracle, rows-only) [{spark_s:.1f}s]")
@@ -202,7 +332,10 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
             print(f"FAIL {name}: {'; '.join(msgs)}")
             failures += 1
         else:
-            print(f"PASS {name}: rows={len(sdf)} [{spark_s:.1f}s+{oracle_s:.1f}s]")
+            print(
+                f"PASS {name}: rows={len(sdf)} "
+                f"[{spark_s:.1f}s+{oracle_s:.1f}s]{note}"
+            )
             n_pass += 1
     print(
         f"\n{n_pass} oracle-PASS, {n_golden} golden-PASS, "
