@@ -280,6 +280,15 @@ SF10_SET = [
     "hard_negative_fixed_batch",
     "ngram_jaccard_capped",
     "exact_dedup_docs",
+    # r7 (VERDICT r6 "Next" #7): the 5 heaviest NON-index plans carry a
+    # measured second decade too — permutation inference, inverted-index
+    # dedup share, iterative graph peeling, the sentiment state machine,
+    # and grid-join DBSCAN
+    "lisa_perm_band_dist",
+    "dup_ngram_share_docs",
+    "kcore_mod",
+    "sentiment_pattern_docs",
+    "dbscan_event_clusters",
 ]
 
 SF10_DIR = "scaledata/sf10"
