@@ -36,6 +36,15 @@ def main() -> int:
         new = _unwrap(json.load(f))
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
+    for label, rec in (("old", old), ("new", new)):
+        if rec.get("tainted_load"):
+            # a record started under load measures the machine, not the
+            # code (r6's phantom 1.39x) — say so loudly up front
+            print(
+                f"WARNING: {label} record is TAINTED (started over the "
+                f"loadavg guard) — treat every ratio below as suspect"
+            )
+
     qo, qn = _queries(old), _queries(new)
     common = sorted(set(qo) & set(qn))
     if not common:

@@ -289,6 +289,13 @@ SF10_SET = [
     "kcore_mod",
     "sentiment_pattern_docs",
     "dbscan_event_clusters",
+    # r7 second batch: the core SQL/session/ML anchors at sf10 —
+    # 61M-row lineitem scan+agg, 10M-event sessionization window,
+    # 6-iteration exact Lloyd over 200k vectors, line∩cell overlay
+    "pricing_summary",
+    "user_sessions",
+    "lloyd_kmeans_clusters",
+    "road_density_grid",
 ]
 
 SF10_DIR = "scaledata/sf10"
