@@ -132,9 +132,54 @@ p AS (
 SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.45
 """
 
+def _sql_distance_band_bucketed() -> str:
+    """distance_band_pairs with the oracle replaying the GRID strategy
+    instead of the committed brute-force cross join (which is n_a·n_b
+    ≈ 3.6e9 haversines at sf1 and timed out → golden). The bucketed
+    form computes the identical pair set — the 3×3 neighbor cover is
+    complete because cell edge 0.03° exceeds the 2 km radius in both
+    axes — in time linear in true pairs (431M at sf1, ~177 s)."""
+    from geo_big_data_analysis_spark.plans.registry import (
+        _DERIVED_POINTS_SQL,
+    )
+
+    cell = 0.03
+    return f"""
+WITH p AS ({_DERIVED_POINTS_SQL}),
+a AS MATERIALIZED (
+  SELECT event_id AS a_id, lon AS a_lon, lat AS a_lat,
+         CAST(floor((lon - (-74.3)) / {cell!r}) AS BIGINT) AS gx0,
+         CAST(floor((lat - 40.5) / {cell!r}) AS BIGINT) AS gy0
+  FROM p WHERE event_type = 'purchase'),
+b AS MATERIALIZED (
+  SELECT event_id AS b_id, lon AS b_lon, lat AS b_lat,
+         CAST(floor((lon - (-74.3)) / {cell!r}) AS BIGINT) AS gx,
+         CAST(floor((lat - 40.5) / {cell!r}) AS BIGINT) AS gy
+  FROM p WHERE event_type = 'signup'),
+ac AS (SELECT a.*, gx0 + dx.dx AS gx, gy0 + dy.dy AS gy
+       FROM a, (VALUES (-1),(0),(1)) dx(dx), (VALUES (-1),(0),(1)) dy(dy)),
+pairs AS (
+  SELECT a_id,
+         2 * 6371.0 * asin(sqrt(
+           pow(sin((radians(b_lat) - radians(a_lat)) / 2), 2)
+           + cos(radians(a_lat)) * cos(radians(b_lat))
+             * pow(sin((radians(b_lon) - radians(a_lon)) / 2), 2)
+         )) AS dist_km
+  FROM ac JOIN b USING (gx, gy)
+)
+SELECT count(*)::BIGINT AS n_pairs, round(avg(dist_km), 4) AS avg_km,
+       count(DISTINCT a_id)::BIGINT AS n_a_matched
+FROM pairs WHERE dist_km <= 2.0
+"""
+
+
 #: name -> replacement oracle SQL (same query, tractable formulation)
 ORACLE_OVERRIDES = {
     "hex_density_events": (_sql_hex_materialized, "materialized-CTE oracle"),
+    "distance_band_pairs": (
+        _sql_distance_band_bucketed,
+        "grid-bucketed oracle",
+    ),
 }
 
 #: name -> (spark_fn, sql, note): the sweep runs a bounded-cost FORM of
