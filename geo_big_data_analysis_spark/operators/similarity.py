@@ -439,13 +439,18 @@ def embedding_near_dup_pairs(
         # the cone across the extension buckets, while a genuine
         # near-dup pair — a small perturbation relative to ‖v−μ‖ —
         # still agrees on the centered signs.
-        mu = (
-            e.agg(
-                *[F.avg(F.col("embedding")[d].cast("double")).alias(f"m{d}")
-                  for d in range(dim)]
-            ).collect()[0]
-        )
-        mu_arr = "array(" + ", ".join(f"{float(mu[f'm{d}'])!r}D" for d in range(dim)) + ")"
+        # exact decimal sums (order-free on every engine), divided once
+        # in double — the mean is bit-replayable by a SQL oracle, unlike
+        # a double avg whose partial-aggregation order is free
+        tot = e.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.col("embedding")[d].cast("decimal(30,10)")).alias(f"m{d}")
+                for d in range(dim)
+            ],
+        ).collect()[0]
+        mu = [float(tot[f"m{d}"]) / int(tot["_n"]) for d in range(dim)]
+        mu_arr = "array(" + ", ".join(f"{v!r}D" for v in mu) + ")"
         centered = f"zip_with(embedding, {mu_arr}, (x, y) -> x - y)"
         # only the hot rows pay a vector re-join + re-hash; the masked
         # low `_extra` bits of the full extension signature append to

@@ -2028,6 +2028,98 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.45
 """
 
 
+_SPLIT_CAP = 16
+
+
+def q_srp_near_dup_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-adaptive SRP-LSH near-dup (r7): deliberately COARSE tables
+    (4 × 2 planes → 4 buckets/table, every bucket hot at any sf) so the
+    bucket_cap path must engage — occupancy census, ceil(log2(occ/16))
+    extra signature bits from the splitmix64 plane family over
+    mean-centered vectors, candidate join on (table, depth, extended
+    sig), exact cosine verify. The oracle replays ALL of it: base
+    signatures from the same plane literals, the occupancy census, the
+    decimal-sum mean, the centered extension bits, the depth-keyed
+    join, and the verify — making the skew-split operator itself
+    value-checked cross-engine, not just pytest-bounded."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_near_dup_pairs(
+        emb, 0.35, _srp_tables(4, 2), bucket_cap=_SPLIT_CAP
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _sql_srp_near_dup_split() -> str:
+    from ..operators.similarity import _SPLIT_MAX_EXTRA, _split_planes
+
+    tables = _srp_tables(4, 2)
+    dim = 64
+    split = _split_planes(_SPLIT_MAX_EXTRA, dim)
+    sig_selects = []
+    for t, planes in enumerate(tables):
+        sig_terms = " + ".join(
+            f"(CASE WHEN list_inner_product(v, [{', '.join(repr(x) for x in p)}]) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        sig_selects.append(
+            f"SELECT {t} AS t, vec_id, CAST({sig_terms} AS BIGINT) AS sig FROM emb"
+        )
+    banded = "\nUNION ALL\n".join(sig_selects)
+    ext_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(cv, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(split)
+    )
+    mu_cols = ", ".join(
+        f"CAST(sum(CAST(v[{d + 1}] AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mu{d}"
+        for d in range(dim)
+    )
+    cv_list = ", ".join(f"v[{d + 1}] - m.mu{d}" for d in range(dim))
+    return f"""
+WITH emb AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+banded AS MATERIALIZED (
+{banded}
+),
+occ AS (SELECT t, sig, count(*) AS _occ FROM banded GROUP BY t, sig),
+hot AS (
+  SELECT t, sig,
+         CAST(least({_SPLIT_MAX_EXTRA},
+                    ceil(log2(_occ / {float(_SPLIT_CAP)!r}))) AS INT) AS _extra
+  FROM occ WHERE _occ > {_SPLIT_CAP}
+),
+m AS (SELECT {mu_cols} FROM emb),
+cvv AS MATERIALIZED (SELECT vec_id, [{cv_list}] AS cv FROM emb, m),
+ext AS MATERIALIZED (SELECT vec_id, CAST({ext_terms} AS BIGINT) AS efull FROM cvv),
+keyed AS MATERIALIZED (
+  SELECT b.vec_id, b.t,
+         COALESCE(h._extra, 0) AS depth,
+         CASE WHEN h._extra IS NULL THEN b.sig
+              ELSE b.sig * (1::BIGINT << h._extra)
+                   + (e.efull % (1::BIGINT << h._extra)) END AS sig
+  FROM banded b
+  LEFT JOIN hot h ON h.t = b.t AND h.sig = b.sig
+  JOIN ext e ON e.vec_id = b.vec_id
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.t = b.t AND a.depth = b.depth AND a.sig = b.sig
+  WHERE a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM cand c JOIN emb a ON a.vec_id = c.id_a JOIN emb b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM pairs WHERE cosine >= 0.35
+"""
+
+
 def _srp_planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG over plane·dim
     index) — exact dyadic rationals, so both Spark literals and the
@@ -18875,6 +18967,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "doc_fingerprint_dups": (q_doc_fingerprint_dups, _SQL_FINGERPRINT),
     "embedding_near_dup": (q_embedding_near_dup, _SQL_EMB_NEAR_DUP),
     "srp_near_dup_pairs": (q_srp_near_dup_pairs, _sql_srp_near_dup()),
+    "srp_near_dup_split": (q_srp_near_dup_split, _sql_srp_near_dup_split()),
     "pq_codes_embeddings": (q_pq_codes_embeddings, _sql_pq_codes()),
     "semdedup_embeddings": (q_semdedup_embeddings, _sql_semdedup()),
     "pq_adc_topk_embeddings": (q_pq_adc_topk_embeddings, _sql_pq_adc()),
