@@ -253,6 +253,8 @@ HEADLINE = [
     "h264_ipcm_roundtrip_stats",
     "minhash_index_upsert",
     "ivfpq_index_upsert",
+    # round 7
+    "srp_near_dup_split",
 ]
 
 
