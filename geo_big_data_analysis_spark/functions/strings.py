@@ -33,8 +33,6 @@ duplicates inside codegen.
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -163,13 +161,30 @@ def jaro_winkler_pandas(a, b) -> Column:
     HOF folds re-entered per reference site), this scalar loop ~5 µs.
     Use when JW is the hot inner loop over many candidate pairs
     (geocode fuzzy fallback); use ``jaro_winkler`` when a handful of
-    evaluations rides along inside an otherwise codegen stage."""
-    from pyspark.sql.functions import pandas_udf
+    evaluations rides along inside an otherwise codegen stage.
 
-    @pandas_udf("double")
-    def _jw(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        return pd.Series(
-            [_jw_py(x, y) for x, y in zip(sa, sb)], dtype="float64"
-        )
+    pandas/pyspark import lazily (expression-only users of this module
+    never pay them) and the constructed UDF is cached at module scope —
+    registering a fresh pandas_udf per call re-serialized the wrapped
+    function every time (ADVICE r7)."""
+    global _JW_PANDAS_UDF
+    if _JW_PANDAS_UDF is None:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
 
-    return _jw(a, b)
+        # `from __future__ import annotations` makes the pd.Series type
+        # hints below lazy strings that pandas_udf resolves against this
+        # MODULE's globals — bind pd there for the one-time resolution
+        globals()["pd"] = pd
+
+        @pandas_udf("double")
+        def _jw(sa: pd.Series, sb: pd.Series) -> pd.Series:
+            return pd.Series(
+                [_jw_py(x, y) for x, y in zip(sa, sb)], dtype="float64"
+            )
+
+        _JW_PANDAS_UDF = _jw
+    return _JW_PANDAS_UDF(a, b)
+
+
+_JW_PANDAS_UDF = None

@@ -12141,7 +12141,14 @@ WITH daily AS (
   FROM orders GROUP BY 1
 ),
 g AS (
-  SELECT sum(x) // count(*) AS x0, sum(y) // count(*) AS y0 FROM daily
+  -- exact FLOOR division for any sign (Spark side is Python's `//`):
+  -- DuckDB's // truncates toward zero, so subtract the non-negative
+  -- residue first — the numerator is then exactly divisible and
+  -- truncation == floor. Today's x/y (revenue cents, row counts) are
+  -- positive, but the mean must stay engine-identical for any sign.
+  SELECT (sum(x) - ((sum(x) % count(*)) + count(*)) % count(*)) // count(*) AS x0,
+         (sum(y) - ((sum(y) % count(*)) + count(*)) % count(*)) // count(*) AS y0
+  FROM daily
 ),
 c AS (
   SELECT day, (x - (SELECT x0 FROM g))::BIGINT AS cx,

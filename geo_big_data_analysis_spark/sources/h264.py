@@ -178,13 +178,18 @@ def _add_emulation(rbsp: bytes) -> bytes:
 
 
 def is_annexb_h264(data: bytes) -> bool:
-    """Sniff: starts with an H.264 start code followed by an SPS or
-    access-unit-delimiter NAL."""
+    """Sniff: starts with an H.264 start code followed by an SPS,
+    SEI, or access-unit-delimiter NAL. SEI (type 6) is accepted
+    because encoders may emit buffering-period SEI before the SPS —
+    and because an SEI-first stream whose header byte is 0x66 ('f')
+    followed by payload 'typ' ALSO satisfies the MP4 ftyp sniff
+    (ADVICE r7); decode_media resolves that ambiguity by trying the
+    MP4 box walk and falling back here when it fails."""
     for prefix_len in (3, 4):
         p = b"\x00" * (prefix_len - 1) + b"\x01"
         if data[:prefix_len] == p and len(data) > prefix_len:
             t = data[prefix_len] & 0x1F
-            return t in (7, 9)
+            return t in (6, 7, 9)
     return False
 
 

@@ -124,18 +124,29 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
 
         # MP4 sniff FIRST (ADVICE r6): an MP4 whose leading box uses a
         # 64-bit largesize starts 00 00 00 01 — identical to an Annex-B
-        # start code — and the next byte can alias an SPS/AUD NAL type;
-        # the ftyp-based MP4 check is the stricter of the two.
-        if not is_mp4(payload) and is_annexb_h264(payload):
+        # start code — and the next byte can alias an SPS/AUD NAL type.
+        # The sniff is NOT strictly one-sided though (ADVICE r7): an
+        # Annex-B stream whose first NAL is an SEI with nal_ref_idc=3
+        # (header byte 0x66 = 'f') followed by payload bytes 'typ'
+        # satisfies is_mp4 too. So the MP4 path structure-validates:
+        # if the full box walk fails on a payload that ALSO sniffs as
+        # Annex-B, fall back to the Annex-B parser instead of raising.
+        tracks = None
+        if is_mp4(payload):
+            try:
+                tracks = read_mp4(payload)
+            except Exception:
+                if not is_annexb_h264(payload):
+                    raise  # genuinely malformed MP4 — surface the walk error
+        if tracks is None and is_annexb_h264(payload):
             # Annex-B H.264 elementary stream: bitstream/SPS/PPS/slice
             # layers parse natively; I_PCM macroblocks decode to pixels
             # (sources/h264.py); CAVLC residual MBs raise the named
             # boundary error from inside the slice decoder.
             return read_annexb_h264(payload)
-        if is_mp4(payload):
+        if tracks is not None:
             from .jpeg import is_jpeg, read_jpeg
 
-            tracks = read_mp4(payload)
             trk = next((t for t in tracks if t.handler == "vide"), tracks[0])
             samples = extract_samples(payload, trk)
             # Motion-JPEG: every video sample is an independent baseline

@@ -195,3 +195,23 @@ def test_decode_media_routes_annexb():
     px = decode_media(write_annexb_ipcm(frames), "video")
     assert px.shape == (2, 16, 32)
     assert np.array_equal(px[0], frames[0]) and np.array_equal(px[1], frames[1])
+
+
+def test_decode_media_sei_first_stream_aliasing_mp4_sniff():
+    """ADVICE r7: an Annex-B stream whose first NAL is an SEI with
+    nal_ref_idc=3 (header byte 0x66 = 'f') followed by payload bytes
+    'typ' satisfies the MP4 ftyp sniff too (payload[4:8] == b'ftyp').
+    The MP4 box walk fails on it, and decode_media must fall back to
+    the Annex-B parser (which skips the SEI) instead of raising."""
+    from geo_big_data_analysis_spark.sources.mp4 import is_mp4
+    from geo_big_data_analysis_spark.sources.multimodal import decode_media
+
+    frames = [_rng(11).integers(0, 256, (16, 16), dtype=np.uint8)]
+    # SEI NAL: start code + header 0x66 (ref_idc 3, type 6) + rbsp 'typ…'
+    sei = b"\x00\x00\x00\x01\x66typ-buffering-period\x80"
+    stream = sei + write_annexb_ipcm(frames)
+    assert stream[4:8] == b"ftyp" and is_mp4(stream)  # the ambiguity is real
+    assert is_annexb_h264(stream)
+    px = decode_media(stream, "video")
+    assert px.shape == (1, 16, 16)
+    assert np.array_equal(px[0], frames[0])

@@ -100,19 +100,29 @@ def test_rotate_record_matches_its_round():
         return passed
 
     rotate_paths = sorted(glob.glob(os.path.join(ROOT, "SELFCHECK_ROTATE_r*.txt")))
+    import json
+    with open(os.path.join(ROOT, "tools", "ROTATE_SLICES.json")) as f:
+        pinned = {int(k): set(v) for k, v in json.load(f).items()}
     for path in rotate_paths:
         n = int(re.search(r"_r(\d+)\.txt$", path).group(1))
-        # HISTORICAL records are pinned to the slice stamped in their
-        # own header — rotate_sample(n) is computed over the CURRENT
-        # registry, and adding a query can retroactively reshuffle an
-        # old round's md5 ranking (r7's srp_near_dup_split displaced a
-        # name from round 6's slice). Only the LATEST record must match
-        # the live registry's sample.
+        # HISTORICAL records are pinned to the slice committed in
+        # tools/ROTATE_SLICES.json — rotate_sample(n) is computed over
+        # the CURRENT registry, and adding a query can retroactively
+        # reshuffle an old round's md5 ranking (r7's srp_near_dup_split
+        # displaced a name from round 6's slice). The pin lives OUTSIDE
+        # the record file (ADVICE r7: a record whose header and body
+        # were edited consistently must not self-certify). Only the
+        # LATEST record must match the live registry's sample.
         with open(path) as f:
             header = f.readline()
         m = re.match(r"rotate round=(\d+) k=(\d+): (.*)", header)
         assert m and int(m.group(1)) == n, path
         stamped = set(m.group(3).split())
+        assert n in pinned, (
+            f"round {n} rotate record has no pinned slice — add it to "
+            "tools/ROTATE_SLICES.json when committing the record"
+        )
+        assert stamped == pinned[n], os.path.basename(path)
         assert parse(path) == stamped, os.path.basename(path)
         if path == rotate_paths[-1]:
             assert stamped == set(rotate_sample(n)), os.path.basename(path)

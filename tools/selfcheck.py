@@ -125,6 +125,19 @@ if __name__ == "__main__":
         rest = args[2:]
         sf_dir = rest[0] if rest and os.path.isdir(rest[0]) else "/root/testdata/sf0.01"
         names = rotate_sample(round_n)
+        # pin this round's slice in the committed JSON so historical
+        # records are validated against something OUTSIDE the record
+        # file itself (ADVICE r7; tests/test_selfcheck_record.py)
+        import json
+
+        pin_path = os.path.join(os.path.dirname(__file__), "ROTATE_SLICES.json")
+        pins = {}
+        if os.path.exists(pin_path):
+            with open(pin_path) as f:
+                pins = json.load(f)
+        pins[str(round_n)] = sorted(names)
+        with open(pin_path, "w") as f:
+            json.dump(dict(sorted(pins.items(), key=lambda kv: int(kv[0]))), f, indent=1)
         print(f"rotate round={round_n} k={len(names)}: {' '.join(names)}\n")
         sys.exit(1 if run(sf_dir, names) else 0)
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
