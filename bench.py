@@ -5,9 +5,11 @@ Per-query wall time includes plan + execution + a count() materialization
 (no driver-side data transfer beyond the count), mirroring how a
 reporting layer would consume the results. Each query is timed
 $SPARK_GRAFT_BENCH_ITERS times (default 3) and reported as the per-query
-MEDIAN; BENCH_DETAIL.json carries IQR, raw runs, and bracketing load
+MEDIAN; BENCH_DETAIL_r{N}.json (per-round, append-only — a rerun never
+mutates a committed record) carries IQR, raw runs, and bracketing load
 averages so environment noise is distinguishable from plan regressions.
-Compare two rounds with `python tools/benchcompare.py <old> <new>`.
+Compare two rounds with `python tools/benchcompare.py <old> <new>`;
+check same-code run-to-run agreement with `--agree`.
 """
 
 from __future__ import annotations
@@ -290,22 +292,31 @@ def main() -> None:
 
     # Load guard (VERDICT r6 "What's wrong" #4: the r6 record started
     # at loadavg 3.5/4.3/10 while the sf1 sweep drained and read as a
-    # phantom 1.39x regression). Wait — bounded — for the 1-minute
-    # loadavg to drop under the threshold; if it never quiets, proceed
-    # but TAINT the record loudly so no round compares against it.
+    # phantom 1.39x regression). Gate on max(load1, load5), not load1
+    # alone (VERDICT r7 "What's wrong" #1: the driver's rerun passed a
+    # load1-only guard at 1.22 while the 15-min average was 6.01 —
+    # residual load made identical code read 32% slower). Wait —
+    # bounded — for quiet; if it never comes, proceed but TAINT the
+    # record loudly so no round compares against it.
     load_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOADMAX", "2.0"))
-    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOADWAIT", "300"))
+    load_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOADWAIT", "600"))
+
+    def _gate_load() -> float:
+        l1, l5, _ = os.getloadavg()
+        return max(l1, l5)
+
     wait_t0 = time.time()
-    while os.getloadavg()[0] > load_max and time.time() - wait_t0 < load_wait:
+    while _gate_load() > load_max and time.time() - wait_t0 < load_wait:
         print(
-            f"# load {os.getloadavg()[0]:.2f} > {load_max} — waiting for quiet",
+            f"# load max(1m,5m) {_gate_load():.2f} > {load_max} — "
+            "waiting for quiet",
             file=sys.stderr,
         )
         time.sleep(15)
-    tainted_load = os.getloadavg()[0] > load_max
+    tainted_load = _gate_load() > load_max
     if tainted_load:
         print(
-            f"# WARNING: starting under load {os.getloadavg()[0]:.2f} > "
+            f"# WARNING: starting under load {_gate_load():.2f} > "
             f"{load_max} after {load_wait:.0f}s wait — record is TAINTED",
             file=sys.stderr,
         )
@@ -371,7 +382,22 @@ def main() -> None:
     # line (<1 KB) so the driver's bounded tail-capture can parse it
     # (round-1 record had "parsed": null because the 4.7 KB inline
     # per-query dict overflowed the capture window).
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # The sidecar is a PER-ROUND append-only file (VERDICT r7 "What's
+    # wrong" #4: mutating one shared BENCH_DETAIL.json meant any
+    # post-snapshot rerun dirtied the judged tree). Round number:
+    # $SPARK_GRAFT_ROUND, else 1 + the highest committed BENCH_r{N}.
+    root = os.path.dirname(os.path.abspath(__file__))
+    round_n = os.environ.get("SPARK_GRAFT_ROUND")
+    if round_n is None:
+        import re as _re
+
+        seen = [
+            int(m.group(1))
+            for f in os.listdir(root)
+            if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        round_n = str(max(seen, default=0) + 1)
+    detail_path = os.path.join(root, f"BENCH_DETAIL_r{int(round_n):02d}.json")
     slowest = sorted(times.items(), key=lambda kv: -kv[1])[:5]
     with open(detail_path, "w") as fh:
         json.dump(
@@ -408,7 +434,7 @@ def main() -> None:
                 "cpu_marker_st_sec": cpu_marker_st,
                 "tainted_load": tainted_load,
                 "slowest": {k: v for k, v in slowest},
-                "detail": "BENCH_DETAIL.json",
+                "detail": os.path.basename(detail_path),
                 "queries": {"_total": total},
             }
         )

@@ -8,12 +8,45 @@ carry IQRs (multi-iteration detail files), a per-query delta within
 the combined IQR is marked noise, not regression.
 
 Usage: python tools/benchcompare.py OLD.json NEW.json [top_n]
+       python tools/benchcompare.py --agree A.json B.json
+
+``--agree`` checks SAME-CODE run-to-run reproducibility (VERDICT r7
+"Next" #2): totals must agree within 10% and per-query medians within
+1.5x on every query slower than 1 s in either run. Exit 0 = agree.
 """
 
 from __future__ import annotations
 
 import json
 import sys
+
+
+def agree(a_path: str, b_path: str) -> int:
+    with open(a_path) as f:
+        a = _unwrap(json.load(f))
+    with open(b_path) as f:
+        b = _unwrap(json.load(f))
+    qa, qb = _queries(a), _queries(b)
+    common = sorted(set(qa) & set(qb))
+    ta, tb = sum(qa[q] for q in common), sum(qb[q] for q in common)
+    bad = 0
+    tot_ratio = max(ta, tb) / max(min(ta, tb), 1e-9)
+    if tot_ratio > 1.10:
+        print(f"DISAGREE totals: {ta:.1f}s vs {tb:.1f}s ({tot_ratio:.3f}x > 1.10x)")
+        bad += 1
+    else:
+        print(f"totals agree: {ta:.1f}s vs {tb:.1f}s ({tot_ratio:.3f}x)")
+    for q in common:
+        x, y = qa[q], qb[q]
+        if max(x, y) <= 1.0:
+            continue  # sub-second queries are scheduler noise territory
+        r = max(x, y) / max(min(x, y), 1e-9)
+        if r > 1.5:
+            print(f"DISAGREE {q}: {x:.2f}s vs {y:.2f}s ({r:.2f}x > 1.5x)")
+            bad += 1
+    if not bad:
+        print(f"AGREE: {len(common)} common queries within bounds")
+    return 1 if bad else 0
 
 
 def _unwrap(doc: dict) -> dict:
@@ -27,6 +60,8 @@ def _queries(doc: dict) -> dict[str, float]:
 
 
 def main() -> int:
+    if len(sys.argv) >= 4 and sys.argv[1] == "--agree":
+        return agree(sys.argv[2], sys.argv[3])
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
