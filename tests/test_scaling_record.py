@@ -96,3 +96,47 @@ def test_scaling_decade2_record():
         assert set(q["sec_d2"]) == {"1.0", "10.0"}, name
         assert q["flagged2"] is False, name
         assert q["r_top2"] > 0, name
+
+
+def test_pruning_record():
+    """VERDICT r7 "Next" #6: the z-order layout carries a MEASURED sf10
+    pruning record (tools/pruningbench.py), not just the row-group-
+    envelope pytest — the number behind the 100 TB scan story. The
+    bbox is ~1/42 of the extent per axis; z-ordered row groups must
+    prune to <20% touched while the unsorted layout touches ~all, with
+    identical results and a real wall-time win."""
+    path = os.path.join(ROOT, "PRUNING.json")
+    assert os.path.exists(path), "PRUNING.json missing — run tools/pruningbench.py"
+    with open(path) as f:
+        rec = json.load(f)
+    assert rec["n_rows"] >= 10_000_000, "record must be the sf10 point"
+    hf = rec["hit_frac"]
+    assert hf["unsorted"] > 0.9, hf
+    assert hf["zorder"] < 0.2, hf
+    assert rec["rowgroups"]["zorder"]["total"] >= 50, rec["rowgroups"]
+    assert rec["result_rows"] > 0
+    # the 16x row-group skip is the 100 TB story (I/O skipped scales
+    # with data; at 10M local rows the 160 MB scan is sub-second either
+    # way) — wall time just must not regress
+    sec = rec["bbox_count_sec"]
+    assert sec["zorder"] <= sec["unsorted"] * 1.2, sec
+
+
+def test_scaling_same_point_consistency():
+    """VERDICT r7 "Next" #3: one committed record must never carry two
+    contradictory numbers for the same (query, sf). For every query
+    with both ladders, the decade-1 and decade-2 sf1 points must agree
+    within 1.5x — scalebench --decade2 re-measures the decade-1 ladder
+    in-session when they don't — or carry an explicit epoch_note."""
+    rec = _record()
+    for name, q in rec["queries"].items():
+        a = q.get("sec", {}).get("1.0")
+        b = q.get("sec_d2", {}).get("1.0")
+        if a is None or b is None:
+            continue
+        ratio = max(a, b) / max(min(a, b), 1e-9)
+        assert ratio <= 1.5 or "epoch_note" in q, (
+            f"{name}: decade-1 sf1 {a}s vs decade-2 sf1 {b}s "
+            f"({ratio:.2f}x) with no epoch_note — rerun "
+            "tools/scalebench.py --decade2 --queries " + name
+        )

@@ -135,6 +135,46 @@ def test_rotate_record_matches_its_round():
             assert len(passed) >= 25, os.path.basename(path)
 
 
+def test_sf10_rotate_record():
+    """r8+ (VERDICT r7 "Next" #5): SELFCHECK_SF10_r{N}.txt is a
+    rotating ~15-query cross-engine slice at sf10 (tools/sf1check.py
+    --rotate-sf10), accumulating second-decade coverage round over
+    round the way rotate slices did for sf0.01. Slices are pinned in
+    tools/SF10_SLICES.json (outside the record file); every record
+    must be all green with zero timeouts."""
+    import json
+    import sys
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+    paths = sorted(glob.glob(os.path.join(ROOT, "SELFCHECK_SF10_r*.txt")))
+    assert paths, "no SELFCHECK_SF10_r{N}.txt committed (r8+ gate)"
+    with open(os.path.join(ROOT, "tools", "SF10_SLICES.json")) as f:
+        pinned = {int(k): set(v) for k, v in json.load(f).items()}
+    for path in paths:
+        n = int(re.search(r"_r(\d+)\.txt$", path).group(1))
+        with open(path) as f:
+            text = f.read()
+        assert "ALL GREEN" in text, path
+        assert not re.findall(
+            r"^(FAIL|SPARK_TIMEOUT|ORACLE_TIMEOUT) ", text, re.MULTILINE
+        ), path
+        m = re.match(r"rotate-sf10 round=(\d+) k=(\d+): (.*)", text.splitlines()[0])
+        assert m and int(m.group(1)) == n, path
+        stamped = set(m.group(3).split())
+        assert n in pinned and stamped == pinned[n], os.path.basename(path)
+        green = set(
+            re.findall(r"^(?:PASS|PASSg|ok\?)\s+(\w+):", text, re.MULTILINE)
+        )
+        assert green == stamped, (
+            f"{os.path.basename(path)}: green {sorted(green ^ stamped)} "
+            "differs from stamped slice"
+        )
+        if path == paths[-1]:
+            from sf1check import rotate_sf10_sample
+
+            assert stamped == set(rotate_sf10_sample(n)), os.path.basename(path)
+
+
 def test_sf1_full_record():
     """Round 6+ closes the sf1 verification gap (VERDICT r5 "Next"
     #1): SELFCHECK_SF1_r{N}.txt for N ≥ 6 is a FULL-SUITE sf1 sweep
@@ -170,6 +210,30 @@ def test_sf1_full_record():
                 re.findall(r"^PASSg (\w+):(?!.*\+invariant)", text, re.MULTILINE)
             )
             assert not bare, f"{path}: PASSg without invariant: {sorted(bare)}"
+        if n >= 8:
+            # r8+: the goldened LSH/shingle queries additionally carry
+            # the sampled-subcorpus completeness proof (VERDICT r7
+            # "Next" #1; tools/sf1complete.py) — a full cross-engine
+            # replay on the ~3% md5-cut corpus that catches MISSED
+            # pairs, which the invariant oracles cannot.
+            import sys
+            sys.path.insert(0, os.path.join(ROOT, "tools"))
+            from sf1complete import COMPLETE
+
+            incomplete = set(
+                re.findall(
+                    r"^PASSg (\w+):(?!.*\+sample-complete)", text, re.MULTILINE
+                )
+            ) & set(COMPLETE)
+            assert not incomplete, (
+                f"{path}: goldened queries without sample-complete proof: "
+                f"{sorted(incomplete)}"
+            )
+            # ...and the sampled-anchor embedding_near_dup keeps its
+            # full-output golden pin alongside (ADVICE r7)
+            assert re.search(
+                r"^PASS embedding_near_dup:.*\+full-golden", text, re.MULTILINE
+            ), f"{path}: embedding_near_dup missing the full-golden rider"
         for name in (
             "exact_dedup_docs",
             "minhash_index_build",

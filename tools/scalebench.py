@@ -376,6 +376,22 @@ def run_decade2(iters: int, out_path: str, only: list[str] | None = None) -> int
             f"{'FLAG' if flagged else 'ok  '} {name}: "
             f"{sec['1.0']}s -> {sec['10.0']}s (r_top2 {r_top2:.1f}x)"
         )
+        # Same-point reconciliation (VERDICT r7 "Next" #3): the record
+        # must never carry two sf1 numbers for one query that disagree
+        # >1.5x with no explanation. If the existing decade-1 sf1 point
+        # (an EARLIER session/epoch) disagrees with the one just
+        # measured, re-measure the whole decade-1 ladder IN THIS
+        # session so the entry is single-epoch end to end.
+        d1_sf1 = entry.get("sec", {}).get("1.0")
+        if d1_sf1 is not None:
+            ratio = max(d1_sf1, sec["1.0"]) / max(min(d1_sf1, sec["1.0"]), 1e-9)
+            if ratio > 1.5:
+                print(
+                    f"     decade-1 sf1 point {d1_sf1}s disagrees "
+                    f"{ratio:.2f}x with this session's {sec['1.0']}s — "
+                    "re-measuring decade-1 in-session"
+                )
+                entry.pop("sec", None)  # trigger the backfill below
         if "sec" not in entry:
             # backfill the decade-1 ladder (ADVICE r6): a decade-2 entry
             # must never violate the decade-1 gate's full-ladder
