@@ -50,19 +50,24 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _init_words(vocab: DataFrame) -> DataFrame:
-    """Suffix-delimit each word into its symbol sequence, apply the
-    small-vocab size dispatch, and refuse delimiter-corrupting words
-    (shared by the BPE and WordPiece trainers)."""
+#: Vocabulary size at or below which the merge loop runs driver-side on
+#: the collected (word, cnt, seq) rows instead of as per-round Spark
+#: jobs. The distinct-word vocabulary is a BOUNDED fit artifact (it was
+#: already folded to one partition under this same threshold — the loop
+#: was single-core either way); running ~3-4 tiny jobs per round ×
+#: n_merges rounds is pure scheduler overhead. Beyond the cap the
+#: distributed per-round loop is kept unchanged (the web-scale shape).
+SMALL_VOCAB_CAP = 100_000
+
+
+def _init_words(vocab: DataFrame) -> tuple[DataFrame, int]:
+    """Suffix-delimit each word into its symbol sequence, refuse
+    delimiter-corrupting words, and return (words_df, n_words) so the
+    trainers can size-dispatch (shared by BPE and WordPiece)."""
     words = vocab.withColumn(
         "seq", F.regexp_replace(F.col("word"), "(.)", "$1|")
     ).localCheckpoint()
-    # size dispatch: the merge loop runs ~2 jobs/round over the distinct
-    # vocabulary; when that table is small (fixtures, most corpora after
-    # word-counting), 32-partition scheduling overhead dominates — fold
-    # it to one partition. Web-scale vocabularies (>100k words) keep
-    # the inherited partitioning. The same pass guards the suffix
-    # delimiter: a word containing '|' would silently corrupt the
+    # Delimiter guard: a word containing '|' would silently corrupt the
     # delimited encoding in BOTH engines (the oracle replays the same
     # representation, so a cross-engine check can't catch it) — refuse.
     stats = words.agg(
@@ -74,9 +79,76 @@ def _init_words(vocab: DataFrame) -> DataFrame:
             f"{stats['n_bad']} vocabulary words contain the '|' suffix "
             "delimiter; strip or remap them before BPE training"
         )
-    if stats["n"] <= 100_000:
-        words = words.coalesce(1).localCheckpoint()
-    return words
+    n = int(stats["n"])
+    if n > SMALL_VOCAB_CAP:
+        return words, n
+    # Small vocab: fold to one partition for the distributed fallback
+    # path too (callers that bypass the driver loop).
+    return words.coalesce(1).localCheckpoint(), n
+
+
+def _toks(seq: str) -> list[str]:
+    """Symbols of a suffix-delimited sequence ('l|o|w|' → [l, o, w]) —
+    the Python twin of filter(split(seq, '|'), x -> x <> '')."""
+    return [t for t in seq.split("|") if t != ""]
+
+
+def _train_driver(
+    rows: list[tuple[str, int, str]], n_merges: int, wordpiece: bool
+) -> tuple[list, list[tuple[str, int, str]]]:
+    """Driver-side merge loop over the collected vocabulary — exact
+    semantics of the distributed loop, step for step:
+
+    - pair counts: adjacent-symbol pairs weighted by word count
+      (overlapping pairs counted, like the explode+sum aggregate);
+    - BPE argmax: (pc DESC, l ASC, r ASC). Python str comparison is
+      code-point order == UTF8String's byte-wise order (UTF-8 preserves
+      code-point order), so tie-breaks match Spark exactly;
+    - WordPiece score: pc / (cl·cr) with both factors exact ints cast
+      to double — Python floats are IEEE doubles with correctly
+      rounded *, /, so scores are bit-identical to the JVM's;
+    - rewrite: str.replace scans left-to-right over non-overlapping
+      matches — the same greedy order as F.replace.
+    """
+    merges: list = []
+    seqs = [seq for _, _, seq in rows]
+    cnts = [int(c) for _, c, _ in rows]
+    for rank in range(1, n_merges + 1):
+        pc: dict[tuple[str, str], int] = {}
+        sc: dict[str, int] = {}
+        for seq, cnt in zip(seqs, cnts):
+            toks = _toks(seq)
+            if wordpiece:
+                for t in toks:
+                    sc[t] = sc.get(t, 0) + cnt
+            for a, b in zip(toks, toks[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + cnt
+        if not pc:
+            break
+        if wordpiece:
+            best = min(
+                pc.items(),
+                key=lambda kv: (-(kv[1] / (float(sc[kv[0][0]]) * float(sc[kv[0][1]]))), kv[0]),
+            )
+            (l, r), n_pc = best
+            merges.append((rank, l, r, l + r, n_pc, n_pc / (float(sc[l]) * float(sc[r]))))
+        else:
+            (l, r), n_pc = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, l, r, l + r, n_pc))
+        pat, rep = f"{l}|{r}|", f"{l}{r}|"
+        seqs = [s.replace(pat, rep) for s in seqs]
+    out_rows = [(w, c, s) for (w, c, _), s in zip(rows, seqs)]
+    return merges, out_rows
+
+
+def _driver_rows(words: DataFrame) -> list[tuple[str, int, str]]:
+    return [(r["word"], int(r["cnt"]), r["seq"]) for r in words.select("word", "cnt", "seq").collect()]
+
+
+def _driver_vocab_df(words: DataFrame, out_rows) -> DataFrame:
+    return words.sparkSession.createDataFrame(
+        out_rows, "word string, cnt bigint, seq string"
+    )
 
 
 def bpe_train(
@@ -85,7 +157,10 @@ def bpe_train(
     """Train ``n_merges`` BPE merges. Returns (merges, final_vocab_df)
     where merges rows are (rank, left, right, merged, pair_count) and
     the vocab DataFrame carries the fully-merged ``seq`` per word."""
-    words = _init_words(vocab)
+    words, n_words = _init_words(vocab)
+    if n_words <= SMALL_VOCAB_CAP:
+        merges, out_rows = _train_driver(_driver_rows(words), n_merges, wordpiece=False)
+        return merges, _driver_vocab_df(words, out_rows)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         pairs = (
@@ -140,7 +215,10 @@ def wordpiece_train(
     codegen'd ``replace`` rewrite — corpus-size-independent after the
     initial word count, same as BPE.
     """
-    words = _init_words(vocab)
+    words, n_words = _init_words(vocab)
+    if n_words <= SMALL_VOCAB_CAP:
+        merges, out_rows = _train_driver(_driver_rows(words), n_merges, wordpiece=True)
+        return merges, _driver_vocab_df(words, out_rows)
     merges: list[tuple[int, str, str, str, int, float]] = []
     for rank in range(1, n_merges + 1):
         toks = words.withColumn(
