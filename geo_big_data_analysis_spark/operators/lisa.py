@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .knn import knn_join
+from .spread import spread
 
 
 def local_morans_i(
@@ -178,7 +179,12 @@ def lisa_permutation_pvalues(
                 )
             yield pd.DataFrame(out_rows, columns=["id", "i_stat", "p_sim"])
 
-    return lisa.select("id", "z", "lag").mapInPandas(gen, schema)
+    # The per-point permutation loop amplifies each input row into
+    # 999×k numpy draws — compute density AQE's byte-based coalescing
+    # cannot see. Spread to cluster parallelism before the Python
+    # boundary; per-point results are seeded by id, so the output is
+    # partitioning-independent (guide §2.5).
+    return spread(lisa.select("id", "z", "lag")).mapInPandas(gen, schema)
 
 
 def lisa_permutation_pvalues_dist(
@@ -230,8 +236,14 @@ def lisa_permutation_pvalues_dist(
     # _slot — are bit-identical to the former nested explodes, verified
     # by stream comparison), so the n·permutations·k rows are generated
     # in a single codegen'd pass.
+    # Each input row explodes into permutations×k draw rows and the
+    # broadcast lookup + partial average run in the SAME stage — its
+    # parallelism is fixed by the pre-amplification partitioning, which
+    # byte-based AQE coalescing leaves tiny on small inputs. Spread the
+    # n-row side before the explode (draws are keyed by (id, perm,
+    # slot) hashes, so placement cannot change any value).
     draws = (
-        idx.select("id", "_pos")
+        spread(idx.select("id", "_pos"))
         .withColumn(
             "_ps", F.explode(F.sequence(F.lit(0), F.lit(permutations * k - 1)))
         )

@@ -360,7 +360,16 @@ def embedding_near_dup_pairs(
 
     Output: (id_a, id_b, cosine) with id_a < id_b.
     """
-    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    from .spread import spread
+
+    # The SRP signatures below are interpreted HOF dots (CodegenFallback
+    # — see _srp_sig_expr) and the norms are unrolled dots: per-row cost
+    # is orders of magnitude above the bytes, and the fixture scan is a
+    # single task. Spread before computing either (guide §2.5); every
+    # downstream step is a key join or aggregate, partitioning-free.
+    e = spread(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    )
     if exact:
         if not force_exact:
             n = e.count()

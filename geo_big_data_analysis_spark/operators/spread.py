@@ -1,0 +1,51 @@
+"""Scale-adaptive parallelism spread for compute-dense working sets.
+
+The local fixtures arrive as single-row-group parquet files (1-task
+scans), and AQE's byte-based partition coalescing sizes post-shuffle
+parallelism by *bytes*, not by downstream *compute*. An operator whose
+per-row work is amplified far beyond its byte size — a 999-permutation
+Monte-Carlo loop, an iterative argmin, a 64-permutation signature — can
+therefore end up running on one or two cores while the rest of the
+cluster idles (guide §2.5: "one huge unsplittable file … repartition
+immediately after the read").
+
+:func:`spread` is the shared fix: round-robin repartition up to
+``defaultParallelism`` — a *cluster-derived* target, never a local
+constant — and a no-op whenever the input already has at least that
+many partitions (any real at-scale scan), so the extra exchange is only
+paid where it buys parallelism. Callers must only use it where results
+are partitioning-independent: per-row deterministic maps (seeded by row
+key, not by partition), aggregates, and joins all qualify; anything
+positional (zipWithIndex-style) does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ``df`` up to ``defaultParallelism`` iff
+    it currently has fewer partitions; identity otherwise."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def spread_by(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition ``df`` by ``cols`` to
+    ``max(defaultParallelism, current partitions)``.
+
+    For pipelines that explode/amplify rows and then window/aggregate
+    by the same key: moving the key exchange BEFORE the amplification
+    shuffles the compact parent rows instead of the exploded child rows
+    (guide §2.3 "shuffle fewer bytes"), and every downstream operator
+    clustered on the key reuses the partitioning, so no second exchange
+    appears (guide §2.4). Never reduces parallelism: the target is the
+    max of the cluster's ``defaultParallelism`` and the input's current
+    partition count.
+    """
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartition(target, *cols)

@@ -6229,8 +6229,12 @@ def q_dup_ngram_share_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (groupBy shingle, distinct-doc count) → join back — equi-joins on
     the shingle key throughout, no pairwise comparisons anywhere."""
     from ..operators.dedup import shingles
+    from ..operators.spread import spread
 
-    docs = _t(spark, sf_dir, "documents")
+    # the interpreted-HOF shingle chain is the dominant cost and the
+    # fixture scan is one task — spread the doc rows before it
+    # (guide §2.5); the next op is a groupBy shuffle either way
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     # hash shingles to int64 BEFORE the shuffle: the inverted index and
     # join-back then move 8-byte keys instead of ~40-byte strings
     # (collision odds over ~10⁶ distinct shingles ≈ 1e-7 — the oracle
