@@ -350,9 +350,17 @@ def with_pattern_scores(df, text_col, out: str = "_sc"):
     NLJ shape: one row, map-side, no shuffle). Preferred over
     ``pattern_scores`` for production plans — same fold, same results,
     lexicon-independent plan size."""
+    from ..operators.spread import spread
+
     col = F.col(text_col) if isinstance(text_col, str) else text_col
+    # The stateful fold is hundreds of expression nodes per token and
+    # the broadcast join keeps it in the scan's stage — a single-file
+    # fixture scan would run the whole corpus on one core (guide §2.5).
+    # Spread first: per-doc scores are partitioning-independent.
+    # Measured 5.7 → 2.4 s (median of interleaved A/B) on
+    # sentiment_pattern_docs at sf0.1, identical output.
     return (
-        df.join(F.broadcast(lexicon_df(df.sparkSession)))
+        spread(df).join(F.broadcast(lexicon_df(df.sparkSession)))
         .withColumn(
             out, pattern_scores(col, lex=F.col("lex_buckets"), negs=F.col("lex_negs"))
         )

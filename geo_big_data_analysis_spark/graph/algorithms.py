@@ -439,6 +439,34 @@ def triangle_counts(
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("tri_count"))
 
 
+def _pagerank_driver(
+    spark, rows: list[tuple[int, int]], iterations: int, damping: float
+) -> DataFrame:
+    """Driver-path power iteration for bounded graphs (the
+    `_sssp_driver` convention): the distributed loop's per-round
+    join+agg jobs are pure scheduling overhead on a fixture-sized edge
+    list. Contributions are summed in ascending (src, dst) order —
+    deterministic; reassociation vs the distributed sum is ≪ the 8dp
+    the callers round to (see q_pagerank_mod). Parity-pytested against
+    the distributed path."""
+    rows = sorted(rows)
+    nodes = sorted({u for u, _ in rows} | {v for _, v in rows})
+    n = len(nodes)
+    outdeg: dict[int, int] = {}
+    for u, _ in rows:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (1.0 - damping) / n
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        in_sum = dict.fromkeys(nodes, 0.0)
+        for u, v in rows:
+            in_sum[v] += pr[u] / outdeg[u]
+        pr = {v: base + damping * in_sum[v] for v in nodes}
+    return spark.createDataFrame(
+        sorted(pr.items()), "id bigint, pr double"
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 6,
@@ -446,6 +474,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 4,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank as an iterative DataFrame program.
 
@@ -466,6 +495,16 @@ def pagerank(
     on small graphs — driver round-trips dominate).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # size dispatch (the sssp/lpa rule): a bounded edge list runs
+    # driver-side — `iterations` joins over a few hundred rows is
+    # per-round job-scheduling overhead, not compute
+    e_rows = None
+    if e.count() <= driver_threshold:
+        e_rows = [(r["src"], r["dst"]) for r in e.collect()]
+    if e_rows is not None:
+        return _pagerank_driver(
+            edges.sparkSession, e_rows, iterations, damping
+        )
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -494,12 +533,35 @@ def pagerank(
     return ranks
 
 
+def _kcore_driver(
+    spark, und_rows: list[tuple[int, int]], k: int, rounds: int
+) -> DataFrame:
+    """Driver-path fixed-round peeling (the `_sssp_driver` convention):
+    exact integer algorithm, identical round-by-round to the
+    distributed semi-join peel. Parity-pytested."""
+    nbrs: dict[int, set[int]] = {}
+    for u, v in und_rows:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    for _ in range(rounds):
+        keep = {a for a, s in nbrs.items() if len(s) >= k}
+        nbrs = {
+            a: {b for b in s if b in keep}
+            for a, s in nbrs.items()
+            if a in keep
+        }
+        nbrs = {a: s for a, s in nbrs.items() if s}
+    out = sorted((a, len(s)) for a, s in nbrs.items())
+    return spark.createDataFrame(out, "id bigint, core_degree bigint")
+
+
 def kcore(
     edges: DataFrame,
     k: int,
     rounds: int,
     src: str = "src",
     dst: str = "dst",
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly drop nodes
     with (distinct-neighbor, undirected) degree < k and their incident
@@ -529,6 +591,17 @@ def kcore(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # size dispatch (the sssp/lpa rule): the per-round checkpoint the
+    # docstring's lineage analysis REQUIRES costs a scheduled job per
+    # peel round — driver-side peeling removes all of them on bounded
+    # edge lists
+    if und.count() <= driver_threshold:
+        return _kcore_driver(
+            edges.sparkSession,
+            [(r["u"], r["v"]) for r in und.collect()],
+            k,
+            rounds,
+        )
     adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         und.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
@@ -547,12 +620,37 @@ def kcore(
     )
 
 
+def _lpa_driver(spark, und_rows: list[tuple[int, int]], rounds: int) -> DataFrame:
+    """Driver-path synchronous LPA (the `_sssp_driver` convention):
+    exact integer algorithm — most-frequent neighbor label, ties to the
+    smallest — identical round-by-round to the distributed join+window.
+    Parity-pytested."""
+    nbrs: dict[int, list[int]] = {}
+    for u, v in und_rows:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    labels = {a: a for a in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for a, ns in nbrs.items():
+            counts: dict[int, int] = {}
+            for b in ns:
+                lb = labels[b]
+                counts[lb] = counts.get(lb, 0) + 1
+            new[a] = min(counts, key=lambda lb: (-counts[lb], lb))
+        labels = new
+    return spark.createDataFrame(
+        sorted(labels.items()), "id bigint, label bigint"
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 5,
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 2,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Deterministic synchronous label-propagation community detection
     (Raghavan 2007, with the random tie-break replaced by a total
@@ -583,14 +681,19 @@ def label_propagation(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # size dispatch (same rule as connected_components / sssp): a
+    # bounded edge list runs the whole fixed-round loop driver-side —
+    # the former coalesce(1) fold still paid one join+window+checkpoint
+    # JOB per round, which is scheduling overhead, not compute.
+    if und.count() <= driver_threshold:
+        return _lpa_driver(
+            edges.sparkSession,
+            [(r["u"], r["v"]) for r in und.collect()],
+            rounds,
+        )
     adj = und.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
         und.select(F.col("v").alias("a"), F.col("u").alias("b"))
     ).localCheckpoint()
-    # size dispatch (same rule as connected_components / sssp): small
-    # graphs fold to one partition so each round's join+window is one
-    # task instead of 32-partition scheduling overhead.
-    if adj.count() <= 200_000:
-        adj = adj.coalesce(1).localCheckpoint()
     nodes = adj.select(F.col("a").alias("id")).distinct()
     labels = nodes.withColumn("label", F.col("id")).localCheckpoint()
     for _ in range(rounds):
@@ -744,6 +847,35 @@ def scc_labels_closure(
     return mutual.groupBy("id").agg(F.min("m").alias("scc_id"))
 
 
+def _scc_driver(spark, rows: list[tuple[int, int]]) -> DataFrame:
+    """Driver-path SCC for bounded graphs: numpy boolean-matrix closure
+    doubling (the `_closure_driver` kernel) + mutual reachability
+    (m & mᵀ), label = min mutual member. Same labels as
+    `scc_labels_closure` without materializing the Θ(pairs) closure
+    into a shuffle join. Parity-pytested."""
+    import numpy as np
+
+    ids = sorted({u for u, _ in rows} | {v for _, v in rows})
+    idx = {n: i for i, n in enumerate(ids)}
+    n = len(ids)
+    m = np.eye(n, dtype=bool)
+    for u, v in rows:
+        m[idx[u], idx[v]] = True
+    while True:
+        nxt = m | (m @ m)
+        if nxt.sum() == m.sum():
+            break
+        m = nxt
+    mutual = m & m.T
+    arr = np.asarray(ids, dtype=np.int64)
+    # min mutual member per row: argmax over booleans returns the first
+    # True, and ids/columns are sorted ascending
+    scc = arr[np.argmax(mutual, axis=1)]
+    return spark.createDataFrame(
+        [(int(i), int(s)) for i, s in zip(arr, scc)], "id bigint, scc_id bigint"
+    )
+
+
 def scc_labels(
     edges: DataFrame,
     src: str = "src",
@@ -752,14 +884,14 @@ def scc_labels(
 ) -> DataFrame:
     """Strongly connected components, size-dispatched (the knn_join /
     connected_components convention): graphs small enough that the
-    worst-case closure is a single in-memory partition (≤2k vertices →
-    ≤4M pairs) take the O(log diameter)-round closure path — far fewer
-    driver round-trips than FW-BW's per-BFS-step jobs, which dominate
-    wall-clock on bounded fixtures; everything larger runs
-    forward-backward pivoting (`scc_labels_fwbw`), whose state is
-    Θ(V)+Θ(E) and never materializes reachable pairs. Both paths are
-    exact, deterministic, and label each SCC by its minimum member
-    (parity pytest). Returns (id, scc_id)."""
+    worst-case closure is an in-memory boolean matrix (≤2k vertices →
+    ≤4M cells) run the numpy closure+mutual kernel driver-side
+    (`_scc_driver`) — no per-BFS-step jobs, no Θ(pairs) shuffle join;
+    everything larger runs forward-backward pivoting
+    (`scc_labels_fwbw`), whose state is Θ(V)+Θ(E) and never
+    materializes reachable pairs. All paths are exact, deterministic,
+    and label each SCC by its minimum member (parity pytest). Returns
+    (id, scc_id)."""
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -773,7 +905,11 @@ def scc_labels(
         .count()
     )
     if n_v <= 2_000:
-        return scc_labels_closure(e, "u", "v", exact=True)
+        # the closure anchor's numpy kernel, minus the Θ(pairs)
+        # closure-materialization shuffle join the anchor pays
+        return _scc_driver(
+            edges.sparkSession, [(r["u"], r["v"]) for r in e.collect()]
+        )
     return scc_labels_fwbw(e, "u", "v", max_outer=max_outer)
 
 

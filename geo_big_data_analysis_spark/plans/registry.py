@@ -2755,8 +2755,12 @@ def q_semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS rule end-to-end."""
     from ..ml.lloyd import _argmin_cid_vec, lloyd_kmeans_vec
     from ..operators.similarity import _dot_sql
+    from ..operators.spread import spread
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    # single-file fixture scan = 1 task; the unrolled 64-dim dots (norm
+    # + within-cluster pairwise) dominate and are partitioning-free —
+    # spread first (guide §2.5; measured 8.7 → 4.9 s interleaved A/B)
+    emb = spread(_t(spark, sf_dir, "embeddings")).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     vint = F.expr(
@@ -3014,7 +3018,12 @@ def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rank omitted from the output (returns the top-k *set* with rounded
     cosine) so fp tie-ordering can't flip rows vs the oracle.
     """
-    emb = _t(spark, sf_dir, "embeddings")
+    from ..operators.spread import spread
+
+    # spread the base side: the unrolled 64-dim cosine against every
+    # broadcast query runs in the scan stage, which is 1 task on the
+    # single-file fixture (guide §2.5; measured 2.04 → 1.36 s A/B)
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     emb = emb.withColumn("embedding", F.col("embedding").cast("array<double>"))
     queries = emb.filter(F.col("vec_id") < 32)
     out = cosine_topk_bruteforce(queries, emb, k=5, dim=64)
@@ -5945,7 +5954,8 @@ def q_sentiment_pattern_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is value-checked cross-engine (lab4 nb cell 13 semantics)."""
     from ..functions import sentiment as sn
 
-    docs = _t(spark, sf_dir, "documents")
+    # only the columns the fold reads cross the spread exchange
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     scored = sn.with_pattern_scores(docs, "text").select(
         "doc_id",
         F.round(F.col("_sc")["polarity"], 6).alias("pol"),

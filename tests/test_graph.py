@@ -425,3 +425,75 @@ def test_closure_guard_raises_without_exact(spark):
     # exact=True opts in (smaller instance to keep the test fast)
     small = spark.range(40).selectExpr("id AS src", "id + 1 AS dst")
     assert GA.reachability_closure(small, exact=True).count() == 41 * 42 // 2
+
+
+def test_pagerank_distributed_matches_driver_path(spark):
+    """The size dispatch must be a pure physical choice: both paths on
+    the same graph, identical ranks to well under the 8dp callers
+    round to."""
+    from geo_big_data_analysis_spark.graph.algorithms import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 0), (1, 3), (2, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    drv = {r["id"]: r["pr"] for r in pagerank(df, iterations=6).collect()}
+    dist = {
+        r["id"]: r["pr"]
+        for r in pagerank(df, iterations=6, driver_threshold=0).collect()
+    }
+    assert set(drv) == set(dist)
+    assert all(abs(drv[k] - dist[k]) < 1e-12 for k in drv)
+
+
+def test_kcore_distributed_matches_driver_path(spark):
+    from geo_big_data_analysis_spark.graph.algorithms import kcore
+
+    rnd = random.Random(7)
+    edges = list({(rnd.randrange(40), rnd.randrange(40)) for _ in range(160)})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    drv = {
+        (r["id"], r["core_degree"])
+        for r in kcore(df, k=3, rounds=6).collect()
+    }
+    dist = {
+        (r["id"], r["core_degree"])
+        for r in kcore(df, k=3, rounds=6, driver_threshold=0).collect()
+    }
+    assert drv == dist and len(drv) > 0
+
+
+def test_label_propagation_distributed_matches_driver_path(spark):
+    from geo_big_data_analysis_spark.graph.algorithms import label_propagation
+
+    rnd = random.Random(11)
+    edges = list({(rnd.randrange(30), rnd.randrange(30)) for _ in range(90)})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    drv = {
+        (r["id"], r["label"])
+        for r in label_propagation(df, rounds=4).collect()
+    }
+    dist = {
+        (r["id"], r["label"])
+        for r in label_propagation(df, rounds=4, driver_threshold=0).collect()
+    }
+    assert drv == dist and len(drv) > 0
+
+
+def test_scc_driver_matches_closure_and_fwbw(spark):
+    from geo_big_data_analysis_spark.graph.algorithms import (
+        _scc_driver,
+        scc_labels,
+        scc_labels_closure,
+        scc_labels_fwbw,
+    )
+
+    rnd = random.Random(13)
+    edges = list({(rnd.randrange(25), rnd.randrange(25)) for _ in range(70)})
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    drv = {r["id"]: r["scc_id"] for r in _scc_driver(spark, edges).collect()}
+    anchor = {
+        r["id"]: r["scc_id"] for r in scc_labels_closure(df).collect()
+    }
+    fwbw = {r["id"]: r["scc_id"] for r in scc_labels_fwbw(df).collect()}
+    via_dispatch = {r["id"]: r["scc_id"] for r in scc_labels(df).collect()}
+    assert drv == anchor == fwbw == via_dispatch and len(drv) > 0
