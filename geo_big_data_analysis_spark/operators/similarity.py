@@ -514,9 +514,18 @@ def embedding_near_dup_pairs(
 
 def _pq_int_cols(vec_col: str, dims: list[int], scale: int) -> list[Column]:
     """Scaled-integer sub-coordinates: round(v[d]·scale) as bigint —
-    HALF_UP in Spark and round-half-away in DuckDB agree for all signs."""
+    HALF_UP in Spark and round-half-away in DuckDB agree for all signs.
+
+    Built as ONE parsed string per column (guide §7.3: plan-BUILD time
+    was the measured bottleneck — the Column-API chain cost ~6 py4j
+    round-trips per dim, ~1.0 s per probe invocation for 64 dims;
+    `F.expr` is one round-trip and the JVM parser builds the identical
+    getItem/cast/round tree)."""
     return [
-        F.round(F.col(vec_col)[d].cast("double") * scale, 0).cast("bigint").alias(f"c{d}")
+        F.expr(
+            f"CAST(round(CAST({vec_col}[{d}] AS DOUBLE) * {scale}, 0) "
+            f"AS BIGINT) AS c{d}"
+        )
         for d in dims
     ]
 
@@ -660,12 +669,30 @@ def pq_adc_topk(
     )
 
 
+#: value-keyed memo for :func:`_adc_dist_col` — the Column build costs
+#: ~1.0 s of py4j round-trips per call; Columns are immutable
+#: session-scoped expression wrappers, safe to reuse across DataFrames,
+#: so one build per distinct codebook set per process suffices.
+_ADC_COL_MEMO: dict[tuple, Column] = {}
+
+
 def _adc_dist_col(codebooks: list[list[list[float]]]) -> Column:
     """ADC distance Σ_b ‖q_b − C_b[code_b]‖² as one codegen column.
     Expects the scaled-int query coords ``c0..c{dim-1}`` and the code
     columns ``code_0..code_{m-1}`` to be in scope; term order is the
     left-associated (block, sub-dim) chain the DuckDB oracle joins in
-    the same order, so the double sums are bit-identical."""
+    the same order, so the double sums are bit-identical.
+
+    Built through the Column API so the per-block codebook literal and
+    centroid lookup are STRUCTURALLY SHARED subtrees (2·dsub references
+    each): an equivalent flat SQL string duplicates the codebook
+    literal per term — measured 1.2 MB task binaries and a 10×
+    analysis/codegen blow-up on the composed IVF-PQ probe. The py4j
+    build cost is paid once per codebook set via the value-keyed memo."""
+    key = tuple(tuple(tuple(c) for c in blk) for blk in codebooks)
+    hit = _ADC_COL_MEMO.get(key)
+    if hit is not None:
+        return hit
     dsub = len(codebooks[0][0])
     dist = None
     for blk in range(len(codebooks)):
@@ -682,6 +709,7 @@ def _adc_dist_col(codebooks: list[list[list[float]]]) -> Column:
             qd = F.col(f"c{d}").cast("double")
             term = (qd - F.element_at(ctr, j + 1)) * (qd - F.element_at(ctr, j + 1))
             dist = term if dist is None else dist + term
+    _ADC_COL_MEMO[key] = dist
     return dist
 
 
@@ -861,9 +889,14 @@ def cosine_topk_ivf(
     recall/cost. With nprobe = n_cells this degrades gracefully to the
     exact answer. At 100 TB: repartition the base by cell (co-located
     probe join), broadcast the (tiny) query-probe side."""
+    from .spread import spread
+
     dim = len(centers[0][1])
+    # spread before the per-row cell sweep + rerank (guide §2.5): with
+    # the broadcast probe join below there is no exchange after this
+    # point, so scan parallelism IS the stage parallelism
     bs = (
-        base.select(F.col(b_id).alias("neighbor_id"), F.col(b_vec).alias("_bv"))
+        spread(base.select(F.col(b_id).alias("neighbor_id"), F.col(b_vec).alias("_bv")))
         .withColumn("_n", F.expr(_norm_sql("_bv")))
         .withColumn(
             "cell",
@@ -891,10 +924,48 @@ def cosine_topk_ivf(
         )
         .drop("_n")
     )
-    pairs = qs.join(bs, "cell", "inner").filter(
+    # broadcast the (tiny) exploded probe side — the docstring's 100 TB
+    # shape, and locally the fix for the cell key's low cardinality
+    # (~n_labels distinct values): a hash join on it collapses the
+    # rerank to ≤n_cells tasks, while the broadcast keeps the base side
+    # at scan parallelism (guide §3.1)
+    pairs = bs.join(F.broadcast(qs), "cell", "inner").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     return _topk(pairs.withColumn("cosine", _cosine_col("_qv", "_bv", dim)), k)
+
+
+def ivf_cell_base(
+    base: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    b_id: str = "vec_id",
+    b_vec: str = "embedding",
+    b_label: str = "label",
+) -> DataFrame:
+    """Assign every base vector to its nearest coarse-quantizer cell:
+    (negative_id, negative_label, _bv, cell). The per-row cell-score
+    sweep (interpreted HOF dot per center) is the heavy map of the IVF
+    family — callers running multiple probe variants should compute
+    this once and share it (see `hard_negatives_ivf`)."""
+    from .spread import spread
+
+    return (
+        spread(
+            base.select(
+                F.col(b_id).alias("negative_id"),
+                F.col(b_label).alias("negative_label"),
+                F.col(b_vec).alias("_bv"),
+            )
+        )
+        .withColumn("_n", F.expr(_norm_sql("_bv")))
+        .withColumn(
+            "cell",
+            F.element_at(
+                F.array_sort(F.expr(_cell_scores_sql("_bv", "_n", centers))), 1
+            )["cell"],
+        )
+        .drop("_n")
+    )
 
 
 def hard_negatives_ivf(
@@ -909,6 +980,7 @@ def hard_negatives_ivf(
     b_vec: str = "embedding",
     q_label: str = "label",
     b_label: str = "label",
+    celled_base: DataFrame | None = None,
 ) -> DataFrame:
     """Index-driven hard-negative mining (VERDICT r3 "Next" #4): the
     IVF candidate pre-stage of :func:`cosine_topk_ivf` — base vectors
@@ -921,24 +993,21 @@ def hard_negatives_ivf(
     the exact variant (`hard_negative_mining`) stays as the recall
     anchor.
 
+    ``celled_base`` lets a caller running SEVERAL probe widths assign
+    cells once (via :func:`ivf_cell_base`, ideally behind a lazy
+    localCheckpoint): the per-row interpreted cell-score sweep over the
+    whole base is the dominant cost, and without sharing it every
+    variant re-pays it (guide §1.2 "don't compute things you throw
+    away").
+
     Ranks on round(cosine, 6) like the exact anchor (rank at the
     compared precision, never raw floats). Returns (query_id,
     probe_label, rank, negative_id, negative_label, cosine)."""
     dim = len(centers[0][1])
     bs = (
-        base.select(
-            F.col(b_id).alias("negative_id"),
-            F.col(b_label).alias("negative_label"),
-            F.col(b_vec).alias("_bv"),
-        )
-        .withColumn("_n", F.expr(_norm_sql("_bv")))
-        .withColumn(
-            "cell",
-            F.element_at(
-                F.array_sort(F.expr(_cell_scores_sql("_bv", "_n", centers))), 1
-            )["cell"],
-        )
-        .drop("_n")
+        ivf_cell_base(base, centers, b_id, b_vec, b_label)
+        if celled_base is None
+        else celled_base
     )
     qs = (
         queries.select(
@@ -962,8 +1031,11 @@ def hard_negatives_ivf(
         )
         .drop("_n")
     )
+    # broadcast the probe side: the cell key has ~n_labels distinct
+    # values, so a hash join on it caps rerank parallelism at n_cells
+    # (guide §3.1; same shape as cosine_topk_ivf)
     pairs = (
-        qs.join(bs, "cell", "inner")
+        bs.join(F.broadcast(qs), "cell", "inner")
         .filter(F.col("probe_label") != F.col("negative_label"))
         .withColumn("cosine", F.round(_cosine_col("_qv", "_bv", dim), 6))
     )

@@ -14535,19 +14535,28 @@ def q_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-term squared distance in one codegen'd projection, then a
     per-point min-split agg. The full-pairwise silhouette is
     quadratic; the centroid form is the one that scales."""
-    emb = _t(spark, sf_dir, "embeddings")
-    x = F.col("embedding").cast("array<double>")
-    cents = emb.select(
-        "label", *[x[i].alias(f"c{i}") for i in range(_EMB_DIM)]
+    from ..operators.spread import spread
+
+    # plan-BUILD was the bottleneck (guide §7.3): the former Column-API
+    # loops (64 getItem/alias + 64 avg + a 64-term sum chain) cost
+    # ~3 s of py4j round-trips per invocation — parsed strings build
+    # the identical trees in a handful of calls. spread: the 64-term
+    # distance map runs in the 1-task fixture scan stage otherwise.
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    xi = "CAST(embedding AS ARRAY<DOUBLE>)"
+    cents = emb.selectExpr(
+        "label", *[f"{xi}[{i}] AS c{i}" for i in range(_EMB_DIM)]
     ).groupBy("label").agg(
-        *[F.avg(f"c{i}").alias(f"c{i}") for i in range(_EMB_DIM)]
+        *[F.expr(f"avg(c{i}) AS c{i}") for i in range(_EMB_DIM)]
     ).withColumnRenamed("label", "cl")
-    pts = emb.select(
-        "vec_id", "label", *[x[i].alias(f"e{i}") for i in range(_EMB_DIM)]
+    pts = emb.selectExpr(
+        "vec_id", "label", *[f"{xi}[{i}] AS e{i}" for i in range(_EMB_DIM)]
     )
-    d2 = sum(
-        (F.col(f"e{i}") - F.col(f"c{i}")) * (F.col(f"e{i}") - F.col(f"c{i}"))
-        for i in range(_EMB_DIM)
+    # leading 0 matches the former Python sum()'s 0-init (0 + x ≡ x
+    # exactly for the non-negative squared terms)
+    d2 = F.expr(
+        "0 + "
+        + " + ".join(f"(e{i} - c{i}) * (e{i} - c{i})" for i in range(_EMB_DIM))
     )
     pairs = pts.join(F.broadcast(cents)).select(
         "vec_id", "label", "cl", d2.alias("d2")
@@ -17609,10 +17618,15 @@ def q_hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         _cosine_sql,
         hard_negatives_ivf,
+        ivf_cell_base,
         label_centroids,
     )
+    from ..operators.spread import spread
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
+    # spread: the exact-anchor cosine and the IVF cell sweep are
+    # interpreted/codegen-dense per-row maps off a 1-task fixture scan
+    # (guide §2.5)
+    emb = spread(_t(spark, sf_dir, "embeddings")).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     probes = emb.filter(F.col("vec_id") % 211 == 0)
@@ -17667,9 +17681,14 @@ def q_hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = summary("exact", exact3)
+    # cell-assign the base ONCE behind a lazy checkpoint: both probe
+    # widths reuse it instead of re-running the per-row cell sweep
+    # (guide §1.2; measured 5.3 → 4.7 s median with the spread above)
+    celled = ivf_cell_base(emb, centers).localCheckpoint(eager=False)
     for nprobe in (1, 3):
         sel = hard_negatives_ivf(
-            probes, emb, k=3, centers=centers, nprobe=nprobe
+            probes, emb, k=3, centers=centers, nprobe=nprobe,
+            celled_base=celled,
         ).select("query_id", "negative_id", "cosine")
         out = out.unionByName(summary(f"ivf_nprobe{nprobe}", sel))
     return out.orderBy("method")
