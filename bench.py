@@ -357,26 +357,104 @@ def main() -> None:
     _st_loop()  # bytecode/alloc warmup, discarded
     cpu_marker_st = round(statistics.median(_st_loop() for _ in range(5)), 4)
 
-    load_before = os.getloadavg()
-    times: dict[str, float] = {}
-    iqrs: dict[str, float] = {}
-    raw: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        fn, _ = REGISTRY[name]
+    # Per-query contamination canary (VERDICT r8 "Next round" #1: both
+    # r8 slow windows opened MID-run, invisible to the start-only load
+    # gate — loadavg during the run is useless anyway because the bench
+    # itself loads all cores). A single st-loop sample (~0.1 s) between
+    # every ST_EVERY queries brackets each query's wall-clock window;
+    # post-hoc, a query is CPU-tainted when either bracketing sample
+    # exceeds ST_TAINT_RATIO x the run's best sample. Tainted queries
+    # are re-run once at the end and the rerun replaces the first-pass
+    # median IFF its own bracketing samples are clean; first-pass runs
+    # are always kept in the sidecar.
+    ST_EVERY = 8
+    ST_TAINT_RATIO = 1.3
+
+    def _st_sample() -> float:
+        # min-of-3: single samples spike ~2x on an otherwise idle box
+        # (JVM GC / executor wind-down right after a query) — the MIN
+        # is the machine's true per-core speed in that window, and real
+        # contamination (r8's epoch was 1.44x) slows all three.
+        return round(min(_st_loop() for _ in range(3)), 4)
+
+    st_samples: list[float] = [_st_sample()]
+
+    def _timed_runs(fn) -> list[float]:
         runs: list[float] = []
         for _ in range(iters):
             t0 = time.time()
             fn(spark, sf_dir).count()
             runs.append(round(time.time() - t0, 3))
         runs.sort()
-        raw[name] = runs
-        times[name] = round(statistics.median(runs), 3)
+        return runs
+
+    load_before = os.getloadavg()
+    times: dict[str, float] = {}
+    iqrs: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
+    q_bracket: dict[str, tuple[int, int]] = {}
+    for qi, name in enumerate(HEADLINE):
+        fn, _ = REGISTRY[name]
+        raw[name] = _timed_runs(fn)
+        times[name] = round(statistics.median(raw[name]), 3)
         iqrs[name] = (
-            round(statistics.quantiles(runs, n=4)[2] - statistics.quantiles(runs, n=4)[0], 3)
-            if len(runs) >= 2
+            round(
+                statistics.quantiles(raw[name], n=4)[2]
+                - statistics.quantiles(raw[name], n=4)[0],
+                3,
+            )
+            if len(raw[name]) >= 2
             else 0.0
         )
+        q_bracket[name] = (len(st_samples) - 1, len(st_samples))
+        if (qi + 1) % ST_EVERY == 0 or qi == len(HEADLINE) - 1:
+            st_samples.append(_st_sample())
+        else:
+            q_bracket[name] = (len(st_samples) - 1, len(st_samples) - 1)
     load_after = os.getloadavg()
+
+    st_floor = min(min(st_samples), cpu_marker_st)
+    st_bad = [s > ST_TAINT_RATIO * st_floor for s in st_samples]
+
+    def _window_tainted(name: str) -> bool:
+        lo, hi = q_bracket[name]
+        return st_bad[lo] or st_bad[min(hi, len(st_samples) - 1)]
+
+    taint = {name: _window_tainted(name) for name in HEADLINE}
+    rerun: dict[str, dict] = {}
+    n_tainted = sum(taint.values())
+    # Re-run each tainted query once; a contaminated-everywhere run
+    # (most queries tainted) is hopeless and the reruns would be just
+    # as dirty, so skip them and let the taint flags speak.
+    if 0 < n_tainted <= len(HEADLINE) // 2:
+        for name in HEADLINE:
+            if not taint[name]:
+                continue
+            s_before = _st_sample()
+            runs2 = _timed_runs(REGISTRY[name][0])
+            s_after = _st_sample()
+            clean = (
+                s_before <= ST_TAINT_RATIO * st_floor
+                and s_after <= ST_TAINT_RATIO * st_floor
+            )
+            rerun[name] = {
+                "runs": runs2,
+                "st_bracket": [s_before, s_after],
+                "used": clean,
+                "first_pass_median": times[name],
+            }
+            if clean:
+                times[name] = round(statistics.median(runs2), 3)
+                iqrs[name] = (
+                    round(
+                        statistics.quantiles(runs2, n=4)[2]
+                        - statistics.quantiles(runs2, n=4)[0],
+                        3,
+                    )
+                    if len(runs2) >= 2
+                    else 0.0
+                )
+                taint[name] = False
     total = round(sum(times.values()), 3)
     # Per-query detail goes to a sidecar file; stdout gets ONE compact
     # line (<1 KB) so the driver's bounded tail-capture can parse it
@@ -397,29 +475,48 @@ def main() -> None:
             if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
         ]
         round_n = str(max(seen, default=0) + 1)
+    # Never clobber a committed record (the sidecar is append-only per
+    # round; the driver's own runs already live at the bare name): take
+    # the first free _2/_3/... suffix when the bare path exists.
     detail_path = os.path.join(root, f"BENCH_DETAIL_r{int(round_n):02d}.json")
-    slowest = sorted(times.items(), key=lambda kv: -kv[1])[:5]
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "headline_query_wall_seconds_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "iqr": iqrs,
-                "runs": raw,
-                "iters": iters,
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in load_after],
-                "cpu_marker_sec": cpu_marker,
-                "cpu_marker_st_sec": cpu_marker_st,
-                "tainted_load": tainted_load,
-                "sf": sf,
-                "n_queries": len(times),
-            },
-            fh,
-            indent=1,
+    k = 1
+    while os.path.exists(detail_path):
+        k += 1
+        detail_path = os.path.join(
+            root, f"BENCH_DETAIL_r{int(round_n):02d}_{k}.json"
         )
+    slowest = sorted(times.items(), key=lambda kv: -kv[1])[:10]
+    detail_doc = {
+        "metric": "headline_query_wall_seconds_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "iqr": iqrs,
+        "runs": raw,
+        "iters": iters,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "cpu_marker_sec": cpu_marker,
+        "cpu_marker_st_sec": cpu_marker_st,
+        "tainted_load": tainted_load,
+        "st_samples": st_samples,
+        "st_taint_ratio": ST_TAINT_RATIO,
+        "cpu_tainted_queries": sorted(n for n, t in taint.items() if t),
+        "rerun": rerun,
+        "sf": sf,
+        "n_queries": len(times),
+    }
+    detail_bytes = json.dumps(detail_doc, indent=1).encode()
+    with open(detail_path, "wb") as fh:
+        fh.write(detail_bytes)
+    import hashlib
+
+    detail_sha = hashlib.sha256(detail_bytes).hexdigest()
+    # ONE compact stdout line (must fit the driver's 2000-byte tail
+    # capture together with any trailing log noise — the round-1 record
+    # had "parsed": null because a 4.7 KB inline per-query dict
+    # overflowed it). detail_sha binds the committed sidecar to this
+    # exact run so per-query numbers are auditable from the one-liner.
     print(
         json.dumps(
             {
@@ -433,8 +530,11 @@ def main() -> None:
                 "cpu_marker_sec": cpu_marker,
                 "cpu_marker_st_sec": cpu_marker_st,
                 "tainted_load": tainted_load,
+                "n_cpu_tainted": sum(taint.values()),
+                "n_rerun_clean": sum(1 for r in rerun.values() if r["used"]),
                 "slowest": {k: v for k, v in slowest},
                 "detail": os.path.basename(detail_path),
+                "detail_sha": detail_sha,
                 "queries": {"_total": total},
             }
         )

@@ -21,6 +21,14 @@ from geo_big_data_analysis_spark.plans.registry import REGISTRY  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# heavyweight sweep (VERDICT r8 "Next round" #4): gated out of the
+# default suite so the driver's pytest window is met; run with
+# SPARK_GRAFT_SLOW=1 (preflight does).
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="sampled-subcorpus completeness sweep — SPARK_GRAFT_SLOW=1",
+)
+
 
 @pytest.fixture(scope="module")
 def sample_env(tmp_path_factory):

@@ -4,6 +4,9 @@ Mann-Kendall) against closed-form expectations on constructed patterns."""
 from __future__ import annotations
 
 import math
+import os
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -98,6 +101,10 @@ def test_mann_kendall_monotone_and_ties(spark):
     assert abs(out[3]["z_mk"] + (44 / math.sqrt(var_noties))) < 1e-9
 
 
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_SLOW"),
+    reason="~34 s brute-force parity sweep — run with SPARK_GRAFT_SLOW=1 (VERDICT r8 #6: default suite must fit the driver window)",
+)
 def test_ripley_grid_cover_matches_bruteforce(spark):
     # 200 deterministic pseudo-random points; grid-join pair counts at
     # every radius must equal the brute-force cross-join count.

@@ -8,8 +8,8 @@
 set -e
 cd "$(dirname "$0")/.."
 
-echo "== preflight: pytest tests/ =="
-python -m pytest tests/ -q
+echo "== preflight: pytest tests/ (incl. SPARK_GRAFT_SLOW sweeps) =="
+SPARK_GRAFT_SLOW=1 python -m pytest tests/ -q
 
 echo "== preflight: git status --short (must be empty) =="
 STATUS="$(git status --short)"
