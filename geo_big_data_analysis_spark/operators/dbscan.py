@@ -68,6 +68,15 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
     lists for city-scale inputs fit the driver easily, and one collect
     beats O(log n) shuffle rounds. comp = min id in component, matching
     the distributed path bit-for-bit."""
+    return _cc_driver_rows(
+        edges.sparkSession, edges.select("a_id", "b_id").collect()
+    )
+
+
+def _cc_driver_rows(spark, rows: list) -> DataFrame:
+    """Union-find body of :func:`_cc_driver` over pre-collected edge
+    rows — shared with the bounded dispatch probe in
+    :func:`connected_components`, which already holds the rows."""
     parent: dict[int, int] = {}
 
     def find(u: int) -> int:
@@ -76,7 +85,7 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
             u = parent[u]
         return u
 
-    for a, b in edges.select("a_id", "b_id").collect():
+    for a, b in rows:
         for v in (a, b):
             if v not in parent:
                 parent[v] = v
@@ -87,8 +96,8 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
     for v in parent:
         r = find(v)
         comp_min[r] = min(comp_min.get(r, v), v)
-    rows = [(v, comp_min[find(v)]) for v in parent]
-    return edges.sparkSession.createDataFrame(rows, "id bigint, comp bigint")
+    out = [(v, comp_min[find(v)]) for v in parent]
+    return spark.createDataFrame(out, "id bigint, comp bigint")
 
 
 def _connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
@@ -190,9 +199,12 @@ def dbscan(
         .localCheckpoint()
     )
     # size-dispatched physical strategy: union-find on the driver when
-    # the core-edge list is small, label propagation otherwise.
-    if core_pairs.count() <= 2_000_000:
-        comp = _cc_driver(core_pairs)
+    # the core-edge list is small, label propagation otherwise. Bounded
+    # probe instead of a count job (core_pairs is already checkpointed,
+    # so this only trims one scheduled action).
+    cc_probe = core_pairs.select("a_id", "b_id").limit(2_000_001).collect()
+    if len(cc_probe) <= 2_000_000:
+        comp = _cc_driver_rows(points.sparkSession, cc_probe)
     else:
         comp = _connected_components(core_pairs)
     # singleton core points (no core neighbor) are their own cluster
@@ -227,10 +239,20 @@ def connected_components(
     internals: union-find on collected edges when they fit the driver,
     min-label propagation + pointer jumping otherwise (both paths
     bit-identical). Reused by near-dup clustering (dedup) — duplicate
-    groups ARE the components of the near-dup pair graph."""
-    e = pairs.select(F.col(a_col).alias("a_id"), F.col(b_col).alias("b_id"))
-    if e.count() <= driver_threshold:
-        return _cc_driver(e)
+    groups ARE the components of the near-dup pair graph.
+
+    Dispatch is a bounded probe over a lazily checkpointed input
+    (VERDICT r8 "Next" #3/#5): the old count()+collect() pair evaluated
+    the whole upstream pair pipeline TWICE — for near_dup_clusters_docs
+    that pipeline is the full MinHash-LSH near-dup run. Now the pair
+    table materializes exactly once and the probe rows feed the
+    union-find directly."""
+    e = pairs.select(
+        F.col(a_col).alias("a_id"), F.col(b_col).alias("b_id")
+    ).localCheckpoint(eager=False)
+    probe = e.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        return _cc_driver_rows(pairs.sparkSession, probe)
     return _connected_components(e)
 
 

@@ -1194,15 +1194,30 @@ def q_lsh_sensitivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         F.expr("cast(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % 2147483647"),
     )
+    # r9 rewrite (guide §2.3 "shuffle keys instead of payloads" / §8):
+    # the original carried collect_set(h) hash-set ARRAYS per doc
+    # through two pair joins and ran array_intersect per pair, and the
+    # md5 shingle subtree was re-evaluated by each of its 4 consumers.
+    # Now: (1) sh — (doc_id, h) int rows — lazily checkpoints once;
+    # (2) exact Jaccard comes from the same integer co-count equi-join
+    # the proven dedup verifier uses (operators/dedup.
+    # jaccard_from_shingle_rows): |∩| by (pair ⋈ h) group-count, sizes
+    # by per-doc counts. sh is per-doc-distinct STRINGS but h can
+    # collide mod P, so set semantics need a (doc_id, h) distinct —
+    # `shd` — matching collect_set/array_intersect exactly; `rare`'s df
+    # stays on the RAW rows (the oracle counts string-distinct rows).
+    # jr = round(inter/(na+nb−inter), 6) — same ints, same double
+    # division, bit-identical. Every pair shares its rare shingle's h,
+    # so inter ≥ 1 and the joins stay inner.
     mins = ", ".join(
         f"min(pmod(h * {(2654435761 * (j + 1)) % P}L + {40503 * (j + 1) % P}L,"
         f" {P}L))"
         for j in range(16)
     )
-    per_doc = sh.groupBy("doc_id").agg(
-        F.expr(f"array({mins})").alias("sig"),
-        F.collect_set("h").alias("hs"),
-    )
+    sh = sh.localCheckpoint(eager=False)
+    shd = sh.select("doc_id", "h").distinct().localCheckpoint(eager=False)
+    per_sig = sh.groupBy("doc_id").agg(F.expr(f"array({mins})").alias("sig"))
+    counts = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 20)
     capped = sh.join(rare, "h")
     pairs = (
@@ -1214,33 +1229,37 @@ def q_lsh_sensitivity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    inter = (
+        pairs.join(shd.select(F.col("doc_id").alias("doc_a"), "h"), "doc_a")
+        .join(shd.select(F.col("doc_id").alias("doc_b"), "h"), ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     joined = (
-        pairs.join(
-            per_doc.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("sig").alias("sig_a"),
-                F.col("hs").alias("hs_a"),
-            ),
+        inter.join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("_na")),
             "doc_a",
         )
         .join(
-            per_doc.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("sig").alias("sig_b"),
-                F.col("hs").alias("hs_b"),
-            ),
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("_nb")),
             "doc_b",
         )
-        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jr",
             F.round(
-                F.col("inter")
-                / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+                F.col("inter") / (F.col("_na") + F.col("_nb") - F.col("inter")),
                 6,
             ),
         )
         .filter(F.col("jr") >= 0.02)
+        .join(
+            per_sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            per_sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
         .withColumn(
             "detected",
             F.expr(
@@ -1777,11 +1796,18 @@ def q_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pipeline with brute-force near-dup pairs (LSH recall at
     j≥0.8 is 1-(1-j²)^32 → exact at this threshold)."""
     docs = _t(spark, sf_dir, "documents")
+    # keep-list checkpoint (r9, guide §5): `uniq` is consumed twice
+    # (the near-dup pair pipeline and the survivor anti-join), so the
+    # exact-dedup clean_text + groupBy subtree behind it ran TWICE.
+    # Materializing the keep ids — bigints, the smallest possible proxy
+    # for the dedup decision (guide §8) — runs it once; the two
+    # downstream semi-joins read the checkpoint.
     keep = (
         docs.select("doc_id", tx.clean_text("text").alias("_ct"))
         .groupBy("_ct")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
     uniq = docs.join(keep, "doc_id", "left_semi")
     pairs = dd.minhash_near_dup_pairs(
@@ -5133,8 +5159,18 @@ def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out, columns=["doc_id", "grp", "b0", "b1", "b2", "b3"]
             )
 
-    hashes = docs.mapInPandas(
-        gen, "doc_id bigint, grp int, b0 int, b1 int, b2 int, b3 int"
+    # r9: `hashes` is consumed THREE times (band explode + both verify
+    # sides), so the per-image Python PNG encode→decode ran 3× per
+    # image; and the probe scan is one task at fixture scale, so it ran
+    # single-core. Spread the compact doc_id rows before the Python
+    # boundary (guide §2.5/§4) and materialize the 6-int hash rows once
+    # (guide §5).
+    from ..operators.spread import spread
+
+    hashes = (
+        spread(docs)
+        .mapInPandas(gen, "doc_id bigint, grp int, b0 int, b1 int, b2 int, b3 int")
+        .localCheckpoint(eager=False)
     )
     bands = hashes.select(
         "doc_id", F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "val")
@@ -6238,40 +6274,37 @@ def q_dup_ngram_share_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     source. Plan shape: explode distinct shingles → inverted index
     (groupBy shingle, distinct-doc count) → join back — equi-joins on
     the shingle key throughout, no pairwise comparisons anywhere."""
-    from ..operators.dedup import shingles
-    from ..operators.spread import spread
+    from ..operators.dedup import shingle_hash_rows
 
-    # the interpreted-HOF shingle chain is the dominant cost and the
-    # fixture scan is one task — spread the doc rows before it
-    # (guide §2.5); the next op is a groupBy shuffle either way
-    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
-    # hash shingles to int64 BEFORE the shuffle: the inverted index and
-    # join-back then move 8-byte keys instead of ~40-byte strings
-    # (collision odds over ~10⁶ distinct shingles ≈ 1e-7 — the oracle
-    # works on the raw strings, so a collision would surface as a
-    # hash-mismatch, not silently)
+    docs = _t(spark, sf_dir, "documents")
+    # r9: the interpreted-HOF shingle chain (zip_with×4 + filter per
+    # row — CodegenFallback) was the dominant cost here. The dedup
+    # family's window-lag builder (`shingle_hash_rows`) constructs the
+    # same shingle set fully whole-stage-codegen'd (posexplode + lag +
+    # multi-arg xxhash64; tuple↔string bijection per its contract), and
+    # the query only consumes COUNTS — per-doc distinct shingles and
+    # cross-doc document frequency — which are identical on the hashed
+    # tuple space. One (doc_id, shingle) distinct replaces the per-row
+    # array_distinct; the hashed int rows materialize once for the
+    # index build and the join-back, as before. The oracle still works
+    # on the raw strings, so a hash collision surfaces as a mismatch,
+    # not silently.
     sh = (
-        docs.select(
-            "doc_id", "source", F.explode(F.array_distinct(shingles("text", 5))).alias("sh")
-        )
-        .select("doc_id", "source", F.xxhash64("sh").alias("sh"))
-        # consumed twice (index build + join-back): materialize the
-        # hashed rows once — shingle construction is a chain of
-        # interpreted HOF lambdas, the single dominant cost here
+        shingle_hash_rows(docs.select("doc_id", "text"), "text", "doc_id", n=5)
+        .distinct()
+        .withColumnRenamed("shingle", "sh")
         .localCheckpoint(eager=False)
     )
-    # (doc_id, sh) pairs are unique by construction (array_distinct
-    # upstream), so document frequency is a plain count — no
-    # count_distinct dedup buffer needed
     idx = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         sh.join(idx, "sh")
-        .groupBy("doc_id", "source")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum((F.col("df") >= 2).cast("bigint")).alias("n_dup"),
         )
         .withColumn("dup_share", F.col("n_dup") / F.col("n_shingles"))
+        .join(docs.select("doc_id", "source"), "doc_id")
     )
     return (
         per_doc.groupBy("source")
@@ -15912,30 +15945,70 @@ def q_mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    q = emb.filter(F.col("vec_id") < 32)
-    # tiny (n_queries × 5) — checkpoint so the three per-width joins
-    # don't each replay the full-dim top-k lineage
-    exact = cosine_topk_bruteforce(q, emb, k=5, dim=64).select(
-        "query_id", "neighbor_id"
-    ).localCheckpoint()
-    nq = q.agg(F.count(F.lit(1)).alias("n"))
-    out = None
-    for d in _MRL_DIMS:
-        approx = cosine_topk_bruteforce(q, emb, k=5, dim=d).select(
-            "query_id", "neighbor_id"
+    # All four widths in ONE pass over the pair table (r9, guide §1.2 /
+    # §2.4 "share one exchange"): each pair row carries cos_4/16/32/64
+    # (the same per-width unrolled `_cosine_sql` prefix dots as the
+    # exact-top-k operator — identical fp), and the four rankings are
+    # four row_number windows over the SAME query_id hash partitioning:
+    # one Exchange instead of four crossJoin+window pipelines, an eager
+    # checkpoint, and three rank joins. A pair has _rk{d} ≤ 5 AND
+    # _rk64 ≤ 5 exactly iff it sits in both top-5 lists (same tie rule:
+    # cosine desc, neighbor_id asc), so the hit counts are identical by
+    # construction; recall rounding stays Spark-side HALF_UP.
+    from ..operators.similarity import _cosine_sql
+
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    ).filter(F.col("query_id") < 32)
+    b = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_bv")
+    )
+    pairs = (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            *[
+                F.expr(_cosine_sql("_qv", "_bv", d)).alias(f"_cos{d}")
+                for d in (*_MRL_DIMS, 64)
+            ],
         )
-        hits = exact.join(approx, ["query_id", "neighbor_id"]).agg(
-            F.count(F.lit(1)).alias("s")
+    )
+    wq = Window.partitionBy("query_id")
+    ranked = pairs.select(
+        "query_id",
+        *[
+            F.row_number()
+            .over(
+                wq.orderBy(F.col(f"_cos{d}").desc(), F.col("neighbor_id").asc())
+            )
+            .alias(f"_rk{d}")
+            for d in (*_MRL_DIMS, 64)
+        ],
+    )
+    stats = (
+        ranked.filter(F.col("_rk64") <= 5)
+        .agg(
+            F.countDistinct("query_id").alias("n"),
+            *[
+                F.sum((F.col(f"_rk{d}") <= 5).cast("bigint")).alias(f"s{d}")
+                for d in _MRL_DIMS
+            ],
         )
-        row = hits.crossJoin(F.broadcast(nq)).select(
-            F.lit(d).alias("trunc_dim"),
-            F.col("n").cast("bigint").alias("n_queries"),
-            F.round(F.col("s") / (F.lit(5.0) * F.col("n")), 6).alias(
-                "recall_at_5"
-            ),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("trunc_dim")
+        .collect()[0]
+    )
+    out = spark.createDataFrame(
+        [(d, int(stats["n"]), int(stats[f"s{d}"])) for d in _MRL_DIMS],
+        "trunc_dim int, n_queries bigint, s bigint",
+    )
+    return out.select(
+        "trunc_dim",
+        "n_queries",
+        F.round(F.col("s") / (F.lit(5.0) * F.col("n_queries")), 6).alias(
+            "recall_at_5"
+        ),
+    ).orderBy("trunc_dim")
 
 
 def _sql_trunc_topk(d: int) -> str:
@@ -16469,18 +16542,13 @@ def q_kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd/BPE. The oracle unrolls all 8 rounds with scalar subqueries
     fetching each selected vector.
 
-    Size dispatch (VERDICT r2 #7): small tables (≤100k) fold to one
-    partition AND keep the min-distance state as a growing `least`
-    expression chain over ONE checkpointed base — zero per-round
-    materializations. The chained dots use the HOF form
-    (aggregate∘zip_with against a literal array: identical
-    left-to-right FP order as the unrolled tree, but ~100× fewer
-    expression nodes, so per-round plan analysis stays flat instead of
-    growing with the chain — measured 3.9 s → 2.6 s over 8 rounds).
-    At real corpus scale the table keeps its partitioning, each round
+    Size dispatch (VERDICT r2 #7, r8 "Next" #6): tables that fit the
+    driver (≤100k rows, bounded probe) run the whole greedy loop as a
+    numpy kernel with bit-identical fp (see the inline note); at real
+    corpus scale the table keeps its partitioning, each round
     checkpoints (linear lineage, partial-top-1-then-merge argmax), and
-    the unrolled codegen dot is kept there (whole-stage codegen beats
-    the interpreted HOF once row counts dominate plan-build cost)."""
+    the unrolled codegen dot runs distributed (whole-stage codegen
+    beats any driver transfer once row counts dominate)."""
     emb = (
         _t(spark, sf_dir, "embeddings")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -16492,36 +16560,49 @@ def q_kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             e = e + F.col("v").getItem(i) * F.lit(vec[i])
         return e
 
-    def dot_hof(vec):
-        arr = "array(" + ", ".join(f"{x!r}D" for x in vec) + ")"
-        return F.expr(
-            f"aggregate(zip_with(v, {arr}, (x, y) -> x * y), 0D, (a, x) -> a + x)"
-        )
-
     norm_sq = F.col("v").getItem(0) * F.col("v").getItem(0)
     for i in range(1, 64):
         norm_sq = norm_sq + F.col("v").getItem(i) * F.col("v").getItem(i)
     pts = emb.withColumn("nv", F.sqrt(norm_sq))
 
-    seed = pts.filter(F.col("vec_id") == 0).collect()[0]
-    sv, sn = list(seed["v"]), float(seed["nv"])
-    base = pts.localCheckpoint()
-    small = base.count() <= 100_000
+    # Size dispatch via bounded probe (≤100k rows; the Lloyd/BPE/graph
+    # driver-kernel convention — VERDICT r8 "Next" #6): the 8 greedy
+    # argmax rounds run as a driver-side numpy loop with BIT-IDENTICAL
+    # fp — elementwise products + per-row cumsum reproduce the
+    # left-associated fold of both the unrolled and the HOF dot (init
+    # 0.0+p0 == p0 exactly), np.minimum is `least` on NaN-free doubles,
+    # and lexsort((vec_id, -md)) is the (md desc, vec_id asc) orderBy.
+    # The former small path paid a seed collect, 2 eager checkpoints, a
+    # count, and 8 single-partition interpreted-HOF scan jobs (~12
+    # scheduled jobs); now one bounded collect + numpy. The distributed
+    # path below is unchanged for inputs past the probe cap.
+    probe = emb.limit(100_001).collect()
     out_rows = []
-    if small:
-        base = base.coalesce(1).localCheckpoint()
-        md = F.lit(1.0) - dot_hof(sv) / (F.col("nv") * F.lit(sn))
+    if len(probe) <= 100_000:
+        import numpy as np
+
+        ids = np.array([r["vec_id"] for r in probe], dtype=np.int64)
+        V = np.array([list(r["v"]) for r in probe], dtype=np.float64)
+
+        def fold_dot(w):
+            # left-fold dot of every row against w: cumsum's last column
+            # is (((p0 + p1) + p2) + ...) per row — the engine's fp order
+            return np.cumsum(V * w, axis=1)[:, -1]
+
+        nv_a = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+
+        def md_term(j: int):
+            return 1.0 - fold_dot(V[j]) / (nv_a * nv_a[j])
+
+        md_a = md_term(int(np.flatnonzero(ids == 0)[0]))
         for t in range(1, _KCENTER_ROUNDS + 1):
-            best = (
-                base.select("vec_id", "v", "nv", md.alias("md"))
-                .orderBy(F.desc("md"), F.asc("vec_id"))
-                .limit(1)
-                .collect()[0]
-            )
-            out_rows.append((t, int(best["vec_id"]), float(best["md"])))
-            bv, bn = list(best["v"]), float(best["nv"])
-            md = F.least(md, F.lit(1.0) - dot_hof(bv) / (F.col("nv") * F.lit(bn)))
+            best = int(np.lexsort((ids, -md_a))[0])
+            out_rows.append((t, int(ids[best]), float(md_a[best])))
+            md_a = np.minimum(md_a, md_term(best))
     else:
+        seed = pts.filter(F.col("vec_id") == 0).collect()[0]
+        sv, sn = list(seed["v"]), float(seed["nv"])
+        base = pts.localCheckpoint()
         seed_md = F.lit(1.0) - dot_lit(sv) / (F.col("nv") * F.lit(sn))
         cur = base.withColumn("md", seed_md).localCheckpoint()
         for t in range(1, _KCENTER_ROUNDS + 1):
