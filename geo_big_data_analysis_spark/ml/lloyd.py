@@ -54,6 +54,32 @@ def _spread(df: DataFrame) -> DataFrame:
     return spread(df)
 
 
+#: Below this row count the center-update loop runs as a numpy driver
+#: kernel (r9 — the kcenter/graph bounded-dispatch convention): every
+#: Lloyd iteration otherwise pays a scheduled job whose collect returns
+#: only k (or k·d) aggregate rows, plus an interpreted zip_with argmin
+#: at the vec variant. The kernel is bit-identical: distances are the
+#: same left-associated folds (np.cumsum — 0.0 + t0 == t0 exactly),
+#: np.argmin takes the first minimum (the lowest-cid tie break), and
+#: centroid updates stay exact integer sums divided in Python. The
+#: labeled output and all downstream consumers keep reading the
+#: CHECKPOINTED distributed table; past the cap the per-iteration
+#: aggregate loop below is unchanged — at real scale the collect-k-rows
+#: loop is the right shape, the driver kernel only removes per-round
+#: scheduling overhead on bounded fits.
+LLOYD_DRIVER_CAP = 100_000
+
+
+def _driver_rows(pts: DataFrame, cap: int = LLOYD_DRIVER_CAP):
+    """Bounded probe: all rows as a pandas frame when ≤ cap, else None
+    (LocalLimit short-circuits per task — probe work bounded at any
+    scale). Arrow transfer (guide §6): a row-object collect of a
+    cap-sized table costs ~1-2 s in Row construction alone; toPandas
+    moves the same ints in ~50 ms."""
+    pdf = pts.limit(cap + 1).toPandas()
+    return pdf if len(pdf) <= cap else None
+
+
 def _argmin_cid(centers: list[tuple[float, float]], x_col: str, y_col: str) -> Column:
     """Index of the nearest center: sort k (dist, cid) structs, take
     field 0 — a native SortArray over a k-element literal array (no
@@ -85,32 +111,78 @@ def lloyd_kmeans(
         )
     ).localCheckpoint()
 
-    init = pts.orderBy("id").limit(k).collect()
-    if len(init) < k:
-        raise ValueError(f"need at least k={k} points, got {len(init)}")
-    centers = [(float(r["x"]), float(r["y"])) for r in init]
+    pdf = _driver_rows(pts)
+    if pdf is not None:
+        import numpy as np
 
-    for _ in range(iters):
-        agg = (
-            pts.withColumn("cid", _argmin_cid(centers, "x", "y"))
-            .groupBy("cid")
-            .agg(
-                F.sum("x").alias("sx"),
-                F.sum("y").alias("sy"),
-                F.count(F.lit(1)).alias("cnt"),
-            )
-            .collect()
+        centers = _centers_driver_nd(
+            pdf["id"].to_numpy(dtype=np.int64),
+            pdf[["x", "y"]].to_numpy(dtype=np.int64),
+            k,
+            iters,
         )
-        got = {r["cid"]: r for r in agg}
-        centers = [
-            (got[i]["sx"] / got[i]["cnt"], got[i]["sy"] / got[i]["cnt"])
-            if i in got
-            else centers[i]
-            for i in range(k)
-        ]
+        centers = [tuple(c) for c in centers]
+    else:
+        init = pts.orderBy("id").limit(k).collect()
+        if len(init) < k:
+            raise ValueError(f"need at least k={k} points, got {len(init)}")
+        centers = [(float(r["x"]), float(r["y"])) for r in init]
+
+        for _ in range(iters):
+            agg = (
+                pts.withColumn("cid", _argmin_cid(centers, "x", "y"))
+                .groupBy("cid")
+                .agg(
+                    F.sum("x").alias("sx"),
+                    F.sum("y").alias("sy"),
+                    F.count(F.lit(1)).alias("cnt"),
+                )
+                .collect()
+            )
+            got = {r["cid"]: r for r in agg}
+            centers = [
+                (got[i]["sx"] / got[i]["cnt"], got[i]["sy"] / got[i]["cnt"])
+                if i in got
+                else centers[i]
+                for i in range(k)
+            ]
 
     labeled = pts.withColumn("cluster_id", _argmin_cid(centers, "x", "y"))
     return labeled, centers
+
+
+def _centers_driver_nd(ids, X, k: int, iters: int) -> list[list[float]]:
+    """Shared numpy center-update kernel for all three Lloyd variants —
+    bit-identical to the distributed loop (see LLOYD_DRIVER_CAP note):
+    distances via per-coordinate left-fold (cumsum), first-minimum
+    argmin (lowest-cid tie break), exact int64 sums divided as Python
+    ints, empty clusters keep their center, init = k smallest ids."""
+    import numpy as np
+
+    if len(ids) < k:
+        raise ValueError(f"need at least k={k} points, got {len(ids)}")
+    Xd = X.astype(np.float64)
+    order = np.argsort(ids, kind="stable")
+    centers = [[float(v) for v in X[j]] for j in order[:k]]
+    for _ in range(iters):
+        D = np.stack(
+            [
+                np.cumsum((Xd - np.asarray(c, dtype=np.float64)) ** 2, axis=1)[:, -1]
+                for c in centers
+            ],
+            axis=1,
+        )
+        cid = np.argmin(D, axis=1)
+        new = []
+        for i in range(k):
+            m = cid == i
+            cnt = int(m.sum())
+            if cnt:
+                new.append([int(s) / cnt for s in X[m].sum(axis=0)])
+            else:
+                new.append(centers[i])
+        centers = new
+    return centers
 
 
 def _argmin_cid_nd(centers: list[list[float]], cols: list[str]) -> Column:
@@ -143,6 +215,19 @@ def lloyd_kmeans_nd(
             F.col(id_col).alias("id"), *[F.col(c).cast("bigint").alias(c) for c in cols]
         )
     ).localCheckpoint()
+
+    pdf = _driver_rows(pts)
+    if pdf is not None:
+        import numpy as np
+
+        centers = _centers_driver_nd(
+            pdf["id"].to_numpy(dtype=np.int64),
+            pdf[list(cols)].to_numpy(dtype=np.int64),
+            k,
+            iters,
+        )
+        labeled = pts.withColumn("cluster_id", _argmin_cid_nd(centers, cols))
+        return labeled, centers
 
     init = pts.orderBy("id").limit(k).collect()
     if len(init) < k:
@@ -209,6 +294,19 @@ def lloyd_kmeans_vec(
     pts = _spread(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     ).localCheckpoint()
+
+    pdf = _driver_rows(pts)
+    if pdf is not None:
+        import numpy as np
+
+        centers = _centers_driver_nd(
+            pdf["id"].to_numpy(dtype=np.int64),
+            np.asarray(pdf["v"].tolist(), dtype=np.int64),
+            k,
+            iters,
+        )
+        labeled = pts.withColumn("cluster_id", _argmin_cid_vec(centers, "v"))
+        return labeled, centers
 
     init = pts.orderBy("id").limit(k).collect()
     if len(init) < k:

@@ -261,18 +261,9 @@ def cosine_topk_srp_multi(
     dim = len(tables[0][0])
 
     def banded(df: DataFrame, idc: str, vecc: str, out_id: str) -> DataFrame:
-        d = df.select(F.col(idc).alias(out_id), F.col(vecc).alias("_v"))
-        structs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"), _srp_sig_expr(pl, "_v").alias("sig")
-                )
-                for t, pl in enumerate(tables)
-            ]
-        )
-        return d.select(out_id, F.explode(structs).alias("ts")).select(
-            out_id, F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
-        )
+        # r9: numpy signature kernel (guide §4.2) — bit-identical to the
+        # former _srp_sig_expr HOF build, see _srp_sig_rows_numpy
+        return _srp_sig_rows_numpy(df, tables, idc, vecc, out_id)
 
     cand = (
         banded(queries, q_id, q_vec, "query_id")
@@ -319,6 +310,62 @@ def _split_planes(n: int, dim: int) -> list[list[float]]:
 
 #: skew-split extension never exceeds this many extra signature bits
 _SPLIT_MAX_EXTRA = 16
+
+
+def _srp_sig_rows_numpy(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    center: list[float] | None = None,
+) -> DataFrame:
+    """SRP signature ROWS (out_id, t, sig) via an Arrow-batched numpy
+    kernel (guide §4.2) — replaces the interpreted ``aggregate∘zip_with``
+    HOF dots of :func:`_srp_sig_expr` (CodegenFallback, the measured
+    dominant cost of every SRP query) with vectorized native code.
+
+    Bit-identical fp: the HOF fold is ``((0D + p0) + p1) + …`` and
+    ``np.cumsum(V * p, axis=1)[:, -1]`` is the same left-associated
+    chain (0.0 + p0 == p0 exactly); the sign test and bit packing are
+    integer-exact. With ``center`` the input is shifted elementwise
+    first — the same double subtraction as the ``zip_with(x - y)``
+    centering of the skew-split path."""
+    tbls = [[[float(x) for x in p] for p in tbl] for tbl in tables]
+    mu = [float(x) for x in center] if center is not None else None
+    schema = f"{out_id} bigint, t int, sig bigint"
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes = [np.asarray(tbl, dtype=np.float64) for tbl in tbls]
+        mu_a = np.asarray(mu, dtype=np.float64) if mu is not None else None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if mu_a is not None:
+                V = V - mu_a
+            frames = []
+            for t, tp in enumerate(planes):
+                sig = np.zeros(len(ids), dtype=np.int64)
+                for i in range(tp.shape[0]):
+                    dot = np.cumsum(V * tp[i], axis=1)[:, -1]
+                    sig |= (dot > 0).astype(np.int64) << i
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            out_id: ids,
+                            "t": np.full(len(ids), t, dtype=np.int32),
+                            "sig": sig,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(gen, schema)
 
 
 def embedding_near_dup_pairs(
@@ -398,15 +445,9 @@ def embedding_near_dup_pairs(
     dim = len(tables[0][0])
 
     def banded(df: DataFrame, out_id: str) -> DataFrame:
-        structs = F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), _srp_sig_expr(pl, "embedding").alias("sig"))
-                for t, pl in enumerate(tables)
-            ]
-        )
-        return df.select(F.col("vec_id").alias(out_id), F.explode(structs).alias("ts")).select(
-            out_id, F.col("ts.t").alias("t"), F.col("ts.sig").alias("sig")
-        )
+        # r9: numpy signature kernel (guide §4.2) — bit-identical to the
+        # former _srp_sig_expr HOF build, see _srp_sig_rows_numpy
+        return _srp_sig_rows_numpy(df, tables, "vec_id", "embedding", out_id)
 
     # norms once per VECTOR (n of them), not per pair — the verify then
     # evaluates a single unrolled dot per candidate instead of three.
@@ -450,25 +491,40 @@ def embedding_near_dup_pairs(
         # still agrees on the centered signs.
         # exact decimal sums (order-free on every engine), divided once
         # in double — the mean is bit-replayable by a SQL oracle, unlike
-        # a double avg whose partial-aggregation order is free
-        tot = e.agg(
-            F.count(F.lit(1)).alias("_n"),
+        # a double avg whose partial-aggregation order is free. Built as
+        # ONE parsed selectExpr (r9, the _signature_from_hash_rows
+        # lesson): the 64-column Column-API agg cost ~6 py4j round trips
+        # per dim of pure driver plan-build — measured 3.9 s → 0.7 s for
+        # this collect at sf0.1, identical values.
+        tot = e.selectExpr(
+            "count(1) AS _n",
             *[
-                F.sum(F.col("embedding")[d].cast("decimal(30,10)")).alias(f"m{d}")
+                f"sum(cast(embedding[{d}] as decimal(30,10))) AS m{d}"
                 for d in range(dim)
             ],
         ).collect()[0]
         mu = [float(tot[f"m{d}"]) / int(tot["_n"]) for d in range(dim)]
-        mu_arr = "array(" + ", ".join(f"{v!r}D" for v in mu) + ")"
-        centered = f"zip_with(embedding, {mu_arr}, (x, y) -> x - y)"
         # only the hot rows pay a vector re-join + re-hash; the masked
         # low `_extra` bits of the full extension signature append to
-        # the base signature, depth disambiguates split widths
+        # the base signature, depth disambiguates split widths.
+        # r9: the 16 centered extension dots run in the numpy kernel
+        # (same fp contract as the base signatures) and ONCE PER DISTINCT
+        # hot VECTOR — the former per-(row, table) HOF evaluated them
+        # L× per hot vector.
+        hot_marked = marked.filter(F.col("_extra").isNotNull())
+        hot_vecs = wn.join(
+            hot_marked.select("vec_id"), "vec_id", "left_semi"
+        ).select("vec_id", "embedding")
+        ext_tbl = _srp_sig_rows_numpy(
+            hot_vecs,
+            [_split_planes(_SPLIT_MAX_EXTRA, dim)],
+            "vec_id",
+            "embedding",
+            "vec_id",
+            center=mu,
+        ).select("vec_id", F.col("sig").alias("_ext"))
         hot_rows = (
-            marked.filter(F.col("_extra").isNotNull())
-            .join(wn.select("vec_id", "embedding"), "vec_id")
-            .withColumn("_cv", F.expr(centered))
-            .withColumn("_ext", _srp_sig_expr(_split_planes(_SPLIT_MAX_EXTRA, dim), "_cv"))
+            hot_marked.join(ext_tbl, "vec_id")
             .select(
                 "vec_id",
                 "t",

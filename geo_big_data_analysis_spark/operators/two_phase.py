@@ -39,6 +39,24 @@ from pyspark.sql import functions as F
 
 _PID = "__tp_pid"
 
+#: Below this row count the two-phase plan dispatches to a plain
+#: single-partition window (r9, the graph/Lloyd bounded-dispatch
+#: convention): the two-phase machinery pays a range-partitioner
+#: SAMPLING pass over the input, a range exchange, an eager checkpoint
+#: job, and a per-partition-sizes collect — four scheduled jobs of pure
+#: overhead when the data is one task's worth. A ≤256k-row single-task
+#: sort (~tens of MB) is strictly cheaper; past the cap the two-phase
+#: plan is mandatory (a global window single-partitions EVERYTHING).
+#: Row numbers are identical on both paths for the documented
+#: total-order contract.
+SMALL_SORT_CAP = 262_144
+
+
+def _fits_small(df: DataFrame, cap: int = SMALL_SORT_CAP) -> bool:
+    """Bounded probe (never a full count): LocalLimit short-circuits per
+    scan task, so probe work is bounded at any input scale."""
+    return df.limit(cap + 1).count() <= cap
+
 
 def _ranged(df: DataFrame, order_exprs: list[Column]) -> DataFrame:
     p = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -69,6 +87,9 @@ def global_row_number(
 ) -> DataFrame:
     """Global 1-based row_number in ``order_exprs`` order, bigint (an
     int32 row_number overflows past 2.1 B rows — real at 100 TB)."""
+    if _fits_small(df):
+        w = Window.orderBy(*order_exprs)
+        return df.withColumn(out, F.row_number().over(w).cast("bigint"))
     ranged = _ranged(df, order_exprs)
     sizes = {
         r[_PID]: r["cnt"]
@@ -84,6 +105,12 @@ def global_cumsum(
     df: DataFrame, order_exprs: list[Column], value_col: str, out: str = "cum"
 ) -> DataFrame:
     """Global running sum of ``value_col`` in ``order_exprs`` order."""
+    if _fits_small(df):
+        w = (
+            Window.orderBy(*order_exprs)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(out, F.sum(value_col).over(w))
     ranged = _ranged(df, order_exprs)
     sums = {
         r[_PID]: r["s"]
