@@ -367,7 +367,9 @@ def main() -> None:
     # are re-run once at the end and the rerun replaces the first-pass
     # median IFF its own bracketing samples are clean; first-pass runs
     # are always kept in the sidecar.
-    ST_EVERY = 8
+    # r9: sample every 4 queries (was 8) — the r9_3/r9_4 stall bands
+    # opened and closed INSIDE an 8-query bracket and went untainted.
+    ST_EVERY = 4
     ST_TAINT_RATIO = 1.3
 
     def _st_sample() -> float:
@@ -385,6 +387,20 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).count()
             runs.append(round(time.time() - t0, 3))
+        # Adaptive resampling (ADVICE r8 #1: queries whose inter-
+        # iteration spread dwarfs the median carry measurement noise,
+        # not plan cost — r9 runs recorded single 24 s iterations on
+        # sub-2 s queries inside transient host-stall windows the
+        # every-N-queries canary can't bracket). When the spread says a
+        # stall landed inside an iteration, take 2 extra samples so the
+        # median is supported by clean runs instead of splitting a
+        # dirty pair. The reported statistic is unchanged (median); all
+        # raw runs stay in the sidecar.
+        if len(runs) >= 3 and max(runs) > 2.0 * min(runs):
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                runs.append(round(time.time() - t0, 3))
         runs.sort()
         return runs
 
@@ -500,6 +516,8 @@ def main() -> None:
         "cpu_marker_st_sec": cpu_marker_st,
         "tainted_load": tainted_load,
         "st_samples": st_samples,
+        "st_every": ST_EVERY,
+        "adaptive_resample": True,
         "st_taint_ratio": ST_TAINT_RATIO,
         "cpu_tainted_queries": sorted(n for n, t in taint.items() if t),
         "rerun": rerun,

@@ -52,9 +52,12 @@ _PID = "__tp_pid"
 SMALL_SORT_CAP = 262_144
 
 
-def _fits_small(df: DataFrame, cap: int = SMALL_SORT_CAP) -> bool:
+def _fits_small(df: DataFrame, cap: int | None = None) -> bool:
     """Bounded probe (never a full count): LocalLimit short-circuits per
-    scan task, so probe work is bounded at any input scale."""
+    scan task, so probe work is bounded at any input scale. The cap is
+    read at call time so tests can force the two-phase path."""
+    if cap is None:
+        cap = SMALL_SORT_CAP
     return df.limit(cap + 1).count() <= cap
 
 

@@ -10917,7 +10917,20 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes each pair unique. At scale, hot giant baskets are the skew
     axis — cap basket size or salt the orderkey."""
     li = _t(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # r9 (guide §2.4 "share one exchange"): keying the distinct's
+    # exchange on l_orderkey alone still clusters (l_orderkey,
+    # l_partkey) — hash(ok) ⊂ the agg's clustering keys — and the
+    # SAME partitioning satisfies the self-join, so the dedup agg and
+    # the join run off ONE exchange (was: distinct exchange on both
+    # cols + a join re-shuffle of each side). The lazy checkpoint
+    # (partitioning-preserving) materializes the distinct once for
+    # both join sides.
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("a_part"))
     b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("b_part"))
     return (
@@ -15470,24 +15483,39 @@ def q_dup_span_islands_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions); the islands window is partitioned by doc_id — never
     global. At 100 TB this is exactly the BigQuery/Spark reformulation
     used in practice when true suffix arrays don't fit."""
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "_t", F.expr("filter(split(text, ' '), x -> x <> '')")
+    from ..operators.spread import spread_by
+
+    # r9: the gram build was an interpreted HOF transform (slice +
+    # array_join + hash per gram — CodegenFallback) evaluated TWICE
+    # (duplicate census + position join). Rebuilt as the dedup family's
+    # codegen'd posexplode + lag window (multi-arg xxhash64 over the
+    # 8-token tuple — same duplicate/count semantics as hashing the
+    # joined string: tokens can't contain the join delimiter, and the
+    # oracle groups the gram TEXT, so a collision surfaces as a
+    # mismatch), spread_by(doc_id) BEFORE the token explode (§2.3), and
+    # lazily checkpointed so the census and the join read one
+    # materialization. i = pos − 7 reproduces the gram-start stamp.
+    docs = spread_by(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        "doc_id",
+    ).withColumn("_t", F.expr("filter(split(text, ' '), x -> x <> '')"))
+    toks = docs.filter(F.expr("size(_t) >= 8")).select(
+        "doc_id", "source", F.posexplode("_t").alias("pos", "tok")
     )
+    w8 = Window.partitionBy("doc_id").orderBy("pos")
+    lagged = toks
+    for _k in range(1, _SPAN_W):
+        lagged = lagged.withColumn(f"_l{_k}", F.lag("tok", _k).over(w8))
+    _lag_cols = [F.col(f"_l{_k}") for _k in range(_SPAN_W - 1, 0, -1)]
     grams = (
-        docs.filter(F.expr("size(_t) >= 8"))
+        lagged.filter(F.col(f"_l{_SPAN_W - 1}").isNotNull())
         .select(
             "doc_id",
             "source",
-            F.explode(
-                F.expr(
-                    """transform(sequence(0, size(_t) - 8),
-                         i -> struct(i AS i,
-                                     xxhash64(array_join(slice(_t, i + 1, 8), ' '))
-                                       AS g_h))"""
-                )
-            ).alias("_g"),
+            (F.col("pos") - (_SPAN_W - 1)).alias("i"),
+            F.xxhash64(*_lag_cols, F.col("tok")).alias("g_h"),
         )
-        .select("doc_id", "source", F.col("_g.i").alias("i"), F.col("_g.g_h").alias("g_h"))
+        .localCheckpoint(eager=False)
     )
     dup = (
         grams.groupBy("g_h")
